@@ -1,0 +1,8 @@
+"""Declared queries (SURVEY.md §2). Importing this package populates
+the registry in ``..registry``."""
+
+from . import (  # noqa: F401
+    aggregates,
+    scans,
+    scalar,
+)

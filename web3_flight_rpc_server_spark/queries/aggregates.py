@@ -1,0 +1,172 @@
+"""Aggregate queries (reference notebook semantics, §2B).
+
+The reference's notebook is its query-semantics contract; these map its
+pandas idioms to Catalyst hash aggregates:
+
+- value_counts            (cell 10/24: event_signature.value_counts())
+- distinct count          (cell 8/24: address.nunique())
+- min/max/avg/group-by    (cells 8/14/18: blockNumber min/max, logs per
+                           block, gas utilization mean)
+- sum of boolean          (cell 8: removed.sum(); cell 20: tx_count>0)
+- top-1 by frequency      (cell 24/26: value_counts().index[0])
+
+Scale notes: all are partial-aggregated map-side before one shuffle on
+the group keys (HashAggregate -> Exchange -> HashAggregate); top-1 is
+TakeOrderedAndProject, i.e. a per-partition top-k then a driver merge of
+k rows, never a global sort. Exact distinct on a high-cardinality key
+shuffles the key set; q_approx_distinct is the 100 TB-scale variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import round4
+from ..registry import query
+from ..sources import tables
+
+
+@query(
+    "q_value_counts",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts: group-count ordered by count desc with a stable
+    key tie-break (notebook cells 10, 24)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+@query(
+    "q_distinct_count",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (notebook cell 8: address.nunique())."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "q_group_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 10000 + 0.5) / 10000                              AS sum_qty,
+           floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000                         AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000      AS sum_disc_price,
+           floor((avg(l_quantity)) * 10000 + 0.5) / 10000                              AS avg_qty,
+           floor((min(l_extendedprice)) * 10000 + 0.5) / 10000                         AS min_price,
+           floor((max(l_extendedprice)) * 10000 + 0.5) / 10000                         AS max_price,
+           CAST(count(*) AS BIGINT)                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped multi-aggregate group-by covering the notebook's
+    min/max/mean/count aggregates (cells 8, 14, 18) in one plan."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round4(F.sum("l_quantity")).alias("sum_qty"),
+            round4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            round4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            round4(F.avg("l_quantity")).alias("avg_qty"),
+            round4(F.min("l_extendedprice")).alias("min_price"),
+            round4(F.max("l_extendedprice")).alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_sum_bool",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(count(*) AS BIGINT)                                     AS n_total
+    FROM events
+    """,
+)
+def q_sum_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum of a boolean predicate (notebook cell 8: removed.sum();
+    cell 20: (tx_count > 0).sum())."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum((F.col("value") > 100).cast("long")).alias("n_high"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "q_top1",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id ASC
+    LIMIT 1
+    """,
+)
+def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 by frequency with a stable tie-break on the key (notebook
+    cells 24, 26: address.value_counts().index[0])."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(1)
+    )
+
+
+@query("q_approx_distinct")  # rows-only: sketch values are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB-scale variant of
+    q_distinct_count (single pass, constant memory per partition).
+    Rows-only check: the estimate is implementation-defined."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT event_type,
+           floor((CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p50,
+           floor((CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. At 100 TB swap for
+    percentile_approx (t-digest sketch, mergeable, one pass)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        round4(F.expr("percentile(value, 0.5)")).alias("p50"),
+        round4(F.expr("percentile(value, 0.9)")).alias("p90"),
+    )

@@ -1,0 +1,71 @@
+"""SparkSession construction and runtime configuration.
+
+Two entry paths:
+
+- ``get_spark()``      build a local session with scale-appropriate
+                       defaults (tests, bench).
+- ``configure(spark)`` apply the runtime confs this engine needs to an
+                       externally-created session (the driver owns its
+                       session; we only set runtime-settable confs).
+
+Scale notes (100 TB target): AQE is on so skewed shuffle partitions are
+split and tiny ones coalesced at runtime; shuffle partition count
+defaults to the local core count but on a real cluster should be
+~2-3x total executor cores (or left to AQE's
+``spark.sql.adaptive.coalescePartitions.initialPartitionNum``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs the engine relies on. Applied defensively to
+# any session handed to us (driver-owned sessions included).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark has no
+    # ns timestamp type, so read as raw ns-long and convert in the
+    # loader (tables.py) — see FIXTURES.md determinism rules.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; pin the session zone so any
+    # ltz<->ntz hop is identity.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for toPandas()/pandas_udf interchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime coalesce/skew-split of shuffle partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment; engine still works for
+            # everything except ns-timestamp parquet reads.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "web3-flight-rpc-server-spark",
+              cpus: int | None = None) -> SparkSession:
+    """Local session sized from $SPARK_GRAFT_CPUS (default all cores)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
