@@ -3,6 +3,8 @@ the registry in ``..registry``."""
 
 from . import (  # noqa: F401
     aggregates,
+    joins,
     scans,
     scalar,
+    windows,
 )
