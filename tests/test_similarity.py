@@ -1,0 +1,51 @@
+"""RP-LSH similarity verification.
+
+Sign-LSH separates high-cosine pairs cheaply; at low thresholds it
+trades recall for candidate reduction (per-rep collision for cosine c
+is (1-acos(c)/pi)^planes). The corpus tops out at cosine ~0.51, so the
+deterministic guarantees are tested with injected identical vectors
+(same vector -> same buckets in every rep -> always a candidate) and
+the statistical behavior with floors far below expectation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.similarity import (
+    neardup_pairs_bruteforce,
+    rp_lsh_neardup_pairs,
+)
+from web3_flight_rpc_server_spark.sources import tables
+
+
+def test_rp_lsh_candidates_verified_exact(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    pairs = rp_lsh_neardup_pairs(emb, threshold=0.3, planes=6, reps=8).collect()
+    assert all(p.cos >= 0.3 for p in pairs)
+
+
+def test_rp_lsh_is_subset_of_exact(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    exact = {(r.d1, r.d2) for r in neardup_pairs_bruteforce(emb, 0.3).collect()}
+    approx = {
+        (r.d1, r.d2)
+        for r in rp_lsh_neardup_pairs(emb, 0.3, planes=6, reps=8).collect()
+    }
+    assert approx <= exact, "verified LSH output must be a subset of exact pairs"
+
+
+def test_rp_lsh_finds_identical_vectors(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 25).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    found = {
+        (r.d1, r.d2)
+        for r in rp_lsh_neardup_pairs(
+            emb.unionByName(copies), threshold=0.99, planes=12, reps=4
+        ).collect()
+    }
+    expected = {(i, i + 100000) for i in range(25)}
+    missing = expected - found
+    assert not missing, f"identical vectors missed: {sorted(missing)[:5]}"

@@ -1,0 +1,63 @@
+"""Text-analysis column helpers (north-star C13; SURVEY.md §2C).
+
+All helpers return Column expressions built purely from built-in
+functions — they stay inside whole-stage codegen, no Python UDFs in
+the hot path. Tokenization is whitespace-based to match the DuckDB
+oracle's string_split exactly (both produce [''] for '').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-token shingles joined by single spaces; empty array when the
+    document has fewer than n tokens. transform over start indices —
+    ANSI-safe (indices in range by construction), fully codegen'd."""
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def shingles_sql(text_col: str, n: int = 3) -> str:
+    """DuckDB twin of word_shingles over ``text_col`` (returns a SQL
+    fragment; expects an alias context where the column is visible)."""
+    t = f"string_split(lower({text_col}), ' ')"
+    concat = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"[{concat.replace('ts[', t + '[')} FOR i IN range(1, len({t}) - {n - 2})] "
+        f"ELSE [] END"
+    )
+
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "pour", "avec"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "para", "con"),
+}
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (codegen filter)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_hits_sql(tokens_expr: str, lang: str) -> str:
+    """DuckDB twin of stopword_hits."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tokens_expr}, t -> t IN ({words})))"

@@ -1,0 +1,259 @@
+"""Deduplication operator family (north-star C10/C11; SURVEY.md §2C).
+
+Four tiers, in increasing tolerance for fuzz and decreasing cost
+precision:
+
+- exact          hash group-by on the content key (or md5 of it)
+- n-gram Jaccard exact pairwise similarity via a shingle self-join —
+                 the ground truth the fuzzy tiers approximate
+- MinHash + LSH  shingle -> k minhashes -> banded signatures ->
+                 bucket join -> exact verify of candidates only
+- SimHash        64-bit weighted fingerprint; near-dups = pairs within
+                 a Hamming ball
+
+Everything is built-in Spark expressions (xxhash64, transform,
+aggregate, bit ops) — no Python in the pipeline.
+
+Scale notes (the whole point of the tiers): exact Jaccard's shingle
+self-join explodes quadratically inside hot shingle groups; at 100 TB
+only the LSH path survives — its cost is O(docs x bands) shuffle plus
+exact verification of the (tiny) candidate set. Banding keeps recall:
+with k=32 hashes in b=8 bands of r=4, a pair at Jaccard 0.8 collides
+in >=1 band with p = 1-(1-0.8^4)^8 ~ 0.98; at 0.3, p ~ 0.06. Stop-
+shingle skew (a shingle shared by millions of docs) is the LSH
+equivalent of join skew — cap group size or drop top-frequency
+shingles, mirroring what AQE skew-split does for joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs; the input to every fuzzy tier."""
+    return (
+        docs.select(id_col, F.explode(word_shingles(tokens(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, key_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct key, keeping the smallest id
+    (deterministic, unlike dropDuplicates' arbitrary winner). Output:
+    (keep_id, n_copies, key_hash)."""
+    return docs.groupBy(key_col).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    ).select(
+        "keep_id", "n_copies", F.md5(F.col(key_col)).alias("text_hash")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
+    Output (d1, d2, jaccard) with d1 < d2. Ground truth for the LSH
+    tier; quadratic in co-shingled docs — small/medium scale only."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "d1").join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """k-permutation MinHash signature per doc: for each seed i,
+    min over shingles of xxhash64(shingle, i). Output
+    (id, sig: array<bigint> of length num_hashes).
+
+    One explode + one groupBy: the per-seed hashes are computed as an
+    array expression per (doc, shingle) row, then element-wise min via
+    posexplode -> min -> collect ordered by position."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.xxhash64("shingle", i),
+    )
+    per_pos = (
+        sh.select(id_col, F.posexplode(hashes).alias("pos", "h"))
+        .groupBy(id_col, "pos")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        per_pos.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mh"))).alias("s"))
+        .select(id_col, F.col("s.mh").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows_per_band = len/bands), hash each band,
+    and emit candidate pairs sharing any (band, band_hash) bucket.
+    Output (d1, d2) distinct, d1 < d2."""
+    banded = signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b,
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "sig",
+                                b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"), F.col(f"r.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
+                            num_hashes: int = 32, bands: int = 8,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3) -> DataFrame:
+    """Full LSH near-dup pipeline: candidates from banded MinHash, then
+    EXACT Jaccard verification of candidates only. Output
+    (d1, d2, jaccard) — a (high-recall) subset of ngram_jaccard_pairs."""
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("d1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+    inter = (
+        cands.join(a, "d1").join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over unigram tokens: for each bit, sum +-1 of the
+    token hashes' bit values; fingerprint bit = 1 iff the sum > 0.
+    Output (id, simhash: bigint). Pairwise near-dups = small Hamming
+    distance (bit_count(a XOR b))."""
+    toks = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    )
+    contrib = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda bit: F.when(
+                    F.call_function("shiftright", F.xxhash64("tok"), bit)
+                    .bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+        ).alias("bit", "sign"),
+    )
+    bitvals = (
+        contrib.groupBy(id_col, "bit")
+        .agg(F.sum("sign").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit")))
+            .otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return bitvals.groupBy(id_col).agg(F.sum("bitval").cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. The pair join here
+    is all-pairs (fine at test scale); the scale path blocks on 16-bit
+    signature chunks first (a pair within Hamming<=3 of 64 bits shares
+    at least one of four 16-bit chunks exactly — pigeonhole)."""
+    sh = simhash64(docs, id_col, text_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.call_function("shiftright", F.col("simhash"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l = chunks.alias("l")
+    r = chunks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"),
+            F.col(f"r.{id_col}").alias("d2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

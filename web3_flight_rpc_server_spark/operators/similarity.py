@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (north-star C12).
+
+Two tiers:
+
+- brute force   exact cosine via higher-order functions (zip_with +
+                aggregate in double precision) — the correctness
+                baseline, O(n) per query / O(n^2) for all-pairs
+- RP-LSH        random-hyperplane (sign) buckets from DETERMINISTIC
+                Rademacher planes derived from xxhash64(plane, dim);
+                candidates collide in >=1 of several repetitions, then
+                exact-verify — the 100 TB path (bucket join instead of
+                cross product)
+
+All math is built-in expressions (no UDFs): the dot product is
+aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, +).
+
+Scale notes: brute-force all-pairs is a cross join — never run it at
+scale; the LSH variant's cost is O(n x planes) + bucket-local pairs.
+For top-k against ONE query vector the brute force IS the scale path
+(a single scan + TakeOrdered, no shuffle of the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays (codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against a single query row (broadcast).
+    Output (id, cos) ordered by cos desc with id tie-break.
+    Plan shape: scan + broadcast nested loop (1 row) + TakeOrdered."""
+    q = query.select(F.col(vec_col).alias("__qvec"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def neardup_pairs_bruteforce(embeddings: DataFrame, threshold: float,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine >= threshold (d1 < d2). Quadratic —
+    correctness baseline and small-corpus tool only."""
+    a = embeddings.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = embeddings.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _plane_sign_bits(vec: Column, planes: int, rep: int, dim: int) -> Column:
+    """Bucket id for one repetition: ``planes`` sign bits, plane p =
+    Rademacher vector whose d-th entry is +-1 from xxhash64(rep, p, d).
+    Deterministic across runs and engines that share xxhash64."""
+    def sign_bit(p: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x.cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(rep), p, d).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.call_function("shiftleft", F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), sign_bit)
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def rp_lsh_neardup_pairs(embeddings: DataFrame, threshold: float,
+                         planes: int = 12, reps: int = 4, dim: int = 64,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Random-projection LSH near-dup: bucket per repetition, candidate
+    pairs share a bucket in >=1 rep, exact cosine verify. High-recall
+    approximation of neardup_pairs_bruteforce at O(n) bucketing cost.
+    A pair at cosine c collides per rep with p = (1 - acos(c)/pi)^planes."""
+    with_buckets = embeddings.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(
+                *[
+                    _plane_sign_bits(F.col(vec_col), planes, r, dim)
+                    for r in range(reps)
+                ]
+            )
+        ).alias("rep", "bucket"),
+    )
+    l = with_buckets.alias("l")
+    r = with_buckets.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.rep") == F.col("r.rep"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"),
+            F.col(f"r.{id_col}").alias("d2"),
+            F.col(f"l.{vec_col}").alias("v1"),
+            F.col(f"r.{vec_col}").alias("v2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

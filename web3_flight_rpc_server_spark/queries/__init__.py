@@ -3,8 +3,11 @@ the registry in ``..registry``."""
 
 from . import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
     scans,
     scalar,
+    text,
+    vectors,
     windows,
 )
