@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     scans,
     scalar,
     text,
+    udfs,
     vectors,
     windows,
 )

@@ -155,6 +155,38 @@ def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+           event_type,
+           CAST(count(*) AS BIGINT)            AS n,
+           floor((sum(value)) * 10000 + 0.5) / 10000 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window x key (C14), batch twin of the streaming
+    version in streaming/windows.py — F.window() produces the same
+    epoch-aligned buckets the oracle's time_bucket does for
+    hour-divisible widths."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            round4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH flagged AS (
