@@ -1,0 +1,81 @@
+"""Reorg handling: the `removed` flag as retraction (C17).
+
+The reference carries the chain-reorg `removed` flag through to the
+client and never acts on it (Converter.java:169 copies it; no consumer
+reads it). The Spark-native completion of that story: a stateful
+operator keeping the LATEST version of each log keyed by
+(blockNumber, logIndex); a removed=true arrival retracts the key, a
+subsequent re-emission (the log re-appearing on the canonical chain)
+reinstates it.
+
+Implemented with applyInPandasWithState — per-key state survives
+across micro-batches and is evicted by event-time timeout tied to the
+watermark, so state stays bounded (only the reorg-mutable tail of the
+chain is resident).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "blockNumber bigint, logIndex int, address string, data string, "
+    "transactionHash string, is_removed boolean, version int"
+)
+STATE_SCHEMA = (
+    "address string, data string, transactionHash string, "
+    "is_removed boolean, version int"
+)
+
+
+def latest_log_state(logs: DataFrame) -> DataFrame:
+    """Streaming keep-latest per (blockNumber, logIndex) honoring the
+    removed flag; each micro-batch emits the keys it touched with
+    their current canonical state (update-mode semantics).
+
+    The state function is a local closure ON PURPOSE: cloudpickle then
+    serializes it by value, so Python workers don't need this package
+    on their import path (a module-level function is pickled by
+    reference and breaks any deployment that only extends the driver's
+    sys.path)."""
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        addr, data, tx, removed, version = (
+            state.get if state.exists else (None, None, None, False, 0)
+        )
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                version += 1
+                removed = bool(row.removed)
+                if not removed:
+                    addr, data, tx = row.address, row.data, row.transactionHash
+        state.update((addr, data, tx, removed, version))
+        yield pd.DataFrame(
+            [
+                {
+                    "blockNumber": key[0],
+                    "logIndex": key[1],
+                    "address": addr,
+                    "data": data,
+                    "transactionHash": tx,
+                    "is_removed": removed,
+                    "version": version,
+                }
+            ]
+        )
+
+    return (
+        logs.groupBy("blockNumber", "logIndex")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
