@@ -20,14 +20,24 @@ def tokens(text: Column | str) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-token shingles joined by single spaces; empty array when the
-    document has fewer than n tokens. transform over start indices —
-    ANSI-safe (indices in range by construction), fully codegen'd."""
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        starts,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    document has fewer than n tokens.
+
+    Built by zip_with-ing n shifted slices of the token array, NOT by
+    transform(sequence, i -> element_at(toks, i+j)): higher-order
+    lambdas are interpreted without common-subexpression elimination,
+    so an element_at(toks, ...) inside the lambda re-evaluates the
+    whole ``toks`` expression (e.g. split(lower(text))) PER POSITION —
+    quadratic per row. Slices evaluate ``toks`` O(n) times per row and
+    the zip_with lambdas only touch their (already materialized)
+    slice arguments."""
+    m = F.size(toks) - (n - 1)  # shingle count when size >= n
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -33,12 +33,36 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens, word_shingles
 
 
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shs: array<string> DISTINCT shingles, sz) — deduped with
+    array_distinct BEFORE any explode, so downstream consumers get
+    distinct (id, shingle) rows without a distinct() shuffle, and the
+    set size rides along instead of needing its own aggregation."""
+    # Two deliberate plan choices:
+    # 1. repartition: a small corpus often arrives as ONE parquet
+    #    row-group -> one partition -> single-threaded compute; the
+    #    round-robin shuffle of (id, toks) is far cheaper than
+    #    serializing the per-row-heavy shingle work.
+    # 2. tokenize BEFORE the exchange: the exchange is a projection
+    #    barrier CollapseProject can't cross, so split(lower(text))
+    #    runs exactly once per row and the shingle expression operates
+    #    on a materialized attribute instead of re-evaluating the
+    #    split inside every slice.
+    toked = docs.select(
+        id_col, tokens(text_col).alias("__toks")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    shs = F.array_distinct(word_shingles(F.col("__toks"), n))
+    return toked.select(
+        id_col, shs.alias("shs")
+    ).withColumn("sz", F.size("shs"))
+
+
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs; the input to every fuzzy tier."""
-    return (
-        docs.select(id_col, F.explode(word_shingles(tokens(text_col), n)).alias("shingle"))
-        .distinct()
+    return shingle_sets(docs, id_col, text_col, n).select(
+        id_col, F.explode("shs").alias("shingle")
     )
 
 
@@ -61,21 +85,28 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
     Output (d1, d2, jaccard) with d1 < d2. Ground truth for the LSH
     tier; quadratic in co-shingled docs — small/medium scale only."""
-    sh = doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # persist: the self-join would otherwise recompute the whole
+    # shingle pipeline on BOTH sides (at warehouse scale this is the
+    # materialized shingle table; MEMORY_AND_DISK spills if needed)
+    sh = shingle_sets(docs, id_col, text_col, n).select(
+        id_col, "sz", F.explode("shs").alias("shingle")
+    ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
+    # set sizes ride through the shingle join -> ONE shuffle for the
+    # pair aggregation, no separate sizes joins
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz1"),
+            F.first("b.sz").alias("sz2"),
+        )
     )
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
     return (
-        inter.join(s1, "d1").join(s2, "d2")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
         )
@@ -91,23 +122,21 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
     min over shingles of xxhash64(shingle, i). Output
     (id, sig: array<bigint> of length num_hashes).
 
-    One explode + one groupBy: the per-seed hashes are computed as an
-    array expression per (doc, shingle) row, then element-wise min via
-    posexplode -> min -> collect ordered by position."""
+    One explode + ONE groupBy: the k per-seed hashes are an array
+    expression per (doc, shingle) row, and the element-wise min across
+    a doc's shingles is k scalar min() aggregates in a single hash
+    aggregate — no posexplode row blowup, no second shuffle, partial
+    (map-side) aggregation applies."""
     sh = doc_shingles(docs, id_col, text_col, n)
     hashes = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.xxhash64("shingle", i),
     )
-    per_pos = (
-        sh.select(id_col, F.posexplode(hashes).alias("pos", "h"))
-        .groupBy(id_col, "pos")
-        .agg(F.min("h").alias("mh"))
-    )
-    return (
-        per_pos.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mh"))).alias("s"))
-        .select(id_col, F.col("s.mh").alias("sig"))
+    per_row = sh.select(id_col, hashes.alias("hs"))
+    return per_row.groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
+        ).alias("sig")
     )
 
 
@@ -160,22 +189,38 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                             n: int = 3) -> DataFrame:
     """Full LSH near-dup pipeline: candidates from banded MinHash, then
     EXACT Jaccard verification of candidates only. Output
-    (d1, d2, jaccard) — a (high-recall) subset of ngram_jaccard_pairs."""
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
+    (d1, d2, jaccard) — a (high-recall) subset of ngram_jaccard_pairs.
+
+    The shingle sets are computed once and persisted — signatures and
+    verification both read them (at warehouse scale this is the
+    materialize-the-shingle-table step of a multi-job pipeline)."""
+    sets = shingle_sets(docs, id_col, text_col, n).persist()
+    sh = sets.select(id_col, "sz", F.explode("shs").alias("shingle"))
+
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.xxhash64("shingle", i),
+    )
+    sigs = sh.select(id_col, hashes.alias("hs")).groupBy(id_col).agg(
+        F.array(
+            *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
+        ).alias("sig")
+    )
     cands = lsh_candidate_pairs(sigs, bands, id_col)
-    sh = doc_shingles(docs, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("d1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), "shingle")
+
+    a = sh.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"), "shingle")
+    b = sh.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"), "shingle")
     inter = (
         cands.join(a, "d1").join(b, ["d2", "shingle"])
         .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1")), "d1")
-        .join(sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2")), "d2")
-        .withColumn(
+        inter.withColumn(
             "jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
         )
         .where(F.col("jaccard") >= threshold)

@@ -37,6 +37,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Text/vector operators are CPU-heavy per byte (shingling, hashing,
+    # higher-order fns); AQE's size-based coalescing would collapse
+    # their small-by-bytes shuffles to 1-2 partitions and serialize the
+    # compute. A small floor keeps parallelism without losing AQE.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 

@@ -34,7 +34,17 @@ TABLE_NAMES = (
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+# DataFrame handles are pure plan objects; re-building one re-reads the
+# parquet footer (~50-100 ms). Memoize per (session, dir, table) so a
+# workload of many queries pays footer/schema costs once.
+_HANDLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _HANDLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -42,6 +52,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})")
         )
+    _HANDLE_CACHE[key] = df
     return df
 
 
