@@ -1,0 +1,94 @@
+"""Wire-protocol parity tests: the reference notebook's client flow
+(flight connect -> do_get(JSON ticket) -> read_all -> pandas) against
+the engine's Flight server (notebook cells 5/16; Producer.java:38-69)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.flight as flight
+import pytest
+
+from web3_flight_rpc_server_spark.schemas import LOGS_SCHEMA
+from web3_flight_rpc_server_spark.serving import EngineFlightServer
+
+LOG_ROWS = [
+    ("0xAAA", "0x", ["0xT1", "0xE1"], 10, "h1", 0, "b1", 0, False),
+    ("0xbbb", "0x", ["0xT2"], 20, "h2", 1, "b2", 1, False),
+    ("0xccc", "0x", [], 30, "h3", 2, "b3", 2, False),
+    ("0xAAA", "0x", ["0xT3"], 40, "h4", 3, "b4", 3, True),
+]
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    logs = spark.createDataFrame(LOG_ROWS, LOGS_SCHEMA)
+    blocks = spark.createDataFrame([(n,) for n in range(5, 10)], "number long")
+    srv = EngineFlightServer("grpc://0.0.0.0:0", spark, logs=logs,
+                             blocks=blocks, sf_dir=sf_dir)
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    return flight.FlightClient(f"grpc://localhost:{server.port}")
+
+
+def _get(client, ticket_obj):
+    reader = client.do_get(flight.Ticket(json.dumps(ticket_obj).encode()))
+    return reader.read_all().to_pandas()
+
+
+def test_bounded_logs_ticket(client):
+    # the notebook's flow: {"dataset":"logs","startBlock":..,"endBlock":..}
+    df = _get(client, {"dataset": "logs", "startBlock": 10, "endBlock": 30})
+    assert sorted(df["blockNumber"]) == [10, 20, 30]
+    assert list(df.columns) == [f.name for f in LOGS_SCHEMA.fields]
+
+
+def test_ticket_filters_apply(client):
+    df = _get(
+        client,
+        {"dataset": "logs", "startBlock": 0, "endBlock": 100,
+         "contractAddresses": ["0xaaa"]},
+    )
+    assert sorted(df["blockNumber"]) == [10, 40]  # case-insensitive match
+    df2 = _get(
+        client,
+        {"dataset": "logs", "startBlock": 0, "endBlock": 100,
+         "topics": ["0xT1"]},
+    )
+    # topic0 match + empty-topics escape hatch (LogSubscription quirk)
+    assert sorted(df2["blockNumber"]) == [10, 30]
+
+
+def test_blocks_ticket_and_degenerate_mode(client):
+    df = _get(client, {"dataset": "blocks", "startBlock": 6, "endBlock": 8})
+    assert sorted(df["number"]) == [6, 7, 8]
+    # degenerate blocks mode: start := end (BlocksService.java:106)
+    df2 = _get(client, {"dataset": "blocks", "endBlock": 7})
+    assert sorted(df2["number"]) == [7]
+
+
+def test_unbounded_ticket_fails_fast(client):
+    # the engine's ValueError crosses gRPC as an ArrowInvalid whose
+    # message preserves the reason
+    with pytest.raises(Exception, match="unbounded"):
+        _get(client, {"dataset": "logs", "startBlock": 5})
+
+
+def test_declared_query_over_flight(client):
+    df = _get(client, {"dataset": "query", "name": "q_value_counts"})
+    assert set(df.columns) == {"event_type", "n"}
+    assert df["n"].sum() > 0
+
+
+def test_get_flight_info_echoes_command(client):
+    cmd = json.dumps({"dataset": "logs"}).encode()
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
+    # Producer.java:66-69: one endpoint, echoed ticket, unknown stats
+    assert len(info.endpoints) == 1
+    assert info.endpoints[0].ticket.ticket == cmd
+    assert info.total_records == -1
+    assert info.total_bytes == -1

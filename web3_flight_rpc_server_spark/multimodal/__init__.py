@@ -1,0 +1,9 @@
+from .media import (  # noqa: F401
+    MEDIA_META_SCHEMA,
+    MEDIA_SCHEMA,
+    byte_histogram_features,
+    decode_media,
+    frame_sample,
+    resize_images,
+    synthesize_media,
+)

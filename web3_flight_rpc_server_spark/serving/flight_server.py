@@ -1,0 +1,114 @@
+"""Arrow Flight serving layer — wire-protocol parity with the
+reference server (reference server/src/main/java/net/broscorp/web3/
+server/FlightRpcServer.java:22-38, producer/Producer.java:38-69).
+
+A thin pyarrow FlightServer over the engine: clients submit the SAME
+JSON ticket the reference accepts ({dataset, startBlock, endBlock,
+contractAddresses, topics}) and receive Arrow record batches; the
+notebook's `client.do_get(Ticket(json)).read_all()` flow works
+unchanged. Spark plans and executes; `DataFrame.toArrow()` hands the
+result over zero-copy on the driver.
+
+Parity notes:
+- get_flight_info echoes the descriptor command back as a
+  one-endpoint ticket with unknown stats (-1, -1) — exactly
+  Producer.java:66-69.
+- only the bounded surface is served over do_get (the reference's
+  hybrid/realtime modes hold the call open indefinitely; the engine
+  serves those through Structured Streaming, streaming/backfill.py —
+  a do_get of an unbounded request fails fast with a clear error
+  instead of silently hanging).
+- an extra ticket form {"dataset": "query", "name": <declared query>,
+  "sf_dir": ...} exposes the whole SURVEY §2 inventory over Flight —
+  beyond-reference capability, same transport.
+
+Scale notes: do_get collects the (filtered, pruned) result to the
+driver before streaming — correct for serving query RESULTS (small by
+construction). Serving full table scans at 100 TB would need
+per-endpoint partition tickets (one endpoint per file split) so
+clients pull partitions in parallel from executors; get_flight_info's
+endpoint list is where that sharding would surface.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.flight as flight
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans.requests import ClientRequest, plan_request
+from ..sources import tables
+
+
+class EngineFlightServer(flight.FlightServerBase):
+    """do_get(JSON ticket) -> Arrow stream, reference-compatible."""
+
+    def __init__(self, location: str, spark: SparkSession,
+                 logs: DataFrame | None = None,
+                 blocks: DataFrame | None = None,
+                 sf_dir: str | None = None):
+        super().__init__(location)
+        self._spark = spark
+        self._logs = logs
+        self._blocks = blocks
+        self._sf_dir = sf_dir
+
+    # -- Flight surface -------------------------------------------------
+    def do_get(self, context, ticket: flight.Ticket):
+        obj = json.loads(ticket.ticket)
+        if obj.get("dataset") == "query":
+            df = self._declared_query(obj)
+        else:
+            req = ClientRequest.from_json(ticket.ticket)
+            df = plan_request(req, logs=self._logs, blocks=self._blocks)
+        table = df.toArrow()
+        return flight.RecordBatchStream(table)
+
+    def get_flight_info(self, context, descriptor: flight.FlightDescriptor):
+        # Producer.java:66-69: echo command as one endpoint, stats -1/-1
+        endpoint = flight.FlightEndpoint(descriptor.command, [])
+        schema = pa.schema([])
+        return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+    def list_flights(self, context, criteria):
+        for name in ("logs", "blocks"):
+            descriptor = flight.FlightDescriptor.for_command(
+                json.dumps({"dataset": name}).encode()
+            )
+            yield flight.FlightInfo(pa.schema([]), descriptor, [], -1, -1)
+
+    # -- helpers --------------------------------------------------------
+    def _declared_query(self, obj: dict) -> DataFrame:
+        from ..registry import all_queries
+
+        name = obj.get("name")
+        registry = all_queries()
+        if name not in registry:
+            raise flight.FlightServerError(f"unknown query: {name!r}")
+        sf_dir = obj.get("sf_dir") or self._sf_dir
+        if not sf_dir:
+            raise flight.FlightServerError("no sf_dir configured")
+        return registry[name].fn(self._spark, sf_dir)
+
+
+def serve_fixture_tables(spark: SparkSession, sf_dir: str,
+                         port: int = 0) -> EngineFlightServer:
+    """Convenience: serve the synthetic fixture tables with events
+    playing the logs role is NOT done here — the canonical logs/blocks
+    tables are expected as parquet under sf_dir when present; declared
+    queries are always served."""
+    logs = blocks = None
+    try:
+        logs = tables.load_table(spark, sf_dir, "logs")
+    except Exception:
+        pass
+    try:
+        blocks = tables.load_table(spark, sf_dir, "blocks")
+    except Exception:
+        pass
+    return EngineFlightServer(
+        f"grpc://0.0.0.0:{port}", spark, logs=logs, blocks=blocks, sf_dir=sf_dir
+    )
