@@ -58,12 +58,20 @@ class EngineFlightServer(flight.FlightServerBase):
 
     # -- Flight surface -------------------------------------------------
     def do_get(self, context, ticket: flight.Ticket):
-        obj = json.loads(ticket.ticket)
-        if obj.get("dataset") == "query":
-            df = self._declared_query(obj)
-        else:
-            req = ClientRequest.from_json(ticket.ticket)
-            df = plan_request(req, logs=self._logs, blocks=self._blocks)
+        # map engine errors to FlightServerError uniformly so clients
+        # get the reason, not a serialized traceback
+        try:
+            obj = json.loads(ticket.ticket)
+        except ValueError as e:
+            raise flight.FlightServerError(f"malformed ticket JSON: {e}")
+        try:
+            if obj.get("dataset") == "query":
+                df = self._declared_query(obj)
+            else:
+                req = ClientRequest.from_json(ticket.ticket)
+                df = plan_request(req, logs=self._logs, blocks=self._blocks)
+        except ValueError as e:
+            raise flight.FlightServerError(str(e))
         table = df.toArrow()
         return flight.RecordBatchStream(table)
 
