@@ -1,0 +1,79 @@
+"""Winnowing and IVF-ANN verification against constructed truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.ivf import assign_cells, ivf_topk
+from web3_flight_rpc_server_spark.operators.similarity import cosine_topk
+from web3_flight_rpc_server_spark.operators.winnowing import (
+    fingerprint_overlap_pairs,
+    winnow_fingerprints,
+)
+from web3_flight_rpc_server_spark.sources import tables
+
+
+def test_winnow_deterministic_and_guarantee(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different sentence with other words here"),
+            # shares a long substring with doc 1 -> guaranteed overlap
+            (3, "prefix text then the quick brown fox jumps over something"),
+            (4, "xy"),  # shorter than k -> empty fingerprint set
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(docs).collect()}
+    fp2 = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(docs).collect()}
+    assert fp == fp2, "fingerprints must be deterministic"
+    assert fp[4] == set()
+    # winnowing guarantee: shared substring len >= w+k-1 (=8) shares >=1
+    assert fp[1] & fp[3], "long shared substring must share a fingerprint"
+    assert len(fp[1] & fp[2]) < len(fp[1] & fp[3])
+
+
+def test_fingerprint_overlap_pairs_find_near_dups(spark, sf_dir):
+    docs = tables.load_table(spark, sf_dir, "documents")
+    from web3_flight_rpc_server_spark.operators.dedup import ngram_jaccard_pairs
+
+    truth = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, 0.9).collect()}
+    found = {
+        (r.d1, r.d2)
+        for r in fingerprint_overlap_pairs(docs, min_shared=5).collect()
+    }
+    missing = truth - found
+    assert not missing, f"winnowing missed near-identical docs: {sorted(missing)[:5]}"
+
+
+def test_ivf_cells_cover_and_are_deterministic(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    celled = assign_cells(emb, n_cells=8)
+    cells = celled.groupBy("cell").count().collect()
+    assert all(0 <= r.cell < 8 for r in cells)
+    assert celled.where(F.col("cell").isNull()).count() == 0
+    again = assign_cells(emb, n_cells=8).select("vec_id", "cell").collect()
+    assert {(r.vec_id, r.cell) for r in again} == {
+        (r.vec_id, r.cell)
+        for r in celled.select("vec_id", "cell").collect()
+    }
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0)
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(corpus, qvec, k=10).collect()]
+    # full probe = exhaustive: must equal brute force exactly
+    full = [
+        r.vec_id
+        for r in ivf_topk(corpus, qvec, k=10, n_cells=8, n_probe=8).collect()
+    ]
+    assert full == exact
+    # partial probe: meaningful recall at a fraction of the scan
+    part = {
+        r.vec_id
+        for r in ivf_topk(corpus, qvec, k=10, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(part & set(exact)) / 10
+    assert recall >= 0.3, f"ivf recall {recall}"

@@ -85,12 +85,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
     Output (d1, d2, jaccard) with d1 < d2. Ground truth for the LSH
     tier; quadratic in co-shingled docs — small/medium scale only."""
-    # persist: the self-join would otherwise recompute the whole
-    # shingle pipeline on BOTH sides (at warehouse scale this is the
-    # materialized shingle table; MEMORY_AND_DISK spills if needed)
-    sh = shingle_sets(docs, id_col, text_col, n).select(
-        id_col, "sz", F.explode("shs").alias("shingle")
-    ).persist()
+    # persist the ARRAYS, not the exploded rows: Generate(explode)
+    # re-evaluates its generator expression once per OUTPUT element,
+    # so exploding an unmaterialized shingle expression costs
+    # O(shingles x expr) — cache first, explode the cached attribute.
+    # (Also shares the shingle pipeline across both join sides; at
+    # warehouse scale this is the materialized shingle table.)
+    sets = shingle_sets(docs, id_col, text_col, n).persist()
+    sh = sets.select(id_col, "sz", F.explode("shs").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     # set sizes ride through the shingle join -> ONE shuffle for the

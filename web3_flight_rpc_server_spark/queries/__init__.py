@@ -4,6 +4,7 @@ the registry in ``..registry``."""
 from . import (  # noqa: F401
     aggregates,
     dedup,
+    grouping,
     joins,
     scans,
     scalar,

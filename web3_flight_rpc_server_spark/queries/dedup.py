@@ -83,6 +83,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round4(pairs.jaccard).alias("jaccard"))
 
 
+@query("q_winnow_overlap")  # rows-only: xxhash fingerprints engine-specific
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, windowed minima) substring
+    overlap pairs — detects shared passages rather than whole-doc
+    near-dups; stop-fingerprint df-cap prevents join skew
+    (operators/winnowing.py; guarantees tested in
+    tests/test_winnowing_ivf.py)."""
+    from ..operators.winnowing import fingerprint_overlap_pairs
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(docs, min_shared=5)
+
+
 @query("q_simhash")  # rows-only: hash fingerprints are engine-specific
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within Hamming distance 3, candidate

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import round4
+from ..operators.ivf import ivf_topk
 from ..operators.similarity import (
     cosine_topk,
     neardup_pairs_bruteforce,
@@ -60,6 +61,22 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load_table(spark, sf_dir, "embeddings")
     pairs = neardup_pairs_bruteforce(emb, threshold=0.3)
     return pairs.select("d1", "d2", round4(pairs.cos).alias("cos"))
+
+
+@query("q_ivf_topk")  # rows-only: approximate by design (partial probe)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-10 against vec_id=0: nearest-anchor
+    cell assignment (literal-anchor argmax, no shuffle), probe the 3
+    closest of 8 cells -> ~3/8 of the corpus scanned. Exactness at
+    full probe and partial-probe recall are asserted in
+    tests/test_winnowing_ivf.py."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    topk = ivf_topk(
+        emb.where(F.col("vec_id") != 0),
+        emb.where(F.col("vec_id") == 0),
+        k=10, n_cells=8, n_probe=3,
+    )
+    return topk.select("vec_id", round4(topk.cos).alias("cos"))
 
 
 @query("q_ann_lsh")  # rows-only: bucket hashes are engine-specific
