@@ -77,3 +77,64 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"{_PAYLOAD}.{c}"))
     return out.drop(_PAYLOAD, _SIDE, _TS)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """pd.merge_asof-based variant via cogrouped applyInPandas
+    (C18 UDF-surface breadth): both sides are cogrouped by key, each
+    key's pair of pandas frames merged as-of in Python.
+
+    Same single-shuffle cost shape as the window version (hash both
+    sides by key), but leaves the JVM — use the window version in the
+    hot path; this one exists for semantics Python can express more
+    directly (nearest-tolerance joins, backward/forward switching)
+    and as the equivalence oracle for the window implementation."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    left_cols = list(left.columns)
+    out_fields = [left.schema[c] for c in left_cols]
+    payload_cols = [right_ts] + [c for c in right_payload if c != right_ts]
+    for c in payload_cols:
+        f = right.schema[c]
+        out_fields.append(type(f)(f"{c}{suffix}", f.dataType, True))
+    out_schema = T.StructType(out_fields)
+
+    # Pre-project the right side to UNIQUE column names before the
+    # cogroup: when both sides derive from the same base DataFrame
+    # (self-cogroup), attribute dedup mis-prunes the right side down
+    # to the grouping key — the pandas function then receives a frame
+    # with only [on]. Distinct names force the pruner to keep them.
+    suffixed = [f"{c}{suffix}" for c in payload_cols]
+    right_proj = right.select(
+        F.col(on), *[F.col(c).alias(f"{c}{suffix}") for c in payload_cols]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts)
+        if rpdf.empty:
+            for c in suffixed:
+                lpdf[c] = None
+            return lpdf[list(out_schema.names)]
+        rsel = rpdf[suffixed].sort_values(f"{right_ts}{suffix}")
+        merged = pd.merge_asof(
+            lpdf, rsel,
+            left_on=left_ts, right_on=f"{right_ts}{suffix}",
+            direction="backward", allow_exact_matches=True,
+        )
+        return merged[list(out_schema.names)]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right_proj.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
+    )

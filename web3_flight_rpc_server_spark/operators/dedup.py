@@ -27,7 +27,9 @@ shingles, mirroring what AQE skew-split does for joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
@@ -235,32 +237,36 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     """64-bit SimHash over unigram tokens: for each bit, sum +-1 of the
     token hashes' bit values; fingerprint bit = 1 iff the sum > 0.
     Output (id, simhash: bigint). Pairwise near-dups = small Hamming
-    distance (bit_count(a XOR b))."""
-    toks = (
-        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    distance (bit_count(a XOR b)).
+
+    Shape: hash each token ONCE into a materialized column, then 64
+    conditional-sum aggregates in a single groupBy (one shuffle with
+    map-side partials) — not a 64x posexplode row blowup, and the
+    token hash is an attribute so nothing re-evaluates per bit."""
+    toked = docs.select(id_col, tokens(text_col).alias("__toks")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).persist()
+    hashed = toked.select(
+        id_col, F.explode("__toks").alias("tok")
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+
+    def bit_sum(bit: int) -> Column:
+        is_set = F.call_function(
+            "shiftright", F.col("h"), F.lit(bit)
+        ).bitwiseAND(F.lit(1)) == 1
+        return F.sum(F.when(is_set, 1).otherwise(-1))
+
+    sums = hashed.groupBy(id_col).agg(
+        *[bit_sum(b).alias(f"s{b}") for b in range(64)]
     )
-    contrib = toks.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda bit: F.when(
-                    F.call_function("shiftright", F.xxhash64("tok"), bit)
-                    .bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-        ).alias("bit", "sign"),
+    fingerprint = reduce(
+        lambda acc, b: acc + F.when(
+            F.col(f"s{b}") > 0, F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+        range(64),
+        F.lit(0).cast("long"),
     )
-    bitvals = (
-        contrib.groupBy(id_col, "bit")
-        .agg(F.sum("sign").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.call_function("shiftleft", F.lit(1).cast("long"), F.col("bit")))
-            .otherwise(F.lit(0).cast("long")),
-        )
-    )
-    return bitvals.groupBy(id_col).agg(F.sum("bitval").cast("long").alias("simhash"))
+    return sums.select(id_col, fingerprint.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
