@@ -40,6 +40,9 @@ HEADLINE = [
     "q_dedup_jaccard",         # shingle self-join pairwise jaccard
     "q_minhash_lsh",           # MinHash-LSH near-dup pipeline
     "q_cosine_topk",           # brute-force cosine top-k
+    "q_ivf_topk",              # IVF-pruned approximate top-k
+    "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint
+    "q_scalar_subquery",       # subquery planning
 ]
 
 

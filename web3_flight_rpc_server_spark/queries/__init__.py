@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     joins,
     scans,
     scalar,
+    strings,
     text,
     udfs,
     vectors,

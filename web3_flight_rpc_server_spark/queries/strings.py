@@ -1,0 +1,134 @@
+"""String/date scalar coverage (C7), array explode, HAVING, and
+scalar-subquery planning — the remaining general-SQL surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import round4
+from ..registry import query
+from ..sources import tables
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           substring(c_name, 1, 8)                         AS name_prefix,
+           replace(c_name, '#', '-')                       AS name_dashed,
+           CAST(length(c_name) AS BIGINT)                  AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')       AS key_padded,
+           concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string scalars (upper/substring/replace/length/lpad/concat)
+    — all codegen'd, no UDFs (C7)."""
+    cust = tables.load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit(":"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+    )
+
+
+@query(
+    "q_date_parts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT)     AS yr,
+           CAST(quarter(o_orderdate) AS INT)  AS qtr,
+           CAST(month(o_orderdate) AS INT)    AS mo,
+           CAST(count(*) AS BIGINT)           AS n,
+           floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition + aggregate (C7 date functions)."""
+    orders = tables.load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            round4(F.sum("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@query(
+    "q_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           floor((CAST(unnest(embedding) AS DOUBLE)) * 10000 + 0.5) / 10000 AS val
+    FROM embeddings
+    WHERE vec_id < 10
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode with ordinality (posexplode == UNNEST WITH
+    ORDINALITY). The array is a plain column attribute, so the
+    Generate per-output-element re-evaluation cost documented in
+    operators/dedup.py does not apply."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.where(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select("vec_id", "pos", round4(F.col("x").cast("double")).alias("val"))
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 100
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id").agg(F.count("*").alias("n")).where(F.col("n") > 100)
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey,
+           floor((o_totalprice / (SELECT avg(o_totalprice) FROM orders))
+                 * 10000 + 0.5) / 10000 AS price_ratio
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries in projection and predicate —
+    Catalyst executes the subquery once and broadcasts the scalar."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               floor((o_totalprice / (SELECT avg(o_totalprice) FROM orders))
+                     * 10000 + 0.5) / 10000 AS price_ratio
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
