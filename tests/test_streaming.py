@@ -122,6 +122,74 @@ def test_session_window_gap_split(spark, workdir):
         q.stop()
 
 
+def test_late_rows_dropped_after_watermark(spark, workdir):
+    """C16: an event older than the advanced watermark must NOT create
+    or amend a window (the late-data policy the reference lacks)."""
+    src = str(workdir / "src")
+    _write_events(spark, src, [(1, 1 * NS_HOUR, 1, "click", 1.0, "{}")])
+    agg = tumbling_agg(events_stream(spark, src), width="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("late_out")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance watermark far past the first window...
+        _write_events(spark, src, [(2, 300 * NS_HOUR, 9, "flush", 0.0, "{}")])
+        q.processAllAvailable()
+        _write_events(spark, src, [(3, 301 * NS_HOUR, 9, "flush", 0.0, "{}")])
+        q.processAllAvailable()
+        # ...then deliver a LATE click into the long-closed first window
+        _write_events(spark, src, [(4, 2 * NS_HOUR, 1, "click", 99.0, "{}")])
+        q.processAllAvailable()
+        _write_events(spark, src, [(5, 302 * NS_HOUR, 9, "flush", 0.0, "{}")])
+        q.processAllAvailable()
+        clicks = spark.sql(
+            "SELECT * FROM late_out WHERE event_type = 'click'"
+        ).collect()
+        assert [(r.n, r.total_value) for r in clicks] == [(1, 1.0)], (
+            "late row must be dropped, not re-open the window"
+        )
+    finally:
+        q.stop()
+
+
+def test_sliding_window_streaming(spark, workdir):
+    """Overlapping windows in streaming mode: one event lands in
+    width/slide = 3 windows."""
+    from web3_flight_rpc_server_spark.streaming import sliding_agg
+
+    src = str(workdir / "src")
+    _write_events(spark, src, [(1, 7 * NS_HOUR, 1, "click", 1.0, "{}")])
+    agg = sliding_agg(
+        events_stream(spark, src), width="6 hours", slide="2 hours",
+        watermark="1 hour",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("slide_out")
+        .option("checkpointLocation", str(workdir / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(spark, src, [(2, 300 * NS_HOUR, 9, "flush", 0.0, "{}")])
+        q.processAllAvailable()
+        _write_events(spark, src, [(3, 301 * NS_HOUR, 9, "flush", 0.0, "{}")])
+        q.processAllAvailable()
+        starts = sorted(
+            r.win_start.hour
+            for r in spark.sql(
+                "SELECT * FROM slide_out WHERE event_type = 'click'"
+            ).collect()
+        )
+        assert starts == [2, 4, 6], "event at 07:00 -> windows starting 02/04/06"
+    finally:
+        q.stop()
+
+
 def test_watermarked_dedup_drops_seam_duplicates(spark, workdir):
     src = str(workdir / "src")
     # the A14 seam scenario: block 999/idx 0 delivered twice

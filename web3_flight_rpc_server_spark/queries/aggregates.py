@@ -152,6 +152,18 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_percentile_approx")  # rows-only: sketch values engine-specific
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (C9): single-pass mergeable sketch —
+    the 100 TB variant of q_percentile (whose exact computation needs
+    the full sorted value set per group)."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
+    )
+
+
 @query(
     "q_percentile",
     oracle="""
