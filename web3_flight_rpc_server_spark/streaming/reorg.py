@@ -8,10 +8,13 @@ operator keeping the LATEST version of each log keyed by
 subsequent re-emission (the log re-appearing on the canonical chain)
 reinstates it.
 
-Implemented with applyInPandasWithState — per-key state survives
-across micro-batches and is evicted by event-time timeout tied to the
-watermark, so state stays bounded (only the reorg-mutable tail of the
-chain is resident).
+Implemented with applyInPandasWithState. State boundedness: when the
+input carries an event-time watermark (pass ``watermark_delay``), each
+key arms an event-time timeout at the current watermark + delay; keys
+untouched past that horizon are EVICTED with a final tombstone row
+(is_removed preserved, version=-1 marks the eviction emission) —
+only the reorg-mutable tail of the chain stays resident. Without a
+watermark the operator runs with NoTimeout (bounded corpora / tests).
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ STATE_SCHEMA = (
 )
 
 
-def latest_log_state(logs: DataFrame) -> DataFrame:
+def latest_log_state(logs: DataFrame, watermark_delay: str | None = None,
+                     event_time_col: str = "event_ts") -> DataFrame:
     """Streaming keep-latest per (blockNumber, logIndex) honoring the
     removed flag; each micro-batch emits the keys it touched with
     their current canonical state (update-mode semantics).
@@ -43,8 +47,29 @@ def latest_log_state(logs: DataFrame) -> DataFrame:
     on their import path (a module-level function is pickled by
     reference and breaks any deployment that only extends the driver's
     sys.path)."""
+    use_timeout = watermark_delay is not None
+    if use_timeout:
+        logs = logs.withWatermark(event_time_col, watermark_delay)
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if use_timeout and state.hasTimedOut:
+            # horizon passed with no new versions: evict, emit tombstone
+            addr, data, tx, removed, version = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "blockNumber": key[0],
+                        "logIndex": key[1],
+                        "address": addr,
+                        "data": data,
+                        "transactionHash": tx,
+                        "is_removed": removed,
+                        "version": -1,
+                    }
+                ]
+            )
+            return
         addr, data, tx, removed, version = (
             state.get if state.exists else (None, None, None, False, 0)
         )
@@ -55,6 +80,9 @@ def latest_log_state(logs: DataFrame) -> DataFrame:
                 if not removed:
                     addr, data, tx = row.address, row.data, row.transactionHash
         state.update((addr, data, tx, removed, version))
+        if use_timeout:
+            # evict once the watermark passes this key's last activity
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
         yield pd.DataFrame(
             [
                 {
@@ -76,6 +104,9 @@ def latest_log_state(logs: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if use_timeout else GroupStateTimeout.NoTimeout
+            ),
         )
     )
