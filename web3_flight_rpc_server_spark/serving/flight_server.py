@@ -13,11 +13,13 @@ Parity notes:
 - get_flight_info echoes the descriptor command back as a
   one-endpoint ticket with unknown stats (-1, -1) — exactly
   Producer.java:66-69.
-- only the bounded surface is served over do_get (the reference's
-  hybrid/realtime modes hold the call open indefinitely; the engine
-  serves those through Structured Streaming, streaming/backfill.py —
-  a do_get of an unbounded request fails fast with a clear error
-  instead of silently hanging).
+- hybrid/realtime tickets are served over the SAME do_get call when
+  the server is constructed with a realtime source (stream_dir): the
+  client receives the bounded backfill batches first, then live
+  batches as they arrive — the reference's BACKFILLING->STREAMING
+  hand-off (Subscription.java:34-149) re-expressed as a Flight
+  GeneratorStream fed by a foreachBatch queue. Without a realtime
+  source, unbounded tickets fail fast with a clear error.
 - an extra ticket form {"dataset": "query", "name": <declared query>,
   "sf_dir": ...} exposes the whole SURVEY §2 inventory over Flight —
   beyond-reference capability, same transport.
@@ -33,13 +35,15 @@ endpoint list is where that sharding would surface.
 from __future__ import annotations
 
 import json
+import queue
+import uuid
 
 import pyarrow as pa
 import pyarrow.flight as flight
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..plans.requests import ClientRequest, plan_request
+from ..plans.requests import ClientRequest, RequestMode, plan_request
 from ..sources import tables
 
 
@@ -49,12 +53,20 @@ class EngineFlightServer(flight.FlightServerBase):
     def __init__(self, location: str, spark: SparkSession,
                  logs: DataFrame | None = None,
                  blocks: DataFrame | None = None,
-                 sf_dir: str | None = None):
+                 sf_dir: str | None = None,
+                 stream_dir: str | None = None,
+                 checkpoint_root: str | None = None,
+                 realtime_max_batches: int | None = None,
+                 realtime_poll_timeout_s: float = 30.0):
         super().__init__(location)
         self._spark = spark
         self._logs = logs
         self._blocks = blocks
         self._sf_dir = sf_dir
+        self._stream_dir = stream_dir
+        self._checkpoint_root = checkpoint_root or "/tmp/flight_ckpt"
+        self._realtime_max_batches = realtime_max_batches
+        self._realtime_poll_timeout_s = realtime_poll_timeout_s
 
     # -- Flight surface -------------------------------------------------
     def do_get(self, context, ticket: flight.Ticket):
@@ -69,11 +81,71 @@ class EngineFlightServer(flight.FlightServerBase):
                 df = self._declared_query(obj)
             else:
                 req = ClientRequest.from_json(ticket.ticket)
+                if req.mode in (RequestMode.HYBRID, RequestMode.REALTIME):
+                    return self._serve_unbounded(req)
                 df = plan_request(req, logs=self._logs, blocks=self._blocks)
         except ValueError as e:
             raise flight.FlightServerError(str(e))
         table = df.toArrow()
         return flight.RecordBatchStream(table)
+
+    def _serve_unbounded(self, req: ClientRequest) -> flight.GeneratorStream:
+        """The reference's hybrid hand-off over one do_get: historical
+        batches first, then live micro-batches as they arrive
+        (Subscription.java BACKFILLING->STREAMING). Ordering matches
+        its subscription test: backfill, buffered realtime, live."""
+        if self._logs is None or self._stream_dir is None:
+            raise flight.FlightServerError(
+                "unbounded tickets need a server configured with a "
+                "realtime source (stream_dir) — bounded tickets only"
+            )
+        from ..streaming.backfill import plan_hybrid
+        from ..streaming.sources import logs_stream
+
+        plan = plan_hybrid(
+            req, self._logs, logs_stream(self._spark, self._stream_dir)
+        )
+        schema = self._logs.limit(0).toArrow().schema
+        batches: queue.Queue = queue.Queue()
+
+        def sink(df: DataFrame, epoch: int) -> None:
+            table = df.toArrow()
+            if table.num_rows:
+                batches.put(table)
+
+        def generate():
+            if plan.backfill is not None:
+                for batch in plan.backfill.toArrow().to_batches():
+                    yield batch
+            if plan.tail is None:
+                return
+            ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
+            q = (
+                plan.tail.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            served = 0
+            try:
+                while (
+                    self._realtime_max_batches is None
+                    or served < self._realtime_max_batches
+                ):
+                    try:
+                        table = batches.get(
+                            timeout=self._realtime_poll_timeout_s
+                        )
+                    except queue.Empty:
+                        break  # idle past the poll timeout: end stream
+                    for batch in table.to_batches():
+                        yield batch
+                    served += 1
+            finally:
+                # client cancel or batch budget reached: tear down the
+                # per-subscription query (A16 idempotent close)
+                q.stop()
+
+        return flight.GeneratorStream(schema, generate())
 
     def get_flight_info(self, context, descriptor: flight.FlightDescriptor):
         # Producer.java:66-69: echo command as one endpoint, stats -1/-1
