@@ -81,18 +81,58 @@ def exact_dedup(docs: DataFrame, key_col: str = "text",
     )
 
 
+def _verify_pairs(cands: DataFrame, sets: DataFrame, threshold: float,
+                  id_col: str) -> DataFrame:
+    """Exact Jaccard verification of candidate (d1, d2) pairs against
+    the materialized shingle-set table: two equi-joins on doc id bring
+    in both (distinct) shingle arrays, the intersection is computed
+    in-row with array_intersect — no exploded-shingle shuffle, no
+    count aggregation. The candidate set is small by construction, so
+    AQE turns both joins into broadcasts at runtime; at warehouse scale
+    they degrade gracefully to shuffle joins keyed on doc id."""
+    s1 = sets.select(F.col(id_col).alias("d1"), F.col("shs").alias("shs1"),
+                     F.col("sz").alias("sz1"))
+    s2 = sets.select(F.col(id_col).alias("d2"), F.col("shs").alias("shs2"),
+                     F.col("sz").alias("sz2"))
+    inter = F.size(F.array_intersect("shs1", "shs2"))
+    return (
+        cands.join(s1, "d1").join(s2, "d2")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3) -> DataFrame:
-    """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
-    Output (d1, d2, jaccard) with d1 < d2. Ground truth for the LSH
-    tier; quadratic in co-shingled docs — small/medium scale only."""
+    """Exact pairwise n-gram Jaccard >= threshold via shingle self-join
+    with map-side-partial pair aggregation. Output (d1, d2, jaccard)
+    with d1 < d2. Ground truth for the LSH tier; quadratic in
+    co-shingled docs — small/medium scale only (the LSH tier is the
+    100 TB path).
+
+    Why NOT PPJoin prefix filtering here: measured on this corpus at
+    t=0.3, hash-ordered prefixes keep 70% of shingles and hot shingles
+    make candidate DISTINCT pairs ~726k against 256 real pairs — the
+    per-pair array_intersect verify then dwarfs the count aggregation
+    it replaced (14s vs 4s end-to-end). Prefix filtering only pays at
+    high thresholds (t>=0.7 prunes 70%+ of the join input) or with a
+    rarest-first global order (needs a shingle-frequency pass); the
+    count aggregation keeps one shuffle and partial aggregation
+    regardless of threshold. The length filter (t*max(sz) <= min(sz))
+    IS kept in the join condition — it is free."""
     # persist the ARRAYS, not the exploded rows: Generate(explode)
     # re-evaluates its generator expression once per OUTPUT element,
     # so exploding an unmaterialized shingle expression costs
     # O(shingles x expr) — cache first, explode the cached attribute.
     # (Also shares the shingle pipeline across both join sides; at
     # warehouse scale this is the materialized shingle table.)
+    t = float(threshold)
     sets = shingle_sets(docs, id_col, text_col, n).persist()
     sh = sets.select(id_col, "sz", F.explode("shs").alias("shingle"))
     a = sh.alias("a")
@@ -100,8 +140,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     # set sizes ride through the shingle join -> ONE shuffle for the
     # pair aggregation, no separate sizes joins
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz")),
+        )
         .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .agg(
             F.count("*").alias("inter"),
@@ -197,9 +242,12 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
 
     The shingle sets are computed once and persisted — signatures and
     verification both read them (at warehouse scale this is the
-    materialize-the-shingle-table step of a multi-job pipeline)."""
+    materialize-the-shingle-table step of a multi-job pipeline).
+    Verification joins the (tiny) candidate pairs back to the shingle
+    ARRAYS and intersects in-row (_verify_pairs) rather than
+    re-shuffling the exploded shingle table."""
     sets = shingle_sets(docs, id_col, text_col, n).persist()
-    sh = sets.select(id_col, "sz", F.explode("shs").alias("shingle"))
+    sh = sets.select(id_col, F.explode("shs").alias("shingle"))
 
     hashes = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -211,25 +259,7 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
         ).alias("sig")
     )
     cands = lsh_candidate_pairs(sigs, bands, id_col)
-
-    a = sh.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"), "shingle")
-    b = sh.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"), "shingle")
-    inter = (
-        cands.join(a, "d1").join(b, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(
-            F.count("*").alias("inter"),
-            F.first("sz1").alias("sz1"),
-            F.first("sz2").alias("sz2"),
-        )
-    )
-    return (
-        inter.withColumn(
-            "jaccard", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
-    )
+    return _verify_pairs(cands, sets, threshold, id_col)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
