@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     dedup,
     grouping,
     joins,
+    sampling,
     scans,
     scalar,
     strings,

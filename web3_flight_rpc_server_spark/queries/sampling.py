@@ -1,0 +1,153 @@
+"""Sampling / dataset-splitting queries over documents (north-star
+C10-C13 companion ops a training-data pipeline needs).
+
+All three use a DETERMINISTIC hash bucket instead of RNG sampling so
+the DuckDB oracle can replay them exactly: both engines lowercase-hex
+md5 the stringified doc_id and map the last hex digit to 0..15 via
+instr('0123456789abcdef', ...). This is also the production-correct
+shape at 100 TB — hash-of-key splits are reproducible across runs,
+stable under repartitioning, and need no shuffle or state (contrast
+``df.sample``/``sampleBy``, whose per-partition RNG draws are neither
+portable across engines nor stable across partition counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import round4
+from ..registry import query
+from ..sources import tables
+
+# 0..15 from the last hex digit of md5(doc_id) — portable across
+# Spark/DuckDB (both emit lowercase hex; instr is 1-based in both).
+_BUCKET_SQL = (
+    "instr('0123456789abcdef', substr(md5(cast(doc_id AS VARCHAR)), 32, 1)) - 1"
+)
+_BUCKET_SPARK = (
+    "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 32, 1)) - 1"
+)
+
+# Per-language keep thresholds (buckets < rate survive): downsample the
+# dominant language hard, keep the tail intact — the usual rebalancing
+# move before training.
+_RATES = {"en": 4, "de": 8, "fr": 8, "es": 8, "zh": 16}
+_DEFAULT_RATE = 16
+
+
+@query(
+    "q_train_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT *, {_BUCKET_SQL} AS bucket FROM documents
+    )
+    SELECT CASE WHEN bucket < 12 THEN 'train'
+                WHEN bucket < 14 THEN 'val'
+                ELSE 'test' END                        AS split,
+           CAST(count(*) AS BIGINT)                    AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)                AS total_chars,
+           floor(avg(n_chars) * 10000 + 0.5) / 10000   AS avg_chars
+    FROM b
+    GROUP BY 1
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 12/2/2 train/val/test split by content-key hash,
+    with per-split volume stats. One scan, one partial-aggregated
+    shuffle; the split column is a pure codegen expression."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            round4(F.avg("n_chars")).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, {_BUCKET_SQL} AS bucket FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                          AS n_total,
+           CAST(count(*) FILTER (bucket <
+               CASE lang WHEN 'en' THEN {_RATES["en"]}
+                         WHEN 'de' THEN {_RATES["de"]}
+                         WHEN 'fr' THEN {_RATES["fr"]}
+                         WHEN 'es' THEN {_RATES["es"]}
+                         WHEN 'zh' THEN {_RATES["zh"]}
+                         ELSE {_DEFAULT_RATE} END) AS BIGINT) AS n_kept,
+           floor((CAST(count(*) FILTER (bucket <
+               CASE lang WHEN 'en' THEN {_RATES["en"]}
+                         WHEN 'de' THEN {_RATES["de"]}
+                         WHEN 'fr' THEN {_RATES["fr"]}
+                         WHEN 'es' THEN {_RATES["es"]}
+                         WHEN 'zh' THEN {_RATES["zh"]}
+                         ELSE {_DEFAULT_RATE} END) AS DOUBLE)
+                  / count(*)) * 10000 + 0.5) / 10000          AS kept_frac
+    FROM b
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-language keep rates (the
+    deterministic twin of ``df.sampleBy``): dominant-language docs keep
+    4/16 hash buckets, mid languages 8/16, tail languages all. Output
+    audits the realized per-stratum fractions."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_BUCKET_SPARK)
+    rate = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in _RATES.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(_DEFAULT_RATE),
+    )
+    kept = F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0))
+    return (
+        docs.select("lang", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            kept.cast("long").alias("n_kept"),
+            round4(kept.cast("double") / F.count("*")).alias("kept_frac"),
+        )
+    )
+
+
+@query(
+    "q_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100) AS BIGINT) * 100 AS bucket_lo,
+           CAST(count(*) AS BIGINT)                   AS n_docs,
+           CAST(min(n_chars) AS BIGINT)               AS min_chars,
+           CAST(max(n_chars) AS BIGINT)               AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) — the standard
+    first look at a corpus before setting length filters. Fixed-width
+    bucketing is a scalar expression, so the plan is scan -> partial
+    agg -> single exchange regardless of corpus size."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    bucket_lo = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        docs.select(bucket_lo.alias("bucket_lo"), "n_chars")
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
