@@ -144,3 +144,103 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["value"],
     )
     return joined.select("event_id", "user_id", "ts", "ts_right", "value_right")
+
+
+@query(
+    "q_multi_join",
+    oracle="""
+    SELECT n.n_name,
+           floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5)
+               / 10000 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders   o ON l.l_orderkey  = o.o_orderkey
+    JOIN customer c ON o.o_custkey   = c.c_custkey
+    JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: local-supplier revenue per
+    nation of one region over a date window. The snowflake
+    (region->nation->supplier) collapses into broadcasts so the
+    lineitem fact never shuffles for them; orders/customer are
+    broadcast at test scale and become sort-merge (or bucketed
+    co-located, sources/bucketed.py) joins at 100 TB. Catalyst pushes
+    the region filter through the chain and prunes every scan to the
+    joined/aggregated columns."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    orders = tables.load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = tables.load_table(spark, sf_dir, "customer")
+    supp = tables.load_table(spark, sf_dir, "supplier")
+    nation = tables.load_table(spark, sf_dir, "nation")
+    region = tables.load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    # snowflake dims fold into one broadcast relation
+    supp_geo = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_geo), li.l_suppkey == supp_geo.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (F.col("s_nationkey") == cust.c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        round4(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q_promo_share",
+    oracle="""
+    SELECT p.p_brand,
+           floor(sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END) * 10000 + 0.5) / 10000 AS promo_revenue,
+           floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000 + 0.5)
+               / 10000 AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue breakdown per brand: conditional
+    aggregation over a broadcast fact->part join (part is a classic
+    broadcastable dim even at 100 TB: ~200M rows x narrow projection
+    still beats shuffling the fact table when memory allows; otherwise
+    it degrades to one sort-merge shuffle on l_partkey)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    part = tables.load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            round4(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            ).alias("promo_revenue"),
+            round4(F.sum(rev)).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
