@@ -1,0 +1,101 @@
+"""Physical-plan regression tests: the scale properties BASELINE.md
+claims (pushdown, column pruning, broadcast joins, single-exchange
+aggregations) are asserted here so a refactor that silently loses one
+fails CI rather than only showing up as a 100 TB regression.
+
+These inspect the OPTIMIZED physical plan string (pre-execution, AQE
+not yet applied), so assertions are deterministic and data-independent.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from web3_flight_rpc_server_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_nodes(plan: str, node: str) -> int:
+    # formatted explain prints each node twice (tree + details); count
+    # the unique "(N) NodeName" detail headers.
+    return len(re.findall(rf"^\(\d+\) {node}$", plan, re.M))
+
+
+def test_range_scan_pushes_filters(spark, sf_dir):
+    plan = plan_of(spark, "q_range_scan", sf_dir)
+    assert "PushedFilters" in plan
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThanOrEqual" in m.group(1) and "LessThanOrEqual" in m.group(1)
+
+
+def test_group_agg_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, "q_group_agg", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    ncols = len(m.group(1).split(","))
+    assert ncols <= 7, f"lineitem scan reads {ncols} columns: {m.group(1)}"
+
+
+def test_group_agg_partial_before_exchange(spark, sf_dir):
+    plan = plan_of(spark, "q_group_agg", sf_dir)
+    # partial HashAggregate must appear below the exchange: two
+    # HashAggregate nodes and exactly one shuffle for the aggregation
+    assert count_nodes(plan, "HashAggregate") >= 2
+    assert count_nodes(plan, "Exchange") <= 1
+
+
+def test_join_left_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "q_join_left", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_join_all_broadcast_no_fact_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "q_multi_join", sf_dir)
+    assert count_nodes(plan, "BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan
+    # only shuffle = the final aggregation exchange
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_multi_join_pushes_date_filter(spark, sf_dir):
+    plan = plan_of(spark, "q_multi_join", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, "no lineitem scan found"
+    assert len(m.group(1).split(",")) <= 4, m.group(1)
+
+
+def test_filter_in_list_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, "q_filter_in_list", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*In\(", plan), plan
+
+
+def test_topk_per_group_single_window_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "q_window_topk_per_group", sf_dir)
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+@pytest.mark.parametrize("name", ["q_dedup", "q_sum_bool", "q_train_split"])
+def test_single_agg_exchange(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert count_nodes(plan, "Exchange") <= 1, name
+
+
+def test_value_counts_agg_plus_sort_only(spark, sf_dir):
+    # global ordering costs one range exchange on top of the agg
+    # exchange; anything more is a regression
+    plan = plan_of(spark, "q_value_counts", sf_dir)
+    assert count_nodes(plan, "Exchange") == 2, plan
+    assert count_nodes(plan, "HashAggregate") == 2, plan
