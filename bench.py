@@ -30,6 +30,7 @@ HEADLINE = [
     "q_group_agg",             # TPC-H-Q1-shaped multi-agg
     "q_distinct_count",        # exact distinct
     "q_join_left",             # broadcast fact->dim join
+    "q_multi_join",            # TPC-H Q5 snowflake, all-broadcast
     "q_join_asof",             # as-of join (union + window)
     "q_window_topk_per_group", # ranking window
     "q_sessionize",            # gap sessionization
@@ -42,6 +43,7 @@ HEADLINE = [
     "q_cosine_topk",           # brute-force cosine top-k
     "q_ivf_topk",              # IVF-pruned approximate top-k
     "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint
+    "q_train_split",           # deterministic hash-bucket split
     "q_scalar_subquery",       # subquery planning
 ]
 
