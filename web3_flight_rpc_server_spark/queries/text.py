@@ -191,3 +191,107 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
         ).alias("fingerprint"),
     )
+
+
+_BLOCKLIST = ("slow", "big")
+
+_CONTAM_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    b AS (
+        SELECT doc_id,
+               instr('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS bucket
+        FROM documents
+    ),
+    bench  AS (SELECT DISTINCT shingle FROM sh JOIN b USING (doc_id)
+               WHERE bucket = 15),
+    corpus AS (SELECT sh.doc_id, shingle FROM sh JOIN b USING (doc_id)
+               WHERE bucket <> 15),
+    sz  AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
+    hit AS (SELECT doc_id, count(*) AS c
+            FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+    SELECT hit.doc_id,
+           CAST(n AS BIGINT)                          AS n_shingles,
+           CAST(c AS BIGINT)                          AS n_contam,
+           floor((c * 1.0 / n) * 10000 + 0.5) / 10000 AS contam_frac
+    FROM hit JOIN sz USING (doc_id)
+    WHERE c * 1.0 / n >= 0.5
+"""
+
+
+@query("q_contamination", oracle=_CONTAM_ORACLE)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose 3-gram
+    shingle sets overlap a held-out 'benchmark' split (hash bucket 15,
+    same deterministic md5 bucketing as queries/sampling.py) by >= 50%.
+    This is the standard pre-training hygiene pass (C4/Dolma-style):
+    the benchmark shingle blocklist is DISTINCT and tiny relative to
+    the corpus, so it broadcasts — per-doc cost is one broadcast-hash
+    probe per shingle plus a single partial-aggregated shuffle, linear
+    in corpus size at 100 TB."""
+    from ..operators.dedup import shingle_sets
+    from .sampling import _BUCKET_SPARK
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    bench_sh = (
+        sets.where(F.col("bucket") == 15)
+        .select(F.explode("shs").alias("shingle"))
+        .distinct()
+    )
+    corpus = sets.where(F.col("bucket") != 15).select(
+        "doc_id", "sz", F.explode("shs").alias("shingle")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.first("sz").alias("n_shingles"), F.count("*").alias("n_contam"))
+    )
+    frac = F.col("n_contam") / F.col("n_shingles")
+    return (
+        hits.where(frac >= 0.5)
+        .select("doc_id", "n_shingles", "n_contam", round4(frac).alias("contam_frac"))
+    )
+
+
+@query(
+    "q_blocklist_filter",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (NOT list_has_any(
+               string_split(lower(text), ' '),
+               {list(_BLOCKLIST)!r})) AS BIGINT) AS n_clean,
+           floor((CAST(count(*) FILTER (NOT list_has_any(
+               string_split(lower(text), ' '),
+               {list(_BLOCKLIST)!r})) AS DOUBLE) / count(*))
+               * 10000 + 0.5) / 10000 AS clean_frac
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist quality gate (the C4 'bad word list' pass):
+    per-language counts of documents whose token sets avoid the
+    blocklist. arrays_overlap is a codegen'd set probe; the whole
+    query is one scan and one tiny aggregation exchange."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    flagged = F.arrays_overlap(
+        tokens("text"), F.array(*[F.lit(w) for w in _BLOCKLIST])
+    )
+    clean = F.sum(F.when(~flagged, 1).otherwise(0))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            clean.cast("long").alias("n_clean"),
+            round4(clean.cast("double") / F.count("*")).alias("clean_frac"),
+        )
+    )
