@@ -171,3 +171,43 @@ def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
         ).alias("fingerprint"),
     )
+
+
+@query(
+    "q_time_rollup",
+    oracle="""
+    SELECT CASE WHEN grouping(date_trunc('hour', ts)) = 0 THEN 'hour'
+                WHEN grouping(date_trunc('day', ts))  = 0 THEN 'day'
+                ELSE 'all' END                       AS level,
+           date_trunc('day', ts)                     AS day_ts,
+           date_trunc('hour', ts)                    AS hour_ts,
+           CAST(count(*) AS BIGINT)                  AS n,
+           floor(sum(value) * 10000 + 0.5) / 10000   AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)), ())
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: hourly, daily,
+    and grand-total aggregates of the event stream in ONE scan and one
+    expand+shuffle (GROUPING SETS), instead of three passes. This is
+    the batch twin of a continuous-aggregate hierarchy: at 100 TB the
+    hourly level is the materialized base and the daily/total levels
+    re-aggregate from it; expressing all levels in one statement keeps
+    them consistent by construction."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(date_trunc('hour', ts)) = 0 THEN 'hour'
+                    WHEN grouping(date_trunc('day', ts))  = 0 THEN 'day'
+                    ELSE 'all' END                       AS level,
+               date_trunc('day', ts)                     AS day_ts,
+               date_trunc('hour', ts)                    AS hour_ts,
+               count(*)                                  AS n,
+               floor(sum(value) * 10000 + 0.5) / 10000   AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                                (date_trunc('day', ts)), ())
+        """
+    )
