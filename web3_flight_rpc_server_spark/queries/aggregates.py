@@ -182,3 +182,39 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.expr("percentile(value, 0.5)")).alias("p50"),
         round4(F.expr("percentile(value, 0.9)")).alias("p90"),
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                 AS n_rows,
+           floor(sum(value) * 10000 + 0.5) / 10000  AS sum_value,
+           min(value)                               AS min_value,
+           max(value)                               AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation (operators/skew.py): two-phase salted
+    count/sum/min/max by event_type — a 5-value key where EVERY group
+    is hot at 100 TB. Phase 1 aggregates (key, salt=hash%32) so a hot
+    key spreads over 32 reduce tasks; phase 2 merges the 32 tiny
+    partials per key. Output is provably identical to the plain
+    groupBy (the DuckDB oracle IS the plain groupBy)."""
+    from ..operators.skew import salted_agg
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    agg = salted_agg(
+        ev.select("event_type", "value"),
+        key_cols=["event_type"],
+        sums=["value"], mins=["value"], maxs=["value"],
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        round4(F.col("sum_value")).alias("sum_value"),
+        F.col("min_value").alias("min_value"),
+        F.col("max_value").alias("max_value"),
+    )
