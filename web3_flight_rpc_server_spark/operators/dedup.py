@@ -34,6 +34,30 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
 
+# Cache lifecycle: the fuzzy tiers persist() intermediate shingle/token
+# tables that the returned (lazy) plan consumes later, so they cannot
+# unpersist internally. Each handle is tracked here; long-lived hosts
+# (the Flight server, notebook sessions) call release_caches() after
+# the consuming action. Short-lived driver runs leak nothing — the
+# session teardown drops the blocks.
+_CACHES: list[DataFrame] = []
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every cached intermediate created by this module since
+    the last release; returns the number of handles released."""
+    n = 0
+    while _CACHES:
+        _CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3) -> DataFrame:
@@ -133,7 +157,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     # (Also shares the shingle pipeline across both join sides; at
     # warehouse scale this is the materialized shingle table.)
     t = float(threshold)
-    sets = shingle_sets(docs, id_col, text_col, n).persist()
+    sets = _persisted(shingle_sets(docs, id_col, text_col, n))
     sh = sets.select(id_col, "sz", F.explode("shs").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -246,7 +270,7 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     Verification joins the (tiny) candidate pairs back to the shingle
     ARRAYS and intersects in-row (_verify_pairs) rather than
     re-shuffling the exploded shingle table."""
-    sets = shingle_sets(docs, id_col, text_col, n).persist()
+    sets = _persisted(shingle_sets(docs, id_col, text_col, n))
     sh = sets.select(id_col, F.explode("shs").alias("shingle"))
 
     hashes = F.transform(
@@ -273,9 +297,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     conditional-sum aggregates in a single groupBy (one shuffle with
     map-side partials) — not a 64x posexplode row blowup, and the
     token hash is an attribute so nothing re-evaluates per bit."""
-    toked = docs.select(id_col, tokens(text_col).alias("__toks")).repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).persist()
+    toked = _persisted(
+        docs.select(id_col, tokens(text_col).alias("__toks")).repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
+    )
     hashed = toked.select(
         id_col, F.explode("__toks").alias("tok")
     ).select(id_col, F.xxhash64("tok").alias("h"))

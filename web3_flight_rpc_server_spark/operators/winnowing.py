@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _persisted
+
 
 def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
                         id_col: str = "doc_id",
@@ -71,7 +73,7 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
     # re-evaluates its generator expression per output element, so an
     # unmaterialized winnow expression would be recomputed ~|fps|
     # times per doc (measured 50x slowdown).
-    arrays = winnow_fingerprints(docs, k, w, id_col, text_col).persist()
+    arrays = _persisted(winnow_fingerprints(docs, k, w, id_col, text_col))
     fp = arrays.select(id_col, F.explode("fingerprints").alias("fp"))
     rare = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
         F.col("df") <= max_df

@@ -106,12 +106,18 @@ def logs_row_filter(request: ClientRequest) -> F.Column:
     - topics: only element 1 (topics[0] in Java) is tested; empty (or
       null) topics array passes the filter regardless
     - addresses: case-insensitive membership
+
+    The filters activate whenever the request list is NON-NULL (the
+    Java DTO default), so an explicitly empty list is NOT a wildcard:
+    addresses=[] rejects every row (contains() on an empty list), and
+    topics=[] rejects every row with a non-empty topics array while
+    still passing empty-topics rows (the quirk short-circuits first).
     """
     pred = F.lit(True)
-    if request.contract_addresses:
+    if request.contract_addresses is not None:
         lowered = [a.lower() for a in request.contract_addresses]
         pred = pred & F.lower(F.col("address")).isin(lowered)
-    if request.topics:
+    if request.topics is not None:
         topic0 = F.try_element_at("topics", F.lit(1))
         empty = F.coalesce(F.size("topics") == 0, F.lit(True))
         pred = pred & (empty | topic0.isin(request.topics))

@@ -98,14 +98,17 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY user_id
-    HAVING count(*) > 100
+    HAVING count(*) > 66
     """,
 )
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (HAVING)."""
+    """Post-aggregation filter (HAVING). Threshold 66 ~ the median
+    per-user event count at every generated SF (45..99), so the filter
+    is selective AND non-empty — a 0-row result would make the oracle
+    hash-match vacuous (VERDICT r1, What's wrong #2)."""
     ev = tables.load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy("user_id").agg(F.count("*").alias("n")).where(F.col("n") > 100)
+        ev.groupBy("user_id").agg(F.count("*").alias("n")).where(F.col("n") > 66)
     )
 
 
@@ -116,12 +119,15 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((o_totalprice / (SELECT avg(o_totalprice) FROM orders))
                  * 10000 + 0.5) / 10000 AS price_ratio
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subqueries in projection and predicate —
-    Catalyst executes the subquery once and broadcasts the scalar."""
+    Catalyst executes the subquery once and broadcasts the scalar.
+    1.5x avg keeps the predicate selective but non-empty at every SF
+    (2x exceeded max(o_totalprice) -> vacuous 0-row oracle pass,
+    VERDICT r1)."""
     tables.register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -129,6 +135,6 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                floor((o_totalprice / (SELECT avg(o_totalprice) FROM orders))
                      * 10000 + 0.5) / 10000 AS price_ratio
         FROM orders
-        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
         """
     )

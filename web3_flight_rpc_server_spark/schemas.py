@@ -90,8 +90,11 @@ def hex_to_long(c: Column | str) -> Column:
 
 
 def hex_to_int(c: Column | str) -> Column:
-    """Null-safe hex decode to int32 (Converter.java:330-336)."""
-    return hex_to_long(c).cast("int")
+    """Null-safe hex decode to int32 (Converter.java:330-336).
+    try_cast keeps the malformed->null contract under Spark 4's
+    default ANSI mode: a plain cast of an out-of-int32-range quantity
+    would throw at runtime and fail the whole scan."""
+    return hex_to_long(c).try_cast("int")
 
 
 def timestamp_seconds_col(c: Column | str = "timestamp") -> Column:

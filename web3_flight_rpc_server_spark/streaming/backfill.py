@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 from ..plans.requests import ClientRequest, RequestMode, logs_row_filter
 
 
+def _latest_block(batch_logs: DataFrame, block_col: str) -> int:
+    """Scalar max-block aggregate playing eth_blockNumber's role
+    (LogsService.java:489-500). Cheap: parquet footer min/max stats
+    answer it without a full scan."""
+    row = batch_logs.agg(F.max(block_col).alias("m")).collect()[0]
+    return row.m if row.m is not None else -1
+
+
 @dataclass
 class HybridPlan:
     """The two legs of a hybrid request (either may be None)."""
@@ -58,16 +66,22 @@ def plan_hybrid(request: ClientRequest, batch_logs: DataFrame,
         return HybridPlan(backfill=bounded, tail=None, high_water=request.end_block)
 
     if request.mode is RequestMode.REALTIME:
-        # from LATEST only (ClientRequest.java:30-32) — no backfill leg
-        return HybridPlan(
-            backfill=None, tail=stream_logs.where(row_filter), high_water=None
+        # from LATEST only (ClientRequest.java:30-32) — no backfill
+        # leg, and the tail is cut at the subscription-time high-water
+        # mark: a fresh file/stream-source query replays pre-existing
+        # input, which would violate the reference's from-latest-only
+        # semantics. Same scalar aggregate that resolves HYBRID's
+        # latest (eth_blockNumber's role).
+        if latest_block is None:
+            latest_block = _latest_block(batch_logs, block_col)
+        tail = stream_logs.where(
+            (F.col(block_col) > latest_block) & row_filter
         )
+        return HybridPlan(backfill=None, tail=tail, high_water=latest_block)
 
     # HYBRID: backfill [start, latest] then stream rows beyond latest.
     if latest_block is None:
-        latest_block = (
-            batch_logs.agg(F.max(block_col).alias("m")).collect()[0].m or -1
-        )
+        latest_block = _latest_block(batch_logs, block_col)
     backfill = batch_logs.where(
         (F.col(block_col) >= request.start_block)
         & (F.col(block_col) <= latest_block)

@@ -26,6 +26,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+_INTERVAL_MS = {
+    "millisecond": 1, "second": 1_000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000,
+}
+
+
+def _delay_to_ms(delay: str) -> int:
+    """Parse a Spark-style interval string ('10 seconds', '1 minute')
+    into milliseconds for setTimeoutTimestamp."""
+    value, unit = delay.strip().split()
+    return int(float(value) * _INTERVAL_MS[unit.lower().rstrip("s")])
+
 OUTPUT_SCHEMA = (
     "blockNumber bigint, logIndex int, address string, data string, "
     "transactionHash string, is_removed boolean, version int"
@@ -50,6 +62,7 @@ def latest_log_state(logs: DataFrame, watermark_delay: str | None = None,
     use_timeout = watermark_delay is not None
     if use_timeout:
         logs = logs.withWatermark(event_time_col, watermark_delay)
+        eviction_ms = _delay_to_ms(watermark_delay)
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if use_timeout and state.hasTimedOut:
@@ -81,8 +94,11 @@ def latest_log_state(logs: DataFrame, watermark_delay: str | None = None,
                     addr, data, tx = row.address, row.data, row.transactionHash
         state.update((addr, data, tx, removed, version))
         if use_timeout:
-            # evict once the watermark passes this key's last activity
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+            # evict at watermark + the caller's configured lateness
+            # bound (not a fixed horizon) — the documented contract
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + eviction_ms
+            )
         yield pd.DataFrame(
             [
                 {
