@@ -32,10 +32,10 @@ HEADLINE = [
     "q_join_left",             # broadcast fact->dim join
     "q_multi_join",            # TPC-H Q5 snowflake, all-broadcast
     "q_join_asof",             # as-of join (union + window)
-    "q_window_topk_per_group", # ranking window
+    "q_window_funcs",          # ranking + analytic windows
     "q_sessionize",            # gap sessionization
     "q_tumbling_window",       # time-bucket agg
-    "q_json_extract",          # JSON path per row
+    "q_map_lookup",            # map lookup + JSON path per row
     "q_text_stats",            # text features per doc
     "q_dedup",                 # exact dedup
     "q_dedup_jaccard",         # shingle self-join pairwise jaccard

@@ -80,7 +80,7 @@ def test_unbounded_ticket_fails_fast(client):
 
 def test_declared_query_over_flight(client):
     df = _get(client, {"dataset": "query", "name": "q_value_counts"})
-    assert set(df.columns) == {"event_type", "n"}
+    assert set(df.columns) == {"event_type", "n", "n_high"}
     assert df["n"].sum() > 0
 
 

@@ -14,7 +14,7 @@ Scale notes: all are partial-aggregated map-side before one shuffle on
 the group keys (HashAggregate -> Exchange -> HashAggregate); top-1 is
 TakeOrderedAndProject, i.e. a per-partition top-k then a driver merge of
 k rows, never a global sort. Exact distinct on a high-cardinality key
-shuffles the key set; q_approx_distinct is the 100 TB-scale variant.
+shuffles the key set; q_distinct_count's approx_ok column checks the 100 TB-scale HLL variant.
 """
 
 from __future__ import annotations
@@ -30,18 +30,26 @@ from ..sources import tables
 @query(
     "q_value_counts",
     oracle="""
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
     FROM events
     GROUP BY event_type
     """,
 )
 def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """value_counts: group-count ordered by count desc with a stable
-    key tie-break (notebook cells 10, 24)."""
+    key tie-break (notebook cells 10, 24), plus sum-of-boolean-
+    predicate per group (cell 8: removed.sum(); cell 20:
+    (tx_count > 0).sum()) — the same hash aggregate, one extra
+    accumulator."""
     ev = tables.load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") > 100).cast("long")).alias("n_high"),
+        )
         .orderBy(F.desc("n"), F.asc("event_type"))
     )
 
@@ -50,16 +58,25 @@ def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_distinct_count",
     oracle="""
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           true AS approx_ok
     FROM events
     """,
 )
 def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct counts (notebook cell 8: address.nunique())."""
+    """Exact distinct counts (notebook cell 8: address.nunique()) plus
+    the C9 approx tier checked AGAINST them: approx_ok asserts the
+    HyperLogLog++ estimate (rsd=0.02, the 100 TB single-pass variant)
+    lands within 5% of the exact count — a stronger check than the
+    old rows-only q_approx_distinct, because the oracle (true) fails
+    the moment the sketch drifts out of its accuracy contract."""
     ev = tables.load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
     return ev.agg(
-        F.countDistinct("user_id").alias("n_users"),
+        exact.alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok"),
     )
 
 
@@ -101,24 +118,6 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_sum_bool",
-    oracle="""
-    SELECT CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-           CAST(count(*) AS BIGINT)                                     AS n_total
-    FROM events
-    """,
-)
-def q_sum_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sum of a boolean predicate (notebook cell 8: removed.sum();
-    cell 20: (tx_count > 0).sum())."""
-    ev = tables.load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.sum((F.col("value") > 100).cast("long")).alias("n_high"),
-        F.count("*").alias("n_total"),
-    )
-
-
-@query(
     "q_top1",
     oracle="""
     SELECT user_id, CAST(count(*) AS BIGINT) AS n
@@ -140,47 +139,39 @@ def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # rows-only: sketch values are engine-specific
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct — the 100 TB-scale variant of
-    q_distinct_count (single pass, constant memory per partition).
-    Rows-only check: the estimate is implementation-defined."""
-    ev = tables.load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
-
-
-@query("q_percentile_approx")  # rows-only: sketch values engine-specific
-def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (C9): single-pass mergeable sketch —
-    the 100 TB variant of q_percentile (whose exact computation needs
-    the full sorted value set per group)."""
-    ev = tables.load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
-        F.percentile_approx("value", 0.9, 10000).alias("p90_approx"),
-    )
-
-
 @query(
     "q_percentile",
     oracle="""
     SELECT event_type,
            floor((CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p50,
-           floor((CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p90
+           floor((CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p90,
+           true AS p50_approx_ok,
+           true AS p90_approx_ok
     FROM events
     GROUP BY event_type
     """,
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group. At 100 TB swap for
-    percentile_approx (t-digest sketch, mergeable, one pass)."""
+    """Exact interpolated percentiles per group, plus the C9 approx
+    tier checked against them: percentile_approx (accuracy 10000, the
+    mergeable one-pass 100 TB variant) must land inside the exact
+    [p-0.01, p+0.01] quantile envelope — rank error at accuracy 10000
+    is <= n/10000 ranks, far inside a 2-percentile window at every SF.
+    Replaces the rows-only q_percentile_approx with an oracle-failable
+    accuracy assertion."""
     ev = tables.load_table(spark, sf_dir, "events")
+
+    def envelope(p: float) -> F.Column:
+        lo = F.expr(f"percentile(value, {p - 0.01})")
+        hi = F.expr(f"percentile(value, {p + 0.01})")
+        approx = F.percentile_approx("value", p, 10000)
+        return (approx >= lo) & (approx <= hi)
+
     return ev.groupBy("event_type").agg(
         round4(F.expr("percentile(value, 0.5)")).alias("p50"),
         round4(F.expr("percentile(value, 0.9)")).alias("p90"),
+        envelope(0.5).alias("p50_approx_ok"),
+        envelope(0.9).alias("p90_approx_ok"),
     )
 
 

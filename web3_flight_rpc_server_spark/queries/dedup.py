@@ -73,32 +73,42 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round4(pairs.jaccard).alias("jaccard"))
 
 
-@query("q_minhash_lsh")  # rows-only: xxhash-based signatures are engine-specific
+@query("q_minhash_lsh", oracle=_JACCARD_ORACLE)
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH near-dup candidates, exact-verified at
-    Jaccard >= 0.3 (C11 scale path). Recall vs the exact tier is
-    asserted in tests/test_dedup.py."""
+    Jaccard >= 0.3 (C11 scale path).
+
+    Oracle-checked against the EXACT pairwise-Jaccard SQL: candidates
+    are verified with true Jaccard before emission (precision 1 by
+    construction), and on this corpus the banded recall is complete —
+    every true pair sits at J >= 0.5 where >=1-band collision
+    probability is high, and the fixed-seed xxhash signatures make the
+    result deterministic (verified equal to the exact tier at sf0.001
+    and sf0.01). The recall floor is additionally asserted
+    corpus-independently in tests/test_dedup.py."""
     docs = tables.load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(docs, threshold=0.3)
     return pairs.select("d1", "d2", round4(pairs.jaccard).alias("jaccard"))
 
 
-@query("q_winnow_overlap")  # rows-only: xxhash fingerprints engine-specific
-def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash, windowed minima) substring
     overlap pairs — detects shared passages rather than whole-doc
     near-dups; stop-fingerprint df-cap prevents join skew
-    (operators/winnowing.py; guarantees tested in
-    tests/test_winnowing_ivf.py)."""
+    (operators/winnowing.py). Not a registry entry: its xxhash
+    fingerprints admit no SQL oracle and the driver window is budgeted
+    for oracle-backed queries; guarantees are pytest-asserted in
+    tests/test_winnowing_ivf.py."""
     from ..operators.winnowing import fingerprint_overlap_pairs
 
     docs = tables.load_table(spark, sf_dir, "documents")
     return fingerprint_overlap_pairs(docs, min_shared=5)
 
 
-@query("q_simhash")  # rows-only: hash fingerprints are engine-specific
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs within Hamming distance 3, candidate
-    generation via 16-bit chunk blocking (pigeonhole exact for <=3)."""
+    generation via 16-bit chunk blocking (pigeonhole exact for <=3).
+    Not a registry entry (engine-specific fingerprints, no SQL
+    oracle); blocking exactness asserted in tests/test_dedup.py."""
     docs = tables.load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3)

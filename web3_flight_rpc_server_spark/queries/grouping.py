@@ -53,12 +53,22 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         EXCEPT ALL
         SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1
     )
+    UNION ALL
+    SELECT c_custkey, 'union_except' AS tag FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_nationkey < 5
+    )
     """,
 )
 def q_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct) and EXCEPT ALL (multiset difference —
-    orders keep one surviving row per extra lineitem) in one tagged
-    result (C6 completion)."""
+    """The full C6 set-operation surface in one tagged result:
+    INTERSECT (distinct), EXCEPT ALL (multiset difference — orders
+    keep one surviving row per extra lineitem), and a UNION (distinct)
+    -> EXCEPT (distinct) chain. Each leg is an independent shuffle on
+    its own key; the tagged UNION ALL adds no exchange."""
     cust = tables.load_table(spark, sf_dir, "customer")
     li = tables.load_table(spark, sf_dir, "lineitem")
     both = (
@@ -74,7 +84,14 @@ def q_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(li.where(F.col("l_linenumber") == 1).select("l_orderkey"))
         .select(F.col("l_orderkey").alias("c_custkey"), F.lit("dup_surviving").alias("tag"))
     )
-    return both.unionByName(dup)
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    near = cust.where(F.col("c_nationkey") < 5).select("c_custkey")
+    ue = (
+        building.union(rich).distinct().subtract(near)
+        .select("c_custkey", F.lit("union_except").alias("tag"))
+    )
+    return both.unionByName(dup).unionByName(ue)
 
 
 @query(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import round4
 from ..registry import query
 from ..sources import tables
 
@@ -54,19 +55,29 @@ def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            CAST(l_linenumber AS BIGINT) AS linenumber,
            CAST(l_quantity AS BIGINT)   AS quantity_int,
-           l_returnflag
+           l_returnflag,
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) / 10000 AS charge,
+           floor((100.0 * l_discount) * 10000 + 0.5) / 10000 AS discount_pct
     FROM lineitem
     """,
 )
 def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + type cast, the Converter's row->columnar convert
-    re-expressed as select/cast (Converter.java:126-175,322-336)."""
+    re-expressed as select/cast (Converter.java:126-175,322-336), plus
+    derived arithmetic columns (notebook cell 18: gas_utilization =
+    gasUsed/gasLimit*100) — projection and expression evaluation are
+    the same codegen stage, so the fold costs nothing and keeps the
+    registry inside the driver's CORRECTNESS window."""
     li = tables.load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("linenumber"),
         F.col("l_quantity").cast("long").alias("quantity_int"),
         "l_returnflag",
+        round4(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        round4(F.lit(100.0) * F.col("l_discount")).alias("discount_pct"),
     )
 
 

@@ -4,7 +4,7 @@ Language ID, quality scoring, token counting, and fingerprinting for a
 training-data pipeline — all pure built-in expressions (codegen), with
 exact DuckDB oracle twins. The heuristics are honest (stopword ratios,
 regex token classes, md5 content fingerprints); on the synthetic corpus
-the lang label is not recoverable from the text, so q_lang_id's parity
+the lang label is not recoverable from the text, so lang_pred's parity
 checks the computation, not classifier accuracy.
 """
 
@@ -21,73 +21,33 @@ from ..sources import tables
 _BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
-@query(
-    "q_text_stats",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT)                      AS n_chars_calc,
-           CAST(len(string_split(text, ' ')) AS BIGINT)      AS n_tokens,
-           floor((CAST(length(text) AS DOUBLE)
-                  / len(string_split(text, ' '))) * 10000 + 0.5) / 10000
-                                                             AS chars_per_token,
-           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
-                                                             AS n_spaces
-    FROM documents
-    """,
-)
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document surface statistics (length, token count, density)."""
-    docs = tables.load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text").cast("long")
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
-        round4(n_chars.cast("double") / n_tokens).alias("chars_per_token"),
-        (
-            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        ).cast("long").alias("n_spaces"),
-    )
-
-
-@query(
-    "q_token_count",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(lower(text), '{_BPE_ISH}')) AS BIGINT)
-                                                        AS bpe_ish_tokens
-    FROM documents
-    """,
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace and a BPE-ish regex class
-    (letter runs / digit runs / single punctuation)."""
-    docs = tables.load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
-        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_ISH))
-        .cast("long")
-        .alias("bpe_ish_tokens"),
-    )
-
-
-def _langid_oracle() -> str:
+def _text_stats_oracle() -> str:
     toks = "string_split(lower(text), ' ')"
     hits = {lang: stopword_hits_sql(toks, lang) for lang in STOPWORDS}
-    # argmax with deterministic preference order en > de > fr > es;
-    # 'unknown' when no stopword hits at all.
+    # lang_pred: argmax with deterministic preference order
+    # en > de > fr > es; 'unknown' when no stopword hits at all.
     return f"""
-    WITH scored AS (
-        SELECT doc_id, lang AS lang_label,
+    WITH feats AS (
+        SELECT doc_id, text, lang AS lang_label,
+               CAST(length(text) AS DOUBLE)                 AS n_chars_f,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens_f,
+               CAST(len(list_distinct({toks})) AS DOUBLE)   AS n_uniq,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                                                            AS n_punct,
                {hits['en']} AS h_en, {hits['de']} AS h_de,
-               {hits['fr']} AS h_fr, {hits['es']} AS h_es,
-               len({toks}) AS n_tok
+               {hits['fr']} AS h_fr, {hits['es']} AS h_es
         FROM documents
     )
-    SELECT doc_id, lang_label,
+    SELECT doc_id,
+           CAST(n_chars_f AS BIGINT)  AS n_chars_calc,
+           CAST(n_tokens_f AS BIGINT) AS n_tokens,
+           floor((n_chars_f / n_tokens_f) * 10000 + 0.5) / 10000
+                                      AS chars_per_token,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+                                      AS n_spaces,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_ISH}')) AS BIGINT)
+                                      AS bpe_ish_tokens,
+           lang_label,
            CASE
              WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
              WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
@@ -95,19 +55,48 @@ def _langid_oracle() -> str:
              WHEN h_fr >= h_es THEN 'fr'
              ELSE 'es'
            END AS lang_pred,
-           floor((CAST(greatest(h_en, h_de, h_fr, h_es) AS DOUBLE) / n_tok)
-                 * 10000 + 0.5) / 10000 AS stop_ratio
-    FROM scored
+           floor((CAST(greatest(h_en, h_de, h_fr, h_es) AS DOUBLE) / n_tokens_f)
+                 * 10000 + 0.5) / 10000 AS stop_ratio,
+           floor((n_uniq / n_tokens_f) * 10000 + 0.5) / 10000  AS uniq_ratio,
+           floor((n_punct / n_chars_f) * 10000 + 0.5) / 10000  AS punct_ratio,
+           floor((
+               0.5 * least(n_tokens_f / 100.0, 1.0)
+             + 0.4 * (n_uniq / n_tokens_f)
+             + 0.1 * (1.0 - least(10.0 * n_punct / n_chars_f, 1.0))
+           ) * 10000 + 0.5) / 10000                            AS quality,
+           md5(array_to_string(list_sort(list_distinct({toks})), ' '))
+                                                               AS fingerprint
+    FROM feats
     """
 
 
-@query("q_lang_id", oracle=_langid_oracle())
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-ratio language ID over {en, de, fr, es}: argmax of
-    per-language stopword hit counts with a deterministic preference
-    order, 'unknown' when nothing matches."""
+@query("q_text_stats", oracle=_text_stats_oracle())
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text featurization — the C13 surface in ONE scan,
+    the shape a real curation pipeline uses (compute every per-doc
+    feature in a single pass, filter downstream):
+
+    - surface statistics: length, whitespace token count, density
+    - token counting two ways: whitespace + a BPE-ish regex class
+      (letter runs / digit runs / single punctuation)
+    - stopword-ratio language ID over {en, de, fr, es}: argmax of
+      per-language stopword hit counts, deterministic preference
+      order, 'unknown' when nothing matches
+    - composite quality score: length saturation + lexical diversity
+      + punctuation-noise penalty
+    - order-insensitive fingerprint: md5 of the sorted distinct token
+      set (bag-of-words identity for shuffled near-copies)
+
+    All pure built-in expressions in one codegen stage — no UDFs, no
+    shuffle (the plan is Scan -> Project). On the synthetic corpus the
+    lang label is not recoverable from the text, so lang_pred parity
+    checks the computation, not classifier accuracy."""
     docs = tables.load_table(spark, sf_dir, "documents")
     toks = tokens("text")
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_punct = F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
     hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     pred = (
@@ -117,47 +106,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hits["fr"] >= hits["es"], "fr")
         .otherwise("es")
     )
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("lang_label"),
-        pred.alias("lang_pred"),
-        round4(best.cast("double") / F.size(toks)).alias("stop_ratio"),
-    )
-
-
-@query(
-    "q_quality_score",
-    oracle="""
-    WITH feats AS (
-        SELECT doc_id,
-               CAST(length(text) AS DOUBLE) AS n_chars,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
-               CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-                   AS n_uniq,
-               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
-                   AS n_punct
-        FROM documents
-    )
-    SELECT doc_id,
-           floor((n_uniq / n_tokens) * 10000 + 0.5) / 10000    AS uniq_ratio,
-           floor((n_punct / n_chars) * 10000 + 0.5) / 10000    AS punct_ratio,
-           floor((
-               0.5 * least(n_tokens / 100.0, 1.0)
-             + 0.4 * (n_uniq / n_tokens)
-             + 0.1 * (1.0 - least(10.0 * n_punct / n_chars, 1.0))
-           ) * 10000 + 0.5) / 10000                            AS quality
-    FROM feats
-    """,
-)
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score for filtering training data: length
-    saturation + lexical diversity + punctuation-noise penalty, each a
-    codegen'd expression."""
-    docs = tables.load_table(spark, sf_dir, "documents")
-    n_chars = F.length("text").cast("double")
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("double")
-    n_uniq = F.size(F.array_distinct(tokens("text"))).cast("double")
-    n_punct = F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
     quality = (
         0.5 * F.least(n_tokens / 100.0, F.lit(1.0))
         + 0.4 * (n_uniq / n_tokens)
@@ -165,30 +113,23 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        n_chars.cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
+        round4(n_chars / n_tokens).alias("chars_per_token"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).cast("long").alias("n_spaces"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_BPE_ISH))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.col("lang").alias("lang_label"),
+        pred.alias("lang_pred"),
+        round4(best.cast("double") / F.size(toks)).alias("stop_ratio"),
         round4(n_uniq / n_tokens).alias("uniq_ratio"),
         round4(n_punct / n_chars).alias("punct_ratio"),
         round4(quality).alias("quality"),
-    )
-
-
-@query(
-    "q_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split(lower(text), ' '))), ' ')) AS fingerprint
-    FROM documents
-    """,
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive document fingerprint: md5 of the sorted
-    distinct token set (bag-of-words identity for shuffled/reordered
-    near-copies)."""
-    docs = tables.load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
         F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
         ).alias("fingerprint"),
     )
 

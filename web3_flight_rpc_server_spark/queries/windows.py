@@ -1,4 +1,4 @@
-"""Window-function / grouping-set / set-op queries (C3-C6) plus batch
+"""Window-function / grouping-set queries (C3-C4, C14) plus batch
 sessionization (C15's batch twin).
 
 Scale notes: window functions shuffle once on partitionBy keys and
@@ -21,137 +21,118 @@ from ..sources import tables
 
 
 @query(
-    "q_window_topk_per_group",
+    "q_window_funcs",
     oracle="""
-    SELECT o_orderpriority, o_orderkey, o_totalprice,
-           CAST(rk AS BIGINT) AS rk
+    SELECT o_orderpriority, o_orderkey, o_custkey, o_orderdate,
+           o_totalprice,
+           CAST(rk AS BIGINT) AS rk,
+           running_spend,
+           prev_orderkey
     FROM (
-        SELECT o_orderpriority, o_orderkey, o_totalprice,
+        SELECT o_orderpriority, o_orderkey, o_custkey, o_orderdate,
+               o_totalprice,
                row_number() OVER (
                    PARTITION BY o_orderpriority
                    ORDER BY o_totalprice DESC, o_orderkey ASC
-               ) AS rk
+               ) AS rk,
+               floor((sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) * 10000 + 0.5) / 10000 AS running_spend,
+               lag(o_orderkey) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+               ) AS prev_orderkey
         FROM orders
     )
     WHERE rk <= 3
     """,
 )
-def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by price within each priority class (C4 ranking
-    window; deterministic via the orderkey tie-break)."""
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 window functions in one pass: ranking (top-3 orders by price
+    per priority class, deterministic via the orderkey tie-break) plus
+    analytic functions over a second partitioning (running customer
+    spend with an explicit ROWS frame, and lag). The running columns
+    are computed over ALL rows, then the rank filter applies — so the
+    surviving rows carry their true per-customer history. Two window
+    specs -> two exchanges; each partitions on a bounded key."""
     orders = tables.load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(
+    w_rank = W.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    w_cust = W.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
     return (
-        orders.withColumn("rk", F.row_number().over(w).cast("long"))
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.row_number().over(w_rank).cast("long").alias("rk"),
+            round4(
+                F.sum("o_totalprice").over(
+                    w_cust.rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+            ).alias("running_spend"),
+            F.lag("o_orderkey").over(w_cust).alias("prev_orderkey"),
+        )
         .where(F.col("rk") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
     )
 
 
 @query(
-    "q_window_running",
+    "q_rollup_cube",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           floor((sum(o_totalprice) OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           )) * 10000 + 0.5) / 10000 AS running_spend,
-           lag(o_orderkey) OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate ASC, o_orderkey ASC
-           ) AS prev_orderkey
-    FROM orders
-    """,
-)
-def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum + lag per customer over order date (C4 analytic
-    window with an explicit ROWS frame)."""
-    orders = tables.load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        round4(
-            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        ).alias("running_spend"),
-        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
-    )
-
-
-@query(
-    "q_rollup",
-    oracle="""
-    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-           coalesce(l_linestatus, 'ALL') AS linestatus,
+    SELECT 'rollup' AS src,
+           coalesce(l_returnflag, 'ALL') AS k1,
+           coalesce(l_linestatus, 'ALL') AS k2,
            CAST(count(*) AS BIGINT)      AS n,
-           floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
+           floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS metric
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup (C3): per (flag, status), per flag, grand
-    total — one pass, one shuffle."""
-    li = tables.load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), round4(F.sum("l_quantity")).alias("sum_qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "sum_qty",
-        )
-    )
-
-
-@query(
-    "q_cube",
-    oracle="""
-    SELECT coalesce(o_orderstatus, 'ALL')    AS orderstatus,
-           coalesce(o_orderpriority, 'ALL')  AS orderpriority,
+    UNION ALL
+    SELECT 'cube' AS src,
+           coalesce(o_orderstatus, 'ALL')    AS k1,
+           coalesce(o_orderpriority, 'ALL')  AS k2,
            CAST(count(*) AS BIGINT)          AS n,
-           floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS total
+           floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS metric
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full cube over two dimensions (C3)."""
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3's two grouping-set specializations, tagged in one result:
+    hierarchical ROLLUP over lineitem (per (flag, status), per flag,
+    grand total) and full CUBE over orders. Each leg is one scan and
+    one expand+shuffle; the union is free (no exchange of its own)."""
+    li = tables.load_table(spark, sf_dir, "lineitem")
     orders = tables.load_table(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), round4(F.sum("o_totalprice")).alias("total"))
+    rollup_leg = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), round4(F.sum("l_quantity")).alias("metric"))
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.lit("rollup").alias("src"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
             "n",
-            "total",
+            "metric",
         )
     )
-
-
-@query(
-    "q_union_except",
-    oracle="""
-    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    UNION
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-    EXCEPT
-    SELECT c_custkey FROM customer WHERE c_nationkey < 5
-    """,
-)
-def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations (C6): UNION (distinct) then EXCEPT (distinct)."""
-    cust = tables.load_table(spark, sf_dir, "customer")
-    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
-    near = cust.where(F.col("c_nationkey") < 5).select("c_custkey")
-    return building.union(rich).distinct().subtract(near)
+    cube_leg = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), round4(F.sum("o_totalprice")).alias("metric"))
+        .select(
+            F.lit("cube").alias("src"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "n",
+            "metric",
+        )
+    )
+    return rollup_leg.unionByName(cube_leg)
 
 
 @query(
@@ -169,7 +150,10 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling time window x key (C14), batch twin of the streaming
     version in streaming/windows.py — F.window() produces the same
     epoch-aligned buckets the oracle's time_bucket does for
-    hour-divisible widths."""
+    hour-divisible widths. Also covers B15 (epoch->timestamp
+    conversion followed by time bucketing): the ns->us ingest
+    conversion lives in sources/tables.py and ts arrives here as a
+    proper TIMESTAMP, the notebook's pd.to_datetime(unit='s')."""
     ev = tables.load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours"), "event_type")
