@@ -84,3 +84,95 @@ def test_connection_error_retried_once(registered, spark):
         mockFailFirstCall="true",
     )
     assert df.count() == 20  # first call fails, retry succeeds
+
+
+def test_stream_batch_parity(registered, spark, tmp_path):
+    """A3: streaming the live source yields exactly the rows the
+    bounded read yields over the same range (the ordering contract of
+    SubscriptionTest.java:124-145, minus ordering — Spark's exchange
+    may interleave pages; per-key order is the blockNumber column)."""
+    bounded = _read(
+        spark, startBlock=0, endBlock=57, transport="mock",
+        maxBlockRange=10,
+    ).collect()
+
+    stream = (
+        spark.readStream.format("ethereum_logs")
+        .option("startBlock", 0)
+        .option("mockLatestBlock", 57)
+        .option("transport", "mock")
+        .option("maxBlockRange", 10)
+        .option("maxBlocksPerBatch", 25)  # force >=3 micro-batches
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("rpc_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM rpc_stream").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, bounded))
+
+
+def test_stream_resume_from_checkpoint_catches_up(registered, spark, tmp_path):
+    """A19's replacement, demonstrated: stop the stream, advance the
+    chain head, restart from the same checkpoint — the query resumes
+    at the committed offset and reads only the new blocks (no replay,
+    no gap)."""
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "out")
+
+    def run(latest: int):
+        stream = (
+            spark.readStream.format("ethereum_logs")
+            .option("startBlock", 0)
+            .option("mockLatestBlock", latest)
+            .option("transport", "mock")
+            .option("maxBlockRange", 10)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(latest=19)   # first life of the query: blocks 0..19
+    run(latest=39)   # "chain advanced" while the query was down
+    rows = spark.read.parquet(out).select("blockNumber").collect()
+    got = sorted(r.blockNumber for r in rows)
+    assert got == sorted(
+        b for b in range(0, 40) for _ in range(2)
+    )  # 2 logs/block, each block exactly once across both lives
+
+
+def test_blocks_point_lookup_read(spark):
+    from web3_flight_rpc_server_spark.sources.ethereum_rpc import (
+        EthereumBlocksDataSource,
+    )
+
+    spark.dataSource.register(EthereumBlocksDataSource)
+    df = (
+        spark.read.format("ethereum_blocks")
+        .option("startBlock", 10).option("endBlock", 29)
+        .option("transport", "mock").option("maxBlockRange", 7)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    byn = {r.number: r for r in rows}
+    assert byn[10].gasUsed == (10 * 1_337) % 30_000_000  # hex decoded
+    assert byn[10].gasLimit == 30_000_000
+    assert byn[10].nonce == "0x" + format(10, "016x")  # raw hex kept
+    assert byn[11].parentHash == byn[10].hash
+    assert len(byn[12].transactions) == 2

@@ -140,6 +140,54 @@ def q_topic0_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_blocks_scan",
+    oracle="""
+    SELECT CAST(b AS BIGINT)                          AS number,
+           printf('0xblk%08d', b)                     AS hash,
+           printf('0xminer%02d', b % 5)               AS miner,
+           CAST((b * 1337) % 30000000 AS BIGINT)      AS gas_used,
+           CAST(30000000 AS BIGINT)                   AS gas_limit,
+           floor((((b * 1337) % 30000000) / 30000000.0 * 100)
+                 * 10000 + 0.5) / 10000               AS gas_util,
+           CAST(1600000000 + b * 12 AS BIGINT)        AS ts_sec,
+           CAST(2 AS BIGINT)                          AS tx_count
+    FROM range(50, 150) t(b)
+    """,
+)
+def q_blocks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded blocks request through the LIVE point-lookup source
+    (A2/A10: BlocksService.java:137-154 pages getBlockByNumber over
+    the range; blocks are never row-filtered beyond it,
+    BlockSubscription.java:36-38), plus the notebook's blocks
+    analytics on top: gas utilization arithmetic (cell 18) and
+    transaction count via array length (cell 20). The mock transport
+    emits the real node's response shape (quantities as hex strings),
+    so this also oracle-checks the hex->int64 Converter path
+    (Converter.java:81-107); the DuckDB twin rebuilds the deterministic
+    mock formulas from range(). sf_dir is unused by design — the query
+    verifies live-source plumbing, not parquet."""
+    from ..sources.ethereum_rpc import EthereumBlocksDataSource
+
+    spark.dataSource.register(EthereumBlocksDataSource)
+    blocks = (
+        spark.read.format("ethereum_blocks")
+        .option("startBlock", 50).option("endBlock", 149)
+        .option("transport", "mock").option("maxBlockRange", 20)
+        .load()
+    )
+    return blocks.select(
+        "number",
+        "hash",
+        "miner",
+        F.col("gasUsed").alias("gas_used"),
+        F.col("gasLimit").alias("gas_limit"),
+        round4(F.col("gasUsed") / F.col("gasLimit") * 100).alias("gas_util"),
+        F.col("timestamp").alias("ts_sec"),
+        F.size("transactions").cast("long").alias("tx_count"),
+    )
+
+
+@query(
     "q_batch_partition",
     oracle="""
     SELECT CAST(event_id // 500 AS BIGINT) AS page,
