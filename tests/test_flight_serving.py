@@ -88,7 +88,42 @@ def test_get_flight_info_echoes_command(client):
     cmd = json.dumps({"dataset": "logs"}).encode()
     info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd))
     # Producer.java:66-69: one endpoint, echoed ticket, unknown stats
+    # (unbounded ticket -> no sharding)
     assert len(info.endpoints) == 1
     assert info.endpoints[0].ticket.ticket == cmd
     assert info.total_records == -1
     assert info.total_bytes == -1
+
+
+def test_bounded_scan_shards_into_multiple_endpoints(client):
+    """Large bounded scans are served through >1 endpoint, each a
+    narrowed sub-range ticket, so no single do_get materializes the
+    full result on the driver; the shard union equals the unsharded
+    read and shard ranges are disjoint."""
+    cmd = {"dataset": "logs", "startBlock": 0, "endBlock": 100,
+           "shardBlocks": 30}
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(json.dumps(cmd).encode())
+    )
+    assert len(info.endpoints) == 4  # ceil(101/30)
+    assert info.total_records == -1 and info.total_bytes == -1
+    ranges = []
+    frames = []
+    for ep in info.endpoints:
+        t = json.loads(ep.ticket.ticket)
+        assert t["dataset"] == "logs" and "shardBlocks" not in t
+        ranges.append((t["startBlock"], t["endBlock"]))
+        frames.append(client.do_get(ep.ticket).read_all().to_pandas())
+    # contiguous, disjoint, covering [0, 100]
+    ranges.sort()
+    assert ranges[0][0] == 0 and ranges[-1][1] == 100
+    assert all(ranges[i][1] + 1 == ranges[i + 1][0] for i in range(3))
+    import pandas as pd
+
+    sharded = pd.concat(frames, ignore_index=True)
+    full = _get(client, {"dataset": "logs", "startBlock": 0, "endBlock": 100})
+    key = ["blockNumber", "logIndex"]
+    assert (
+        sharded.sort_values(key).reset_index(drop=True)[key].values.tolist()
+        == full.sort_values(key).reset_index(drop=True)[key].values.tolist()
+    )

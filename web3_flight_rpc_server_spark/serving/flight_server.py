@@ -24,12 +24,18 @@ Parity notes:
   "sf_dir": ...} exposes the whole SURVEY §2 inventory over Flight —
   beyond-reference capability, same transport.
 
-Scale notes: do_get collects the (filtered, pruned) result to the
-driver before streaming — correct for serving query RESULTS (small by
-construction). Serving full table scans at 100 TB would need
-per-endpoint partition tickets (one endpoint per file split) so
-clients pull partitions in parallel from executors; get_flight_info's
-endpoint list is where that sharding would surface.
+Scale notes: a single do_get collects its (filtered, pruned) result to
+the driver before streaming — correct for serving query RESULTS (small
+by construction). For scan-shaped BOUNDED tickets, get_flight_info
+shards the block range into multiple endpoints, each carrying the same
+ticket narrowed to a sub-range (the reference's own maxBlockRange
+paging, lifted to the Flight metadata plane): clients pull shards in
+parallel and the driver only ever materializes one shard's worth of
+rows at a time. Range-sharding beats physical-partition tickets here
+because each shard re-enters Catalyst as a narrowed predicate —
+parquet row-group pruning applies per shard, and shards can be served
+by ANY server instance over the same storage (the endpoint carries the
+query, not a pointer into one JVM's cached RDD).
 """
 
 from __future__ import annotations
@@ -87,6 +93,12 @@ class EngineFlightServer(flight.FlightServerBase):
         except ValueError as e:
             raise flight.FlightServerError(str(e))
         table = df.toArrow()
+        if obj.get("dataset") == "query":
+            # long-lived host: drop any intermediates the dedup tiers
+            # persisted during this query (cache lifecycle contract)
+            from ..operators.dedup import release_caches
+
+            release_caches()
         return flight.RecordBatchStream(table)
 
     def _serve_unbounded(self, req: ClientRequest) -> flight.GeneratorStream:
@@ -147,11 +159,51 @@ class EngineFlightServer(flight.FlightServerBase):
 
         return flight.GeneratorStream(schema, generate())
 
+    DEFAULT_SHARD_BLOCKS = 10_000
+    MAX_ENDPOINTS = 16
+
     def get_flight_info(self, context, descriptor: flight.FlightDescriptor):
-        # Producer.java:66-69: echo command as one endpoint, stats -1/-1
+        try:
+            obj = json.loads(descriptor.command)
+        except ValueError:
+            obj = None
+        if isinstance(obj, dict) and obj.get("dataset") in ("logs", "blocks"):
+            try:
+                req = ClientRequest.from_json(descriptor.command)
+            except ValueError:
+                req = None
+            if req is not None and req.mode is RequestMode.BOUNDED:
+                return self._sharded_info(descriptor, obj, req)
+        # non-scan / unbounded tickets: echo the command as one endpoint
+        # with unknown stats — exactly Producer.java:66-69
         endpoint = flight.FlightEndpoint(descriptor.command, [])
         schema = pa.schema([])
         return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
+    def _sharded_info(self, descriptor: flight.FlightDescriptor, obj: dict,
+                      req: ClientRequest) -> flight.FlightInfo:
+        """Bounded scans shard into per-sub-range endpoints so a large
+        result is never materialized on the driver in one piece: each
+        endpoint's do_get plans only its slice (predicate re-enters the
+        scan -> row-group pruning per shard). Endpoint locations are
+        empty = 'this server'; stats stay -1/-1 (unknown, as in the
+        reference)."""
+        df = plan_request(req, logs=self._logs, blocks=self._blocks)
+        schema = df.limit(0).toArrow().schema
+        span = req.end_block - req.start_block + 1
+        shard = int(obj.get("shardBlocks") or self.DEFAULT_SHARD_BLOCKS)
+        n = max(1, min(self.MAX_ENDPOINTS, -(-span // shard)))
+        endpoints = []
+        for i in range(n):
+            lo = req.start_block + i * span // n
+            hi = req.start_block + (i + 1) * span // n - 1
+            t = dict(obj)
+            t["startBlock"], t["endBlock"] = lo, hi
+            t.pop("shardBlocks", None)
+            endpoints.append(
+                flight.FlightEndpoint(json.dumps(t).encode(), [])
+            )
+        return flight.FlightInfo(schema, descriptor, endpoints, -1, -1)
 
     def list_flights(self, context, criteria):
         for name in ("logs", "blocks"):
