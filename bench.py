@@ -80,6 +80,17 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Second invocation per query: first-run numbers carry ~0.3-0.5 s
+    # of one-time codegen compilation and AQE re-planning per query; the
+    # warm column is the steady-state cost a long-lived service sees,
+    # so real-work regressions aren't masked by floor noise.
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     oracle_timings: dict[str, float] = {}
     if time_oracle:
         import duckdb
@@ -109,6 +120,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": sf,
     }
     if oracle_timings:

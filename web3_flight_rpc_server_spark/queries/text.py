@@ -87,14 +87,28 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     - order-insensitive fingerprint: md5 of the sorted distinct token
       set (bag-of-words identity for shuffled near-copies)
 
-    All pure built-in expressions in one codegen stage — no UDFs, no
-    shuffle (the plan is Scan -> Project). On the synthetic corpus the
-    lang label is not recoverable from the text, so lang_pred parity
-    checks the computation, not classifier accuracy."""
+    All pure built-in expressions, no UDFs, no shuffle. The token
+    array is materialized in its OWN Project before the feature
+    Project: higher-order lambdas are interpreted without common-
+    subexpression elimination, so referencing tokens(text) in each of
+    the ~8 downstream expressions would re-run split(lower(text)) per
+    expression per row. CollapseProject keeps the two Projects apart
+    (it refuses to inline a non-cheap expression referenced more than
+    once), so the split runs exactly once per row. On the synthetic
+    corpus the lang label is not recoverable from the text, so
+    lang_pred parity checks the computation, not classifier
+    accuracy."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    toked = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        tokens("text").alias("__toks"),
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("__n_toks"),
+    )
+    toks = F.col("__toks")
     n_chars = F.length("text").cast("double")
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("double")
+    n_tokens = F.col("__n_toks")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
     n_punct = F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
     hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
@@ -111,7 +125,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.4 * (n_uniq / n_tokens)
         + 0.1 * (1.0 - F.least(10.0 * n_punct / n_chars, F.lit(1.0)))
     )
-    return docs.select(
+    return toked.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars_calc"),
         n_tokens.cast("long").alias("n_tokens"),
