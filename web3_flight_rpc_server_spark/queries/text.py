@@ -99,13 +99,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_pred parity checks the computation, not classifier
     accuracy."""
     docs = tables.load_table(spark, sf_dir, "documents")
+    # repartition: documents arrive as a handful of parquet splits
+    # (36 MB at sf1 -> 2 input partitions), but featurization is
+    # CPU-heavy per byte — one round-robin exchange of (text, tokens)
+    # buys full-cluster parallelism for the interpreted HOF work (the
+    # same call shingle_sets makes, and the reason the exchange also
+    # serves as the materialization barrier for __toks).
     toked = docs.select(
         "doc_id",
         "text",
         "lang",
         tokens("text").alias("__toks"),
         F.size(F.split(F.col("text"), " ")).cast("double").alias("__n_toks"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     toks = F.col("__toks")
     n_chars = F.length("text").cast("double")
     n_tokens = F.col("__n_toks")
