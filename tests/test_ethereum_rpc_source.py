@@ -156,6 +156,45 @@ def test_stream_resume_from_checkpoint_catches_up(registered, spark, tmp_path):
     )  # 2 logs/block, each block exactly once across both lives
 
 
+def test_blocks_stream_batch_parity(spark, tmp_path):
+    """A4: streaming the blocks source yields the same rows as the
+    bounded point-lookup read over the same range."""
+    from web3_flight_rpc_server_spark.sources.ethereum_rpc import (
+        EthereumBlocksDataSource,
+    )
+
+    spark.dataSource.register(EthereumBlocksDataSource)
+    bounded = (
+        spark.read.format("ethereum_blocks")
+        .option("startBlock", 0).option("endBlock", 23)
+        .option("transport", "mock").option("maxBlockRange", 5)
+        .load()
+        .collect()
+    )
+    stream = (
+        spark.readStream.format("ethereum_blocks")
+        .option("startBlock", 0)
+        .option("mockLatestBlock", 23)
+        .option("transport", "mock")
+        .option("maxBlockRange", 5)
+        .option("maxBlocksPerBatch", 10)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("blocks_stream")
+        .option("checkpointLocation", str(tmp_path / "bckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM blocks_stream").collect()
+    assert sorted(r.number for r in streamed) == sorted(
+        r.number for r in bounded
+    ) == list(range(24))
+
+
 def test_blocks_point_lookup_read(spark):
     from web3_flight_rpc_server_spark.sources.ethereum_rpc import (
         EthereumBlocksDataSource,

@@ -49,3 +49,25 @@ def test_rp_lsh_finds_identical_vectors(spark, sf_dir):
     expected = {(i, i + 100000) for i in range(25)}
     missing = expected - found
     assert not missing, f"identical vectors missed: {sorted(missing)[:5]}"
+
+
+def test_cosine_topk_arrow_matches_hof(spark, sf_dir):
+    """The Arrow-vectorized tier returns the same top-k ids as the
+    HOF tier with value agreement to 1e-9 (BLAS vs sequential fold
+    summation-order differences only)."""
+    from web3_flight_rpc_server_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    query = emb.where(F.col("vec_id") == 0)
+    hof = {r.vec_id: r.cos for r in cosine_topk(corpus, query, k=10).collect()}
+    arrow = {
+        r.vec_id: r.cos
+        for r in cosine_topk_arrow(corpus, query, k=10).collect()
+    }
+    assert set(hof) == set(arrow)
+    for vid, cos in hof.items():
+        assert abs(cos - arrow[vid]) < 1e-9

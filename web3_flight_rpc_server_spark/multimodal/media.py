@@ -203,28 +203,35 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     _synm_encode_unused, _synm_decode = _codec()
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # columnar batch processing: the per-payload decode is
+        # inherently row-wise (variable-length opaque blobs), but the
+        # output is assembled as whole columns on a copied frame — no
+        # iterrows, no per-row dict materialization
         for pdf in batches:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                kind, _w, _h, frames, payload = _synm_decode(bytes(row["content"]))
+            contents = []
+            metas = []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                kind, _w, _h, frames, payload = _synm_decode(bytes(content))
                 if kind != "image":
-                    out_rows.append(dict(row))
+                    contents.append(content)
+                    metas.append(meta)
                     continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 idx = np.linspace(0, len(arr) - 1, width * height).astype(int)
-                resized = arr[idx].tobytes()
-                content = (
+                new_content = (
                     b"SYNM" + b"i"
-                    + struct.pack("<HHH", width, height, frames) + resized
+                    + struct.pack("<HHH", width, height, frames)
+                    + arr[idx].tobytes()
                 )
-                row = dict(row)
-                row["content"] = content
-                row["meta"] = {
-                    **row["meta"], "width": width, "height": height,
-                    "n_bytes": len(content),
-                }
-                out_rows.append(row)
-            yield pd.DataFrame(out_rows)
+                contents.append(new_content)
+                metas.append(
+                    {**meta, "width": width, "height": height,
+                     "n_bytes": len(new_content)}
+                )
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
 
     return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
 
@@ -242,13 +249,13 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames_out = [], [], []
-            for _, row in pdf.iterrows():
-                kind, _w, _h, n_frames, payload = _synm_decode(bytes(row["content"]))
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                kind, _w, _h, n_frames, payload = _synm_decode(bytes(content))
                 if kind != "video" or n_frames == 0:
                     continue
                 frame_len = max(len(payload) // n_frames, 1)
                 for i in range(0, n_frames, every_n):
-                    ids.append(row["media_id"])
+                    ids.append(media_id)
                     idxs.append(i)
                     frames_out.append(payload[i * frame_len:(i + 1) * frame_len])
             yield pd.DataFrame(

@@ -61,6 +61,48 @@ def cosine_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_arrow(embeddings: DataFrame, query: DataFrame, k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Arrow-vectorized twin of cosine_topk for compute-dense corpora:
+    the per-batch score is one numpy matrix-vector product inside
+    mapInPandas (Arrow batch transfer, BLAS math) instead of an
+    interpreted zip_with+aggregate per row. Each batch emits only its
+    local top-k, so the TakeOrdered input is <= k x batches rows —
+    the corpus still never shuffles.
+
+    Same ids as cosine_topk; cos values can differ in the last ulp
+    (BLAS pairwise summation vs sequential HOF fold), which is why the
+    ORACLE-checked declared query stays on the HOF tier and this is
+    the documented throughput path (tests assert id-set equality and
+    value agreement to 1e-9)."""
+    import numpy as np
+    import pandas as pd
+
+    qvec = np.asarray(
+        query.select(vec_col).first()[0], dtype=np.float64
+    )
+    qn = float(np.linalg.norm(qvec))
+
+    def part_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cos = (m @ qvec) / (np.linalg.norm(m, axis=1) * qn)
+            order = np.argsort(-cos)[:k]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[order], "cos": cos[order]}
+            )
+
+    cands = embeddings.select(id_col, vec_col).mapInPandas(
+        part_topk, schema=f"{id_col} bigint, cos double"
+    )
+    return cands.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def neardup_pairs_bruteforce(embeddings: DataFrame, threshold: float,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:

@@ -468,6 +468,53 @@ class EthereumBlocksReader(DataSourceReader):
             )
 
 
+class EthereumBlocksStreamReader(DataSourceStreamReader):
+    """Streaming twin of the blocks reader (A4 realtime blocks): the
+    reference pushes each new chain head to block subscribers
+    (BlocksService.java:81-90 blockFlowable); the Spark-native analog
+    polls the head per micro-batch and point-looks-up the new blocks,
+    with engine-checkpointed block-number offsets — identical offset
+    semantics to EthereumLogsStreamReader, per-block fetch instead of
+    range fetch."""
+
+    def __init__(self, options: dict):
+        self._reader = EthereumBlocksReader(options)
+        self._probe = make_latest_probe(options)
+        self._start = int(options.get("startblock", 0))
+        self._max_per_batch = int(options.get("maxblocksperbatch", 0)) or None
+        self._last_end = self._start
+
+    def initialOffset(self) -> dict:
+        return {"block": self._start}
+
+    def latestOffset(self) -> dict:
+        head = self._probe()
+        nxt = head + 1
+        if self._max_per_batch is not None:
+            nxt = min(nxt, self._last_end + self._max_per_batch)
+        nxt = max(nxt, self._last_end)
+        self._last_end = nxt
+        return {"block": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["block"]), int(end["block"]) - 1
+        pages = []
+        first = lo
+        while first <= hi:
+            last = min(first + self._reader.max_range - 1, hi)
+            pages.append(BlockRangePartition(first, last))
+            first = last + 1
+        return pages or [BlockRangePartition(lo, lo - 1)]
+
+    def read(self, partition: BlockRangePartition):
+        if partition.end < partition.start:
+            return
+        yield from self._reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class EthereumBlocksDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -478,6 +525,9 @@ class EthereumBlocksDataSource(DataSource):
 
     def reader(self, schema) -> EthereumBlocksReader:
         return EthereumBlocksReader(self.options)
+
+    def streamReader(self, schema) -> EthereumBlocksStreamReader:
+        return EthereumBlocksStreamReader(self.options)
 
 
 # Ship this module (and the schemas it references) BY VALUE when Spark
