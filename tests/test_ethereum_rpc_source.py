@@ -215,3 +215,47 @@ def test_blocks_point_lookup_read(spark):
     assert byn[10].nonce == "0x" + format(10, "016x")  # raw hex kept
     assert byn[11].parentHash == byn[10].hash
     assert len(byn[12].transactions) == 2
+
+
+def test_hybrid_plan_over_live_source(registered, spark, tmp_path):
+    """A14 over the LIVE source (not file drops): backfill leg reads
+    the bounded DataSource, the tail leg streams the SAME source above
+    the high-water mark — backfill [10, 30], then live (30, 50]."""
+    from web3_flight_rpc_server_spark.plans.requests import ClientRequest
+    from web3_flight_rpc_server_spark.streaming.backfill import (
+        plan_hybrid,
+        run_hybrid,
+    )
+
+    batch = (
+        spark.read.format("ethereum_logs")
+        .option("startBlock", 0).option("endBlock", 30)
+        .option("transport", "mock").load()
+    )
+    stream = (
+        spark.readStream.format("ethereum_logs")
+        .option("startBlock", 0)
+        .option("mockLatestBlock", 50)
+        .option("transport", "mock").load()
+    )
+    req = ClientRequest(dataset="logs", start_block=10)  # HYBRID mode
+    plan = plan_hybrid(req, batch, stream)
+    assert plan.high_water == 30
+
+    legs: list[tuple[int, list[int]]] = []
+
+    def sink(df, epoch):
+        legs.append((epoch, sorted(r.blockNumber for r in df.collect())))
+
+    q = run_hybrid(plan, sink, str(tmp_path / "hckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    backfill = [blocks for epoch, blocks in legs if epoch == -1]
+    tail = sorted(b for epoch, blocks in legs if epoch >= 0 for b in blocks)
+    assert backfill and backfill[0] == sorted(
+        b for b in range(10, 31) for _ in range(2)
+    )
+    assert tail == sorted(b for b in range(31, 51) for _ in range(2))
