@@ -100,3 +100,29 @@ def test_value_counts_agg_plus_sort_only(spark, sf_dir):
     plan = plan_of(spark, "q_value_counts", sf_dir)
     assert count_nodes(plan, "Exchange") == 2, plan
     assert count_nodes(plan, "HashAggregate") == 2, plan
+
+
+def test_text_stats_no_python_and_one_exchange(spark, sf_dir):
+    """The one-pass featurization stays JVM-side (no Python eval node
+    in the plan — all HOF/regexp/md5 expressions) and pays exactly one
+    exchange (the parallelism repartition)."""
+    plan = plan_of(spark, "q_text_stats", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_rollup_cube_expand_one_exchange_per_leg(spark, sf_dir):
+    """Each grouping-set leg expands BEFORE its single aggregation
+    exchange (partial agg applies to the expanded rows); the tagged
+    union adds no exchange of its own."""
+    plan = plan_of(spark, "q_rollup_cube", sf_dir)
+    assert count_nodes(plan, "Expand") == 2, plan
+    assert count_nodes(plan, "Exchange") == 2, plan
+    assert count_nodes(plan, "Union") == 1, plan
+
+
+def test_scan_project_reads_needed_columns_only(spark, sf_dir):
+    plan = plan_of(spark, "q_scan_project", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 7, m.group(1)
