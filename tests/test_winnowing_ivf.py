@@ -77,3 +77,62 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     }
     recall = len(part & set(exact)) / 10
     assert recall >= 0.3, f"ivf recall {recall}"
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The cell-partitioned layout (write_ivf_index) is the 100 TB
+    story: the probe list is a plan-time constant, so the scan prunes
+    to n_probe directories (PartitionFilters) and never lists the
+    rest. Full probe over the index must equal brute force."""
+    from web3_flight_rpc_server_spark.operators.ivf import (
+        ivf_topk_partitioned,
+        probe_cells_for,
+        write_ivf_index,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    qvec_row = emb.where(F.col("vec_id") == 0).collect()[0]
+    corpus = emb.where(F.col("vec_id") != 0)
+    idx_path = str(tmp_path / "ivf_index")
+    write_ivf_index(corpus, idx_path, n_cells=8)
+
+    # layout: one directory per cell
+    import os
+
+    dirs = sorted(d for d in os.listdir(idx_path) if d.startswith("cell="))
+    assert dirs == [f"cell={i}" for i in range(8)]
+
+    # full probe == exhaustive brute force
+    exact = [
+        r.vec_id
+        for r in cosine_topk(corpus, emb.where(F.col("vec_id") == 0), k=10).collect()
+    ]
+    full = [
+        r.vec_id
+        for r in ivf_topk_partitioned(
+            spark, idx_path, qvec_row.embedding, k=10, n_cells=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+
+    # partial probe reads ONLY the probed directories (partition pruning)
+    probes = probe_cells_for(qvec_row.embedding, n_cells=8, n_probe=3)
+    part_df = ivf_topk_partitioned(
+        spark, idx_path, qvec_row.embedding, k=10, n_cells=8, n_probe=3
+    )
+    # (inputFiles() lists pre-pruning files, so assert on the plan: the
+    # IN-filter must land in PartitionFilters, i.e. directory pruning)
+    import re
+
+    plan = part_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, f"no partition filter in plan:\n{plan}"
+    assert sorted(map(int, m.group(1).split(","))) == sorted(probes)
+    # and the pruned scan touches exactly the probe directories' rows
+    scanned = spark.read.parquet(idx_path).where(F.col("cell").isin(probes))
+    direct = spark.read.parquet(
+        *[f"{idx_path}/cell={p}" for p in probes]
+    )
+    assert scanned.count() == direct.count()
+    recall = len({r.vec_id for r in part_df.collect()} & set(exact)) / 10
+    assert recall >= 0.3, f"partitioned ivf recall {recall}"

@@ -59,6 +59,46 @@ def assign_cells(embeddings: DataFrame, n_cells: int = 16, dim: int = 64,
     )
 
 
+def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
+                    dim: int = 64, vec_col: str = "embedding") -> None:
+    """Materialize the cell-partitioned layout: one directory per cell
+    (`cell=N/`). At 100 TB this is the index — assignment happens once
+    at write time, and every later query prunes to its probe cells'
+    directories without touching the rest of the corpus."""
+    assign_cells(embeddings, n_cells, dim, vec_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def probe_cells_for(query_vec, n_cells: int = 16, n_probe: int = 4,
+                    dim: int = 64) -> list[int]:
+    """Driver-side probe selection: K dot products over the literal
+    anchors (numpy, microseconds, no Spark job) so the probe list can
+    be embedded in the scan filter as a constant."""
+    anchors = _anchors(n_cells, dim)
+    scores = anchors @ np.asarray(query_vec, dtype=float)
+    order = np.argsort(-scores, kind="stable")
+    return [int(i) for i in order[:n_probe]]
+
+
+def ivf_topk_partitioned(spark, path: str, query_vec, k: int = 10,
+                         n_cells: int = 16, n_probe: int = 4, dim: int = 64,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Top-k over a `write_ivf_index` layout. The probe list is a
+    literal IN-filter on the partition column, so the scan prunes to
+    n_probe directories at plan time (PartitionFilters in explain) —
+    non-probed cells are never listed, opened, or scheduled. Same
+    (id, cos) contract as ivf_topk/cosine_topk."""
+    probes = probe_cells_for(query_vec, n_cells, n_probe, dim)
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    scanned = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    scored = scanned.select(
+        id_col, cosine(F.col(vec_col), qlit).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
