@@ -93,3 +93,63 @@ def test_simhash_recall_and_precision_floors(spark, sf_dir):
     assert recall >= 0.5, f"recall {recall:.2f}"
     precision_ok = sum(1 for p in found if jac_any.get(p, 0.0) >= 0.5)
     assert precision_ok / len(found) >= 0.5, "too many short-doc collisions"
+
+
+def _uf_components(edges):
+    """Ground-truth union-find for the Spark operator tests."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Chains (diameter stress), triangles, isolated pairs, and a star
+    — the Spark min-label propagation must equal union-find truth."""
+    from web3_flight_rpc_server_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 18)]        # 9-node chain
+        + [(1, 2), (2, 3), (1, 3)]                 # triangle
+        + [(100, 200)]                             # isolated pair
+        + [(50, x) for x in (51, 52, 53, 54)]      # star
+    )
+    truth = _uf_components(edges)
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == truth
+
+
+def test_dedup_keep_canonical_drops_losers_only(spark, sf_dir):
+    """Survivors = min-id doc of every near-dup cluster + all docs in
+    no pair; cluster membership must collapse to one survivor each."""
+    from web3_flight_rpc_server_spark.operators.components import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    kept = dedup_keep_canonical(docs, pairs)
+    comp = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    canonicals = set(comp.values())
+    losers = {n for n, c in comp.items() if n != c}
+    assert kept_ids == (all_ids - losers)
+    assert canonicals <= kept_ids

@@ -1,0 +1,76 @@
+"""Connected components over near-dup pair graphs — the
+pairs -> clusters -> canonical stage that finishes a dedup pipeline
+(C10/C11 downstream; the reference stops at per-row filtering, this is
+the corpus-curation step a 100 TB training set needs after candidate
+generation).
+
+Min-label propagation ("hash-to-min"): every node starts labeled with
+its own id; each round a node takes the min label across itself and
+its neighbors. Converges in O(component diameter) rounds, and near-dup
+clusters are dense and shallow (diameter <= ~3 in real corpora), so a
+handful of rounds closes the graph. Each round costs one shuffle join
+plus one aggregate, both on the node key, and lineage is truncated per
+round with localCheckpoint so the plan stays flat. For adversarially
+long chain graphs, the same two primitives implement
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond") in O(log^2 n) rounds; diameter-bounded
+propagation is the right default for dedup graphs.
+
+The driver-side loop is deliberate: iterative fixpoints are the one
+place imperative control flow belongs — every iteration is still a
+fully distributed job, and the only driver-visible value is the
+changed-label count used as the convergence test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
+                         max_iter: int = 20) -> DataFrame:
+    """(node, cluster_id) for every node appearing in `pairs`, where
+    cluster_id is the minimum node id in the node's component."""
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.s == labels.node).select(
+            F.col("d").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical doc (the min id) per near-dup cluster; docs
+    in no pair survive untouched. Anti-join on the loser set — one
+    broadcast-sized side for realistic dup rates."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -10,6 +10,7 @@ true near-dup pairs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import round4
 from ..operators.dedup import (
@@ -63,14 +64,75 @@ def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, key_col="text", id_col="doc_id")
 
 
-@query("q_dedup_jaccard", oracle=_JACCARD_ORACLE)
+@query("q_dedup_jaccard", oracle=_JACCARD_ORACLE, declared=False)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-gram Jaccard >= 0.3 (C11 ground truth). The
     corpus has a clean margin at this threshold (near-dup pairs sit
-    above 0.5, everything else below 0.1 — checked in data)."""
+    above 0.5, everything else below 0.1 — checked in data).
+
+    Undeclared since round 2: its driver slot went to the cluster
+    stage (q_dedup_clusters), which consumes this pair graph and so
+    re-verifies it transitively; the pair-level oracle itself stays
+    driver-checked through q_minhash_lsh (same SQL) and this query
+    remains bench/pytest-run."""
     docs = tables.load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.3)
     return pairs.select("d1", "d2", round4(pairs.jaccard).alias("jaccard"))
+
+
+_CLUSTERS_ORACLE = """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2
+        FROM inter
+        JOIN sz s1 ON d1 = s1.doc_id
+        JOIN sz s2 ON d2 = s2.doc_id
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.3
+    ),
+    edges AS (
+        SELECT d1 AS s, d2 AS d FROM pairs
+        UNION ALL
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach
+    GROUP BY node
+"""
+
+
+@query("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact-Jaccard pairs -> connected
+    components -> (doc_id, cluster_id = min doc id in component) —
+    the pairs->clusters->canonical stage that finishes a dedup
+    pipeline (operators/components.py; min-label propagation,
+    O(diameter) rounds, one node-keyed shuffle join + aggregate per
+    round). Oracle: DuckDB WITH RECURSIVE transitive closure over the
+    identical pair SQL."""
+    from ..operators.components import connected_components
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 @query("q_minhash_lsh", oracle=_JACCARD_ORACLE)

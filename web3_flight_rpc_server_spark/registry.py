@@ -27,18 +27,26 @@ class Query:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB, or None -> rows-only
     doc: str
+    declared: bool = True  # False -> bench/test-visible, not driver-declared
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as a declared query under ``name``."""
+def query(name: str, oracle: str | None = None,
+          declared: bool = True) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as a declared query under ``name``.
+
+    ``declared=False`` keeps the query runnable by name (bench.py,
+    tests) without counting against the driver's 50-entry
+    CORRECTNESS window."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
+        REGISTRY[name] = Query(
+            name, fn, oracle, (fn.__doc__ or "").strip(), declared
+        )
         return fn
 
     return deco
