@@ -1,0 +1,204 @@
+"""End-to-end corpus curation: the full pre-training data hygiene run
+(C4/Dolma/RefinedWeb shape) composed from this engine's verified
+operators, with per-stage reject accounting.
+
+Stage order (a doc's reject_reason is its FIRST failing gate, matching
+how production pipelines report funnel losses):
+
+    1. lang        stopword-argmax language ID not in the allow-list
+    2. quality     composite score (length saturation + lexical
+                   diversity + punctuation penalty) below threshold
+    3. exact_dup   not the min-id doc of its exact-text group
+    4. near_dup    MinHash-LSH pairs -> connected components ->
+                   not the canonical (min-id) doc of its cluster
+    5. contaminated >= 50% 3-gram shingle overlap with the held-out
+                   benchmark bucket
+    6. blocklist   token set intersects the term blocklist
+
+Scale shape: stages 1-2 and 6 are expression gates in the document
+scan (no shuffle); stage 3 is one hash shuffle on md5(text) — the
+content never shuffles twice; stage 4 is the LSH candidate pipeline
+(single signature shuffle, bucket join) plus O(diameter) component
+rounds over the tiny pair graph; stage 5 broadcasts the DISTINCT
+benchmark shingle set and probes it linearly. Later stages only see
+earlier stages' survivors, so the expensive graph stages run on the
+already-gated corpus. The reject map (doc_id, reason) is a small
+fraction of the corpus and joins back on the key once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, stopword_hits, tokens
+from ..operators.components import connected_components
+from ..operators.dedup import minhash_lsh_dedup_pairs
+from ..sources import tables
+
+REJECT_ORDER = (
+    "lang", "quality", "exact_dup", "near_dup", "contaminated", "blocklist"
+)
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    allowed_langs: tuple[str, ...] = ("en",)
+    min_quality: float = 0.5
+    neardup_threshold: float = 0.3
+    contamination_frac: float = 0.5
+    bench_bucket: int = 15
+    blocklist: tuple[str, ...] = ("slow", "big")
+    n_splits: int = 16
+    holdout_splits: tuple[int, ...] = (0,)  # split bucket(s) -> "val"
+
+
+def _lang_pred(toks) -> Column:
+    hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    return (
+        F.when(best == 0, "unknown")
+        .when(hits["en"] >= F.greatest(hits["de"], hits["fr"], hits["es"]), "en")
+        .when(hits["de"] >= F.greatest(hits["fr"], hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def _quality(text_col, toks) -> Column:
+    n_chars = F.length(text_col).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_punct = F.regexp_count(text_col, F.lit("[^a-zA-Z0-9 ]")).cast("double")
+    return (
+        0.5 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.4 * (n_uniq / n_tokens)
+        + 0.1 * (1.0 - F.least(10.0 * n_punct / n_chars, F.lit(1.0)))
+    )
+
+
+def curation_rejects(docs: DataFrame,
+                     cfg: CurationConfig = CurationConfig()) -> DataFrame:
+    """(doc_id, reject_reason) for every rejected doc — the funnel's
+    loss ledger. Docs absent from the result survive every gate."""
+    toks = tokens("text")
+    feats = docs.select(
+        "doc_id",
+        "text",
+        _lang_pred(toks).alias("__lang"),
+        _quality(F.col("text"), toks).alias("__q"),
+        F.arrays_overlap(
+            toks, F.array(*[F.lit(w) for w in cfg.blocklist])
+        ).alias("__blocked"),
+    )
+
+    lang_bad = feats.where(
+        ~F.col("__lang").isin(*cfg.allowed_langs)
+    ).select("doc_id", F.lit("lang").alias("reject_reason"))
+    s1 = feats.where(F.col("__lang").isin(*cfg.allowed_langs))
+
+    qual_bad = s1.where(F.col("__q") < cfg.min_quality).select(
+        "doc_id", F.lit("quality").alias("reject_reason")
+    )
+    s2 = s1.where(F.col("__q") >= cfg.min_quality)
+
+    # exact dedup: one shuffle on the content hash, min id survives
+    exact_losers = (
+        s2.groupBy(F.md5("text").alias("__key"))
+        .agg(F.min("doc_id").alias("__keep"), F.collect_list("doc_id").alias("__ids"))
+        .select(F.explode("__ids").alias("doc_id"), "__keep")
+        .where(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
+    )
+    s3 = s2.join(
+        exact_losers.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", "text")
+
+    # near-dup: LSH pairs -> components -> min-id canonical survives
+    pairs = minhash_lsh_dedup_pairs(s3, threshold=cfg.neardup_threshold)
+    comp = connected_components(pairs)
+    near_losers = comp.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id"), F.lit("near_dup").alias("reject_reason")
+    )
+    s4 = s3.join(near_losers.select("doc_id"), "doc_id", "left_anti")
+
+    # decontamination: benchmark shingles broadcast, linear probe
+    from ..operators.dedup import shingle_sets
+    from ..queries.sampling import _BUCKET_SPARK
+
+    sets = shingle_sets(s4.select("doc_id", "text")).withColumn(
+        "bucket", F.expr(_BUCKET_SPARK)
+    )
+    bench_sh = (
+        sets.where(F.col("bucket") == cfg.bench_bucket)
+        .select(F.explode("shs").alias("shingle"))
+        .distinct()
+    )
+    corpus_sh = sets.where(F.col("bucket") != cfg.bench_bucket).select(
+        "doc_id", "sz", F.explode("shs").alias("shingle")
+    )
+    contam = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.first("sz").alias("__n"), F.count("*").alias("__c"))
+        .where(F.col("__c") / F.col("__n") >= cfg.contamination_frac)
+        .select("doc_id", F.lit("contaminated").alias("reject_reason"))
+    )
+    s5 = s4.join(contam.select("doc_id"), "doc_id", "left_anti")
+
+    block_bad = (
+        feats.join(s5.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col("__blocked"))
+        .select("doc_id", F.lit("blocklist").alias("reject_reason"))
+    )
+
+    return (
+        lang_bad.unionByName(qual_bad)
+        .unionByName(exact_losers)
+        .unionByName(near_losers)
+        .unionByName(contam)
+        .unionByName(block_bad)
+    )
+
+
+def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
+           cfg: CurationConfig = CurationConfig()) -> tuple[DataFrame, DataFrame]:
+    """Run the full curation funnel over the documents table. Returns
+    (curated, stats): curated docs carry quality features and a
+    deterministic md5-bucket train/val split; stats is the per-stage
+    funnel ledger (kept + each reject_reason with counts). With
+    ``out_dir`` the curated set is also written partitioned by split
+    (the layout a downstream trainer shards by)."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rejects = curation_rejects(docs, cfg)
+
+    marked = docs.join(rejects, "doc_id", "left")
+    stats = (
+        marked.groupBy(
+            F.coalesce(F.col("reject_reason"), F.lit("kept")).alias("stage")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+    toks = tokens("text")
+    bucket = F.abs(F.xxhash64(F.col("doc_id"), F.lit("split"))) % cfg.n_splits
+    curated = (
+        marked.where(F.col("reject_reason").isNull())
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            _quality(F.col("text"), toks).alias("quality"),
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+            ).alias("fingerprint"),
+            F.when(bucket.isin(*cfg.holdout_splits), "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+    if out_dir is not None:
+        curated.write.partitionBy("split").mode("overwrite").parquet(out_dir)
+    return curated, stats
