@@ -91,6 +91,34 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
 
+    # Backfill ingest throughput through the live-source plumbing
+    # (Python DataSource, paged partitions). The mock transport makes
+    # this the ENGINE-side ceiling — rows are generated in-process, so
+    # the number excludes node/network latency, while the reference's
+    # ~1,000 blocks/s operational envelope (BASELINE.md) includes it;
+    # the comparison shows the engine is not the bottleneck. A small
+    # warmup read pays the one-time Python-worker spin-up outside the
+    # measurement, like any long-running backfill would.
+    from web3_flight_rpc_server_spark.sources.ethereum_rpc import (
+        EthereumLogsDataSource,
+    )
+
+    spark.dataSource.register(EthereumLogsDataSource)
+
+    def _ingest(n_blocks: int) -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.format("ethereum_logs")
+            .option("startBlock", 0).option("endBlock", n_blocks - 1)
+            .option("transport", "mock").option("maxBlockRange", 500)
+            .load().write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    _ingest(2_000)  # warmup: Python worker spin-up
+    ingest_blocks = 50_000
+    ingest_s = _ingest(ingest_blocks)
+
     oracle_timings: dict[str, float] = {}
     if time_oracle:
         import duckdb
@@ -122,6 +150,7 @@ def main() -> int:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "ingest_blocks_per_s": round(ingest_blocks / ingest_s),
         "sf": sf,
     }
     if oracle_timings:

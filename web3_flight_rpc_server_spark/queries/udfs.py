@@ -83,3 +83,50 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]
     )
+
+
+def geometric_mean_udaf():
+    """Grouped-aggregate pandas UDAF (C18's UDAF leg): geometric mean
+    of a double column per group. Arrow ships each group's values as
+    one pandas Series; Spark handles the groupBy shuffle, so the
+    Python cost is one vectorized numpy pass per group. Library
+    function (pytest-verified, not a registry slot — the UDF driver
+    slot belongs to q_pandas_udf_hexdecode)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        x = v.dropna().to_numpy(dtype="float64")
+        x = x[x > 0]
+        if not len(x):
+            return float("nan")
+        return float(np.exp(np.log(x).mean()))
+
+    return geo_mean
+
+
+def make_props_udtf():
+    """Python UDTF (C18's UDTF leg, Spark 4 ``@udtf``): explode a JSON
+    props string into (key, value) rows — the lateral-view shape for
+    schemaless payload columns. Built lazily (the decorator needs an
+    active session); callers register it with
+    ``spark.udtf.register("props_kv", make_props_udtf())`` and use it
+    in SQL as ``LATERAL props_kv(props)``."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, value string")
+    class PropsKV:
+        def eval(self, props: str):
+            if props is None:
+                return
+            try:
+                obj = json.loads(props)
+            except ValueError:
+                return
+            if isinstance(obj, dict):
+                for k in sorted(obj):
+                    yield str(k), str(obj[k])
+
+    return PropsKV
