@@ -124,3 +124,41 @@ def test_row_filter_matches_java_semantics(spark, logs_fixture, addrs, topics):
     )
     expected = _python_reference_filter(FIXTURE, addrs or None, topics or None)
     assert got == expected, f"addrs={addrs} topics={topics}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation equals union-find truth on arbitrary
+    graphs (self-loop-free; duplicates and both orientations allowed)."""
+    from web3_flight_rpc_server_spark.operators.components import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == truth

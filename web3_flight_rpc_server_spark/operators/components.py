@@ -42,6 +42,7 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.s == labels.node).select(
             F.col("d").alias("node"), "label"
@@ -61,6 +62,15 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Silent non-convergence would return WRONG clusters (labels
+        # mid-propagation); refuse instead — a graph this deep wants
+        # the large-star/small-star variant, not more rounds here.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving): component diameter exceeds "
+            "max_iter; raise max_iter or use a log-round algorithm"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, stopword_hits, tokens
 from ..operators.components import connected_components
-from ..operators.dedup import minhash_lsh_dedup_pairs
+from ..operators.dedup import _persisted, minhash_lsh_dedup_pairs
 from ..sources import tables
 
 REJECT_ORDER = (
@@ -84,14 +84,22 @@ def curation_rejects(docs: DataFrame,
     """(doc_id, reject_reason) for every rejected doc — the funnel's
     loss ledger. Docs absent from the result survive every gate."""
     toks = tokens("text")
-    feats = docs.select(
-        "doc_id",
-        "text",
-        _lang_pred(toks).alias("__lang"),
-        _quality(F.col("text"), toks).alias("__q"),
-        F.arrays_overlap(
-            toks, F.array(*[F.lit(w) for w in cfg.blocklist])
-        ).alias("__blocked"),
+    # The funnel's stage branches all derive from this projection; at
+    # 100 TB each branch would otherwise re-scan the corpus (14 scans
+    # measured in the unpersisted plan), so persist it once — the gate
+    # flags are a tiny fraction of the doc payload. Handle tracked by
+    # operators.dedup's cache ledger; hosts call release_caches()
+    # after the consuming action.
+    feats = _persisted(
+        docs.select(
+            "doc_id",
+            "text",
+            _lang_pred(toks).alias("__lang"),
+            _quality(F.col("text"), toks).alias("__q"),
+            F.arrays_overlap(
+                toks, F.array(*[F.lit(w) for w in cfg.blocklist])
+            ).alias("__blocked"),
+        )
     )
 
     lang_bad = feats.where(
@@ -112,9 +120,10 @@ def curation_rejects(docs: DataFrame,
         .where(F.col("doc_id") != F.col("__keep"))
         .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
     )
-    s3 = s2.join(
-        exact_losers.select("doc_id"), "doc_id", "left_anti"
-    ).select("doc_id", "text")
+    s3 = _persisted(
+        s2.join(exact_losers.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
 
     # near-dup: LSH pairs -> components -> min-id canonical survives
     pairs = minhash_lsh_dedup_pairs(s3, threshold=cfg.neardup_threshold)
