@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import round4
 from ..functions.text import STOPWORDS, stopword_hits, tokens
 from ..operators.components import connected_components
 from ..operators.dedup import _persisted, minhash_lsh_dedup_pairs
@@ -80,9 +81,17 @@ def _quality(text_col, toks) -> Column:
 
 
 def curation_rejects(docs: DataFrame,
-                     cfg: CurationConfig = CurationConfig()) -> DataFrame:
+                     cfg: CurationConfig = CurationConfig(),
+                     pairs_fn=None) -> DataFrame:
     """(doc_id, reject_reason) for every rejected doc — the funnel's
-    loss ledger. Docs absent from the result survive every gate."""
+    loss ledger. Docs absent from the result survive every gate.
+
+    ``pairs_fn(docs) -> (d1, d2, ...)`` overrides near-dup candidate
+    generation: default is MinHash-LSH (the scale path); the declared
+    q_curation_funnel passes the exact-Jaccard tier so the whole
+    funnel admits a SQL oracle. The quality gate compares the
+    4-decimal-rounded score, keeping the threshold decision identical
+    across engines."""
     toks = tokens("text")
     # The funnel's stage branches all derive from this projection; at
     # 100 TB each branch would otherwise re-scan the corpus (14 scans
@@ -95,7 +104,7 @@ def curation_rejects(docs: DataFrame,
             "doc_id",
             "text",
             _lang_pred(toks).alias("__lang"),
-            _quality(F.col("text"), toks).alias("__q"),
+            round4(_quality(F.col("text"), toks)).alias("__q"),
             F.arrays_overlap(
                 toks, F.array(*[F.lit(w) for w in cfg.blocklist])
             ).alias("__blocked"),
@@ -125,8 +134,11 @@ def curation_rejects(docs: DataFrame,
         .select("doc_id", "text")
     )
 
-    # near-dup: LSH pairs -> components -> min-id canonical survives
-    pairs = minhash_lsh_dedup_pairs(s3, threshold=cfg.neardup_threshold)
+    # near-dup: pairs -> components -> min-id canonical survives
+    if pairs_fn is None:
+        pairs = minhash_lsh_dedup_pairs(s3, threshold=cfg.neardup_threshold)
+    else:
+        pairs = pairs_fn(s3)
     comp = connected_components(pairs)
     near_losers = comp.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id"), F.lit("near_dup").alias("reject_reason")

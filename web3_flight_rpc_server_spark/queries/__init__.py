@@ -3,6 +3,7 @@ the registry in ``..registry``."""
 
 from . import (  # noqa: F401
     aggregates,
+    curation,
     dedup,
     grouping,
     joins,

@@ -1,0 +1,149 @@
+"""Declared end-to-end curation funnel (C25 + the C13/C10/C11/C20
+composition): every document routed to its first failing gate — or
+'kept' — with the ENTIRE funnel verified per-document against a
+single DuckDB oracle.
+
+The near-dup stage uses the exact-Jaccard pair tier here (instead of
+the default MinHash-LSH) precisely so the whole pipeline is
+SQL-expressible: the oracle rebuilds lang-ID, the rounded quality
+score, windowed exact dedup, pairwise Jaccard + WITH RECURSIVE
+connected components, survivor-scoped decontamination, and the
+blocklist probe, then routes each doc through the same CASE ladder.
+Each fragment mirrors an independently driver-verified query
+(q_text_stats, q_dedup, q_minhash_lsh/_JACCARD_ORACLE,
+q_dedup_clusters, q_contamination, q_blocklist_filter) — this entry
+verifies their COMPOSITION, including the stage-scoping rules (later
+gates only see earlier survivors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, stopword_hits_sql
+from ..operators.dedup import ngram_jaccard_pairs
+from ..pipelines.curation import CurationConfig, curation_rejects
+from ..registry import query
+from ..sources import tables
+
+
+def _funnel_oracle() -> str:
+    hits = {lang: stopword_hits_sql("ts", lang) for lang in STOPWORDS}
+    quality4 = """floor((
+          0.5 * least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
+        + 0.4 * (CAST(len(list_distinct(ts)) AS DOUBLE)
+                 / CAST(len(ts) AS DOUBLE))
+        + 0.1 * (1.0 - least(10.0 * CAST(len(regexp_extract_all(text,
+                 '[^a-zA-Z0-9 ]')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 1.0))
+    ) * 10000 + 0.5) / 10000"""
+    return f"""
+    WITH RECURSIVE gate AS (
+        SELECT doc_id, text, ts,
+               CASE
+                 WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                 WHEN h_en >= greatest(h_de, h_fr, h_es) THEN 'en'
+                 WHEN h_de >= greatest(h_fr, h_es) THEN 'de'
+                 WHEN h_fr >= h_es THEN 'fr'
+                 ELSE 'es'
+               END AS lang_pred,
+               {quality4} AS q4,
+               list_has_any(ts, ['slow', 'big']) AS blocked
+        FROM (
+            SELECT doc_id, text, ts,
+                   {hits['en']} AS h_en, {hits['de']} AS h_de,
+                   {hits['fr']} AS h_fr, {hits['es']} AS h_es
+            FROM (SELECT doc_id, text,
+                         string_split(lower(text), ' ') AS ts
+                  FROM documents)
+        )
+    ),
+    s2 AS (SELECT * FROM gate WHERE lang_pred = 'en' AND q4 >= 0.5),
+    exact AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM s2
+    ),
+    s3 AS (SELECT s2.* FROM s2 JOIN exact USING (doc_id)
+           WHERE doc_id = keep),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM s3, UNNEST(range(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2 FROM inter
+        JOIN szs z1 ON d1 = z1.doc_id
+        JOIN szs z2 ON d2 = z2.doc_id
+        WHERE i * 1.0 / (z1.n + z2.n - i) >= 0.3
+    ),
+    edges AS (
+        SELECT d1 AS s, d2 AS d FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+    s4 AS (
+        SELECT s3.* FROM s3 LEFT JOIN comp ON comp.node = s3.doc_id
+        WHERE comp.node IS NULL OR s3.doc_id = comp.cluster
+    ),
+    bk AS (
+        SELECT doc_id,
+               instr('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS bucket
+        FROM s4
+    ),
+    sh4 AS (SELECT sh.doc_id, shingle FROM sh JOIN s4 USING (doc_id)),
+    bench AS (SELECT DISTINCT shingle FROM sh4 JOIN bk USING (doc_id)
+              WHERE bucket = 15),
+    corp AS (SELECT sh4.doc_id, shingle FROM sh4 JOIN bk USING (doc_id)
+             WHERE bucket <> 15),
+    csz AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY doc_id),
+    hit AS (SELECT corp.doc_id, count(*) AS c
+            FROM corp JOIN bench USING (shingle) GROUP BY corp.doc_id),
+    contam AS (SELECT hit.doc_id FROM hit JOIN csz USING (doc_id)
+               WHERE c * 1.0 / n >= 0.5)
+    SELECT g.doc_id,
+           CASE
+             WHEN g.lang_pred <> 'en' THEN 'lang'
+             WHEN g.q4 < 0.5 THEN 'quality'
+             WHEN e.keep IS NOT NULL AND g.doc_id <> e.keep THEN 'exact_dup'
+             WHEN c.node IS NOT NULL AND g.doc_id <> c.cluster THEN 'near_dup'
+             WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN g.blocked THEN 'blocklist'
+             ELSE 'kept'
+           END AS stage
+    FROM gate g
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN comp c ON c.node = g.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = g.doc_id
+    """
+
+
+@query("q_curation_funnel", oracle=_funnel_oracle())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's funnel routing (first failing gate or 'kept'),
+    exact-Jaccard near-dup tier for SQL-oracle parity. The default
+    MinHash-LSH tier and the writer/split path are covered by
+    pipelines/curation.py + tests/test_curation.py."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    rejects = curation_rejects(
+        docs,
+        CurationConfig(),
+        pairs_fn=lambda d: ngram_jaccard_pairs(d, threshold=0.3),
+    )
+    return docs.join(rejects, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("reject_reason", F.lit("kept")).alias("stage"),
+    )

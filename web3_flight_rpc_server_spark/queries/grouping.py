@@ -162,9 +162,12 @@ def _pipeline_oracle() -> str:
     """
 
 
-@query("q_text_pipeline", oracle=_pipeline_oracle())
+@query("q_text_pipeline", oracle=_pipeline_oracle(), declared=False)
 def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data pipeline end to end in ONE plan: language +
+    """Undeclared since round 2: subsumed by q_curation_funnel (the
+    full funnel with per-doc routing oracle); stays bench/pytest-run.
+
+    The training-data pipeline end to end in ONE plan: language +
     length gate -> quality gate (lexical diversity, token floor) ->
     exact dedup keeping min id -> bag-of-words fingerprint. All gates
     are scan-level predicates (pushed) followed by one hash shuffle on
