@@ -126,3 +126,33 @@ def test_scan_project_reads_needed_columns_only(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
     assert len(m.group(1).split(",")) <= 7, m.group(1)
+
+
+def test_curation_funnel_plan_shape(spark, sf_dir):
+    """The funnel must stay cartesian-free, broadcast its tiny sides
+    (benchmark shingles, reject map), and reuse the persisted gate
+    projection instead of re-scanning the corpus per stage branch."""
+    from web3_flight_rpc_server_spark.operators.dedup import release_caches
+
+    try:
+        plan = plan_of(spark, "q_curation_funnel", sf_dir)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+            "stage branches must read the persisted gate projection"
+        )
+    finally:
+        release_caches()
+
+
+def test_dedup_clusters_single_pair_shuffle(spark, sf_dir):
+    """Cluster input = the exact-Jaccard pair pipeline; the pair
+    aggregation must keep its single-shuffle shape (no extra exchange
+    sneaks in via the component loop's edge prep)."""
+    from web3_flight_rpc_server_spark.operators.dedup import release_caches
+
+    try:
+        plan = plan_of(spark, "q_dedup_clusters", sf_dir)
+        assert "CartesianProduct" not in plan
+    finally:
+        release_caches()
