@@ -1,0 +1,126 @@
+"""Continuous curation (pipelines/streaming_curation.py): stateless
+gates on a stream + watermarked fingerprint dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("event_ts", T.TimestampType()),
+    ]
+)
+
+# long enough to clear the 100-token length-saturation and 0.3+
+# diversity terms of the quality score
+_GOOD = (
+    "the quick brown fox jumps over a lazy dog while many other "
+    "animals watch from the forest edge and some birds fly south "
+    "for the winter season bringing seeds berries and stories of "
+    "mountains rivers valleys deserts plains islands and oceans "
+    "that children hear each evening before sleep with wonder "
+    "and delight growing in their minds as every tale unfolds "
+    "slowly revealing distant lands strange creatures brave "
+    "heroes clever tricks lost treasures ancient maps hidden "
+    "doors and the quiet courage of small friends standing "
+    "together against the storm"
+)
+
+
+def _rows(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, text, lang, "test", len(text), base + dt.timedelta(seconds=60 * i))
+            for i, (text, lang) in enumerate(rows)
+        ],
+        DOCS_SCHEMA,
+    )
+
+
+def test_gates_and_fingerprint_dedup_on_stream(spark, tmp_path):
+    from web3_flight_rpc_server_spark.pipelines.streaming_curation import (
+        curate_stream,
+    )
+
+    shuffled = " ".join(reversed(_GOOD.split()))  # same bag of words
+    rows = [
+        (_GOOD, "en"),                       # 0: survives
+        (shuffled, "en"),                    # 1: near-copy -> deduped
+        (_GOOD + " seasons slow", "en"),     # 2: blocklist token
+        ("der hund und die katze " * 40, "de"),  # 3: lang gate
+        ("tiny", "en"),                      # 4: quality gate
+    ]
+    src = str(tmp_path / "docs")
+    _rows(spark, rows).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, "event_ts", "10 minutes")
+        .writeStream.format("memory").queryName("cur_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM cur_stream").collect()
+    assert [r.doc_id for r in got] == [0], [r.doc_id for r in got]
+    assert got[0].quality >= 0.5 and got[0].fingerprint
+
+    # the same gates run unchanged on a bounded relation
+    from web3_flight_rpc_server_spark.pipelines.streaming_curation import (
+        gate_stream,
+    )
+
+    batch = gate_stream(_rows(spark, rows))
+    ids = {r.doc_id for r in batch.collect()}
+    assert ids == {0, 1}, ids  # no dedup in gates-only mode
+
+
+def test_streaming_dedup_keeps_first_within_watermark(spark, tmp_path):
+    from web3_flight_rpc_server_spark.pipelines.streaming_curation import (
+        curate_stream,
+    )
+
+    src = str(tmp_path / "docs2")
+    # two micro-batches: original, then a shuffled copy arriving later
+    _rows(spark, [(_GOOD, "en")]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, "event_ts", "30 minutes")
+        .writeStream.format("memory").queryName("cur_stream2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shuffled = " ".join(reversed(_GOOD.split()))
+        import datetime as dt
+
+        spark.createDataFrame(
+            [(100, shuffled, "en", "test", len(shuffled),
+              dt.datetime(2026, 1, 1, 0, 5))],
+            DOCS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = [r.doc_id for r in spark.sql("SELECT * FROM cur_stream2").collect()]
+    assert ids == [0], f"late near-copy must be suppressed: {ids}"

@@ -1,0 +1,64 @@
+"""Continuous curation: the batch funnel's stateless gates applied to
+an unbounded document stream, with watermarked content dedup as the
+stateful stage.
+
+This is the ingest-time shape of pipelines/curation.py: documents
+arrive continuously (crawl drops, upload queues), each micro-batch is
+gated by the SAME expression predicates the batch funnel uses (lang
+allow-list, rounded quality threshold, term blocklist — stateless, so
+they apply verbatim to a stream), and near-duplicate suppression runs
+as dropDuplicatesWithinWatermark on the bag-of-words fingerprint:
+shuffled/reordered near-copies share a fingerprint, and state is
+evicted as the watermark advances, so the query runs forever in
+bounded memory. Cross-batch graph stages (connected components,
+corpus-wide decontamination) are batch jobs by nature — run them as
+periodic compaction over the curated sink, not in the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import round4
+from ..functions.text import tokens
+from .curation import CurationConfig, _lang_pred, _quality
+
+
+def gate_stream(docs: DataFrame,
+                cfg: CurationConfig = CurationConfig(),
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Apply the funnel's stateless gates to a (streaming or batch)
+    documents relation; survivors keep doc_id/text/lang plus the
+    rounded quality score, the order-insensitive fingerprint, and any
+    ``keep_cols`` passed through (e.g. the event-time column)."""
+    toks = tokens("text")
+    gated = docs.where(
+        _lang_pred(toks).isin(*cfg.allowed_langs)
+        & (round4(_quality(F.col("text"), toks)) >= cfg.min_quality)
+        & ~F.arrays_overlap(
+            toks, F.array(*[F.lit(w) for w in cfg.blocklist])
+        )
+    )
+    return gated.select(
+        "doc_id",
+        "text",
+        "lang",
+        round4(_quality(F.col("text"), toks)).alias("quality"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("fingerprint"),
+        *keep_cols,
+    )
+
+
+def curate_stream(docs: DataFrame, event_time: str, delay: str,
+                  cfg: CurationConfig = CurationConfig()) -> DataFrame:
+    """Gates + watermarked fingerprint dedup: within the lateness
+    bound, only the first doc with a given bag-of-words identity
+    survives; state evicts with the watermark."""
+    return (
+        gate_stream(docs, cfg, keep_cols=(event_time,))
+        .withWatermark(event_time, delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
