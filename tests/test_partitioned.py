@@ -44,3 +44,25 @@ def test_partition_count_matches_buckets(spark, tmp_path):
     for d in dirs:
         files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
         assert len(files) == 1
+
+
+def test_dynamic_partition_pruning_on_bucket_join(spark, tmp_path):
+    # DPP: when the pruning predicate only exists on the DIM side, the
+    # fact's PartitionFilters gets a dynamicpruning subquery fed by the
+    # dim's broadcast — directories are skipped at RUNTIME, the
+    # planner-native form of the reference's block-range scoping for
+    # joins (SURVEY.md section 4, partition pruning row).
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "logs_dpp")
+    write_partitioned_logs(_logs(spark), path, bucket_size=500)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(b, f"era{b}") for b in range(4)], "block_bucket INT, era STRING"
+    ).where(F.col("era") == "era2")
+    joined = fact.join(dim, "block_bucket")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:1500]
+    assert sorted(set(r.blockNumber for r in joined.collect())) == list(
+        range(1000, 1500)
+    )
