@@ -154,6 +154,123 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, length(text) AS nch,
+               string_split(lower(text), ' ') AS ts
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, nch, ts[i] || ' ' || ts[i+1] AS bigram
+        FROM tok, UNNEST(range(1, len(ts))) AS u(i)
+        WHERE len(ts) >= 2
+    ),
+    cnt AS (
+        SELECT doc_id, bigram, count(*) AS c, min(nch) AS nch
+        FROM bg GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id,
+               sum(c)   AS n_bigrams,
+               count(*) AS n_distinct,
+               max(c)   AS top_count,
+               max(lpad(CAST(c AS VARCHAR), 10, '0') || ':' || bigram)
+                        AS top_key,
+               coalesce(sum(c) FILTER (c > 1), 0) AS dup_bigrams,
+               min(nch) AS nch
+        FROM cnt GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT)   AS n_bigrams,
+           CAST(n_distinct AS BIGINT)  AS n_distinct_bigrams,
+           CAST(top_count AS BIGINT)   AS top_count,
+           substr(top_key, 12)         AS top_bigram,
+           CAST(dup_bigrams AS BIGINT) AS dup_bigrams,
+           floor((CAST(dup_bigrams AS DOUBLE) / n_bigrams) * 10000 + 0.5)
+               / 10000 AS dup_bigram_frac,
+           floor((CAST(top_count * length(substr(top_key, 12)) AS DOUBLE)
+                  / nch) * 10000 + 0.5) / 10000 AS top_bigram_char_frac
+    FROM agg
+"""
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document word-bigram multiset statistics over a
+    (doc_id, text) DataFrame — the library core behind q_repetition.
+    See that query's docstring for the semantics and scale argument."""
+    from ..functions.text import word_shingles
+
+    # Materialize the shingle array in its own Project before the
+    # Generate so the zip_with chain runs once per row, not once per
+    # exploded output element (see operators/dedup.py on Generate
+    # re-evaluation of non-attribute generator expressions).
+    bg = (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("__nch"),
+            word_shingles(tokens("text"), 2).alias("__bg"),
+        )
+        .select("doc_id", "__nch", F.explode("__bg").alias("bigram"))
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("c"), F.min("__nch").alias("nch")
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+        F.max(
+            F.concat(
+                F.lpad(F.col("c").cast("string"), 10, "0"),
+                F.lit(":"),
+                F.col("bigram"),
+            )
+        ).alias("top_key"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+        ).alias("dup_bigrams"),
+        F.min("nch").alias("nch"),
+    )
+    top_bigram = F.expr("substring(top_key, 12)")
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_distinct").cast("long").alias("n_distinct_bigrams"),
+        F.col("top_count").cast("long").alias("top_count"),
+        top_bigram.alias("top_bigram"),
+        F.col("dup_bigrams").cast("long").alias("dup_bigrams"),
+        round4(
+            F.col("dup_bigrams").cast("double") / F.col("n_bigrams")
+        ).alias("dup_bigram_frac"),
+        round4(
+            (F.col("top_count") * F.length(top_bigram)).cast("double")
+            / F.col("nch")
+        ).alias("top_bigram_char_frac"),
+    )
+
+
+@query("q_repetition", oracle=_REP_ORACLE)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality gate (the Gopher/Dolma repetition
+    rules): per-document word-bigram multiset statistics — total and
+    distinct bigram counts, the modal bigram and its frequency, the
+    fraction of bigram occurrences that are duplicates, and the
+    fraction of document characters covered by occurrences of the
+    modal bigram (Gopher's "top-2-gram character fraction").
+
+    Deliberately NOT the in-row HOF formulation: counting the modal
+    n-gram inside a lambda is O(distinct x total) per document in
+    interpreted higher-order functions — quadratic in document length.
+    Instead the bigrams are exploded and counted through two hash
+    aggregations, (doc_id, bigram) then doc_id — linear in corpus
+    token count, map-side partial aggregation on both, the same
+    shape at 100 TB. The modal bigram's tie-break is made
+    deterministic (and engine-portable) by max-ing the zero-padded
+    count concatenated with the bigram text, so ties resolve to the
+    lexicographically largest bigram on both engines."""
+    return repetition_stats(tables.load_table(spark, sf_dir, "documents"))
+
+
 _BLOCKLIST = ("slow", "big")
 
 _CONTAM_ORACLE = """

@@ -53,11 +53,17 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           >= 0.3
     """,
+    declared=False,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs at cosine >= 0.3 (the corpus
     maxes at ~0.51 so the threshold has margin). Brute-force tier;
-    q_ann_lsh is the scale path."""
+    q_ann_lsh is the scale path.
+
+    Undeclared (bench/parity-visible only) since round 2: the fenced
+    quadratic baseline ceded its CORRECTNESS slot to q_repetition;
+    C12's driver attestation rests on q_cosine_topk / q_ivf_topk /
+    q_ann_lsh, all of which scale."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     pairs = neardup_pairs_bruteforce(emb, threshold=0.3)
     return pairs.select("d1", "d2", round4(pairs.cos).alias("cos"))
