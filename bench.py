@@ -43,6 +43,7 @@ HEADLINE = [
     "q_cosine_topk",           # brute-force cosine top-k
     "q_ivf_topk",              # IVF-pruned approximate top-k
     "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint
+    "q_repetition",            # Gopher repeated-bigram gate (2 hash aggs)
     "q_train_split",           # deterministic hash-bucket split
     "q_scalar_subquery",       # subquery planning
 ]
@@ -54,6 +55,7 @@ def main() -> int:
     dump_plans = "--explain" in sys.argv
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from web3_flight_rpc_server_spark.operators.dedup import release_caches
     from web3_flight_rpc_server_spark.registry import all_queries
     from web3_flight_rpc_server_spark.session import get_spark
 
@@ -79,6 +81,13 @@ def main() -> int:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Release the dedup tiers' persisted intermediates after each
+        # timed action (outside the measured window), the same cache
+        # lifecycle the Flight server applies per request. Without
+        # this, 40+ sequential invocations accumulate executor storage
+        # and the resulting GC pressure corrupts later measurements
+        # (observed: a 31 s q_map_lookup in the warm pass).
+        release_caches()
 
     # Second invocation per query: first-run numbers carry ~0.3-0.5 s
     # of one-time codegen compilation and AQE re-planning per query; the
@@ -90,34 +99,55 @@ def main() -> int:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
+        release_caches()
 
     # Backfill ingest throughput through the live-source plumbing
-    # (Python DataSource, paged partitions). The mock transport makes
-    # this the ENGINE-side ceiling — rows are generated in-process, so
-    # the number excludes node/network latency, while the reference's
-    # ~1,000 blocks/s operational envelope (BASELINE.md) includes it;
-    # the comparison shows the engine is not the bottleneck. A small
-    # warmup read pays the one-time Python-worker spin-up outside the
-    # measurement, like any long-running backfill would.
-    from web3_flight_rpc_server_spark.sources.ethereum_rpc import (
-        EthereumLogsDataSource,
-    )
-
-    spark.dataSource.register(EthereumLogsDataSource)
-
-    def _ingest(n_blocks: int) -> float:
-        t0 = time.perf_counter()
-        (
-            spark.read.format("ethereum_logs")
-            .option("startBlock", 0).option("endBlock", n_blocks - 1)
-            .option("transport", "mock").option("maxBlockRange", 500)
-            .load().write.format("noop").mode("overwrite").save()
-        )
-        return time.perf_counter() - t0
-
-    _ingest(2_000)  # warmup: Python worker spin-up
+    # (Python DataSource, paged partitions), measured in a FRESH
+    # PROCESS: this figure's role is the ENGINE-SIDE ceiling, and
+    # sharing a JVM with the 44-invocation query loops contaminates
+    # it both ways — the loops' heap/GC debt depresses ingest 3-4x
+    # (9.6k vs 35k blocks/s), while running the 1M-row ingest first
+    # inflates the cold query totals ~3x. spark.stop() is not enough
+    # (py4j keeps the same JVM), so the measurement subprocesses. The
+    # mock transport generates rows in-process, so the number excludes
+    # node/network latency, while the reference's ~1,000 blocks/s
+    # operational envelope (BASELINE.md) includes it; the comparison
+    # shows the engine is not the backfill bottleneck. A warmup read
+    # inside the subprocess pays the one-time Python-worker spin-up
+    # outside the measurement, like any long-running backfill would;
+    # best-of-2 because single-shot throughput still ramps (JIT,
+    # worker reuse) and the reported number is a ceiling.
     ingest_blocks = 50_000
-    ingest_s = _ingest(ingest_blocks)
+    ingest_script = f"""
+import sys, time
+sys.path.insert(0, {REPO!r})
+from web3_flight_rpc_server_spark.session import get_spark
+from web3_flight_rpc_server_spark.sources.ethereum_rpc import EthereumLogsDataSource
+spark = get_spark("bench-ingest")
+spark.sparkContext.setLogLevel("ERROR")
+spark.dataSource.register(EthereumLogsDataSource)
+def ingest(n):
+    t0 = time.perf_counter()
+    (spark.read.format("ethereum_logs")
+     .option("startBlock", 0).option("endBlock", n - 1)
+     .option("transport", "mock").option("maxBlockRange", 500)
+     .load().write.format("noop").mode("overwrite").save())
+    return time.perf_counter() - t0
+ingest(2_000)
+print("INGEST_S", min(ingest({ingest_blocks}) for _ in range(2)))
+"""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-c", ingest_script],
+        capture_output=True, text=True, timeout=600,
+    )
+    ingest_s = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("INGEST_S "):
+            ingest_s = float(line.split()[1])
+    if ingest_s is None:
+        raise RuntimeError(f"ingest bench subprocess failed: {proc.stderr[-2000:]}")
 
     oracle_timings: dict[str, float] = {}
     if time_oracle:

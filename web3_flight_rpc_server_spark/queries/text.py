@@ -204,13 +204,35 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     # Generate so the zip_with chain runs once per row, not once per
     # exploded output element (see operators/dedup.py on Generate
     # re-evaluation of non-attribute generator expressions).
-    bg = (
-        docs.select(
+    # Round-robin the docs across the cluster BEFORE shingling: the
+    # corpus arrives as a handful of parquet splits, and the zip_with
+    # shingle chain is interpreted CPU work that would otherwise run
+    # on 1-2 input partitions (same rationale as q_text_stats /
+    # operators/dedup.py tokenize-before-exchange).
+    #
+    # Persist the ARRAYS before the explode (dedup.py's pattern, same
+    # cache ledger): without the barrier Catalyst infers a
+    # `size(__bg) > 0` filter from the Generate and pushes it below
+    # the repartition, inlining the whole zip_with chain into a
+    # Filter evaluated per row on the few INPUT partitions — the most
+    # expensive expression in the query runs 3x, two of them serial
+    # (measured: 2.1 s warm with the pushed filter, 4.9 s with
+    # explode_outer's inlined generator, 0.7 s with the cached
+    # barrier, sf0.1). Callers release via release_caches().
+    from ..operators.dedup import _persisted
+
+    spark = docs.sparkSession
+    shingled = _persisted(
+        docs.select("doc_id", F.length("text").alias("__nch"), "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
-            F.length("text").alias("__nch"),
+            "__nch",
             word_shingles(tokens("text"), 2).alias("__bg"),
         )
-        .select("doc_id", "__nch", F.explode("__bg").alias("bigram"))
+    )
+    bg = shingled.select(
+        "doc_id", "__nch", F.explode("__bg").alias("bigram")
     )
     cnt = bg.groupBy("doc_id", "bigram").agg(
         F.count("*").alias("c"), F.min("__nch").alias("nch")
@@ -314,11 +336,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, so it broadcasts — per-doc cost is one broadcast-hash
     probe per shingle plus a single partial-aggregated shuffle, linear
     in corpus size at 100 TB."""
-    from ..operators.dedup import shingle_sets
+    from ..operators.dedup import _persisted, shingle_sets
     from .sampling import _BUCKET_SPARK
 
     docs = tables.load_table(spark, sf_dir, "documents")
-    sets = shingle_sets(docs).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    # Persist the shingle arrays once: BOTH branches (benchmark
+    # blocklist + corpus probe) consume them, and the barrier keeps
+    # the Generate-inferred size() filters from re-inlining the
+    # shingle chain below the scan (see repetition_stats).
+    sets = _persisted(
+        shingle_sets(docs).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    )
     bench_sh = (
         sets.where(F.col("bucket") == 15)
         .select(F.explode("shs").alias("shingle"))
