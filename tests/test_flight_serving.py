@@ -127,3 +127,30 @@ def test_bounded_scan_shards_into_multiple_endpoints(client):
         sharded.sort_values(key).reset_index(drop=True)[key].values.tolist()
         == full.sort_values(key).reset_index(drop=True)[key].values.tolist()
     )
+
+
+def test_concurrent_tickets_share_the_scheduler(client, server, spark):
+    """Parallel do_get requests are served concurrently and correctly:
+    each handler thread tags its jobs with a private FAIR pool, so one
+    client's scan doesn't head-of-line-block another's (the reference
+    runs one virtual thread per subscription). Correctness under
+    concurrency is the assertion; fairness itself is a scheduler
+    property we only smoke here via the FAIR-mode conf."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tickets = [
+        {"dataset": "logs", "startBlock": 10, "endBlock": 30},
+        {"dataset": "logs", "startBlock": 20, "endBlock": 40},
+        {"dataset": "blocks", "startBlock": 5, "endBlock": 9},
+        {"dataset": "logs", "startBlock": 0, "endBlock": 100},
+    ]
+    with ThreadPoolExecutor(max_workers=len(tickets)) as pool:
+        frames = list(pool.map(lambda t: _get(client, t), tickets))
+    assert [len(f) for f in frames] == [3, 3, 5, 4]
+    # the engine session opts into FAIR scheduling (pool tags are
+    # inert under FIFO, so this documents the intended deployment)
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+    # handler threads clean up their pool tag
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+    )

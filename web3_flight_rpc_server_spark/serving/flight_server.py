@@ -76,6 +76,23 @@ class EngineFlightServer(flight.FlightServerBase):
 
     # -- Flight surface -------------------------------------------------
     def do_get(self, context, ticket: flight.Ticket):
+        # Each gRPC handler thread tags its Spark jobs with a private
+        # FAIR pool (pools materialize on demand): concurrent tickets
+        # then time-share the cluster round-robin instead of queueing
+        # behind an earlier large scan — the reference's
+        # one-virtual-thread-per-subscription concurrency model
+        # (Subscription.java) mapped onto Spark's scheduler. Local
+        # properties are per-thread (pinned-thread mode), so parallel
+        # handlers don't clobber each other; under a FIFO-mode session
+        # the tag is inert.
+        sc = self._spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"flight-{uuid.uuid4().hex[:8]}")
+        try:
+            return self._do_get(context, ticket)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    def _do_get(self, context, ticket: flight.Ticket):
         # map engine errors to FlightServerError uniformly so clients
         # get the reason, not a serialized traceback
         try:

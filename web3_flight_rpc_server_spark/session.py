@@ -66,6 +66,14 @@ def get_spark(app_name: str = "web3-flight-rpc-server-spark",
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # FAIR task scheduling so concurrent jobs (e.g. parallel Flight
+        # do_get requests, each in its own on-demand pool) share the
+        # cluster round-robin instead of head-of-line blocking behind
+        # a large earlier scan — the reference serves its subscriptions
+        # concurrently (one virtual thread each, Subscription.java).
+        # Static conf: only applies at context creation; pool tagging
+        # in the Flight server degrades harmlessly to FIFO otherwise.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
