@@ -124,3 +124,59 @@ def test_streaming_dedup_keeps_first_within_watermark(spark, tmp_path):
         q.stop()
     ids = [r.doc_id for r in spark.sql("SELECT * FROM cur_stream2").collect()]
     assert ids == [0], f"late near-copy must be suppressed: {ids}"
+
+
+def test_repetition_gate_rejects_spam(spark, tmp_path):
+    """The stateless duplicate-bigram ceiling (Gopher repetition rule,
+    in-row tier) drops degenerate repeated-phrase docs on the stream
+    while passing diverse text, with every other gate held permissive."""
+    from web3_flight_rpc_server_spark.pipelines.curation import CurationConfig
+    from web3_flight_rpc_server_spark.pipelines.streaming_curation import (
+        curate_stream, dup_bigram_frac, gate_stream,
+    )
+
+    cfg = CurationConfig(
+        allowed_langs=("unknown",), min_quality=0.0,
+        max_dup_bigram_frac=0.5,
+    )
+    rows = [
+        ("spam " * 40 + "spam", "en"),          # 0: dup frac ~1 -> reject
+        ("alpha beta gamma delta epsilon", "en"),  # 1: dup frac 0 -> keep
+    ]
+    src = str(tmp_path / "docs3")
+    _rows(spark, rows).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, "event_ts", "10 minutes", cfg)
+        .writeStream.format("memory").queryName("cur_rep")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = [r.doc_id for r in spark.sql("SELECT * FROM cur_rep").collect()]
+    assert ids == [1], ids
+
+    # the scalar itself, hand-checked on a bounded relation:
+    # "a b a b a" -> 4 bigrams, 2 distinct -> 0.5
+    from web3_flight_rpc_server_spark.functions.text import tokens
+
+    val = (
+        _rows(spark, [("a b a b a", "en")])
+        .select(dup_bigram_frac(tokens("text")).alias("f"))
+        .collect()[0].f
+    )
+    assert abs(val - 0.5) < 1e-9
+
+    # default config (ceiling 1.0) admits even fully repetitive docs
+    ids = {r.doc_id for r in gate_stream(
+        _rows(spark, rows),
+        CurationConfig(allowed_langs=("unknown",), min_quality=0.0),
+    ).collect()}
+    assert ids == {0, 1}, ids

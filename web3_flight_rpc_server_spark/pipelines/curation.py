@@ -54,6 +54,12 @@ class CurationConfig:
     blocklist: tuple[str, ...] = ("slow", "big")
     n_splits: int = 16
     holdout_splits: tuple[int, ...] = (0,)  # split bucket(s) -> "val"
+    # Stateless repetition ceiling (streaming gate tier): fraction of
+    # a doc's bigram occurrences that are duplicates, computed in-row
+    # (1 - distinct/total). 1.0 admits everything. The exact modal-
+    # bigram metrics are the batch q_repetition query; this bound is
+    # the per-row approximation a stream can evaluate without state.
+    max_dup_bigram_frac: float = 1.0
 
 
 def _lang_pred(toks) -> Column:

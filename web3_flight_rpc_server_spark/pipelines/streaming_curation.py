@@ -21,8 +21,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import round4
-from ..functions.text import tokens
+from ..functions.text import tokens, word_shingles
 from .curation import CurationConfig, _lang_pred, _quality
+
+
+def dup_bigram_frac(toks) -> F.Column:
+    """In-row duplicate-bigram fraction (1 - distinct/total bigrams):
+    the stateless tier of the Gopher repetition rule — O(doc length)
+    per row with no shuffle, so it gates a stream; the exact modal-
+    bigram metrics are the batch q_repetition query. Docs with fewer
+    than 2 bigrams score 0.0 (nothing can repeat)."""
+    bg = word_shingles(toks, 2)
+    n = F.size(bg)
+    return F.when(
+        n > 0,
+        1.0 - F.size(F.array_distinct(bg)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
 
 
 def gate_stream(docs: DataFrame,
@@ -39,6 +53,7 @@ def gate_stream(docs: DataFrame,
         & ~F.arrays_overlap(
             toks, F.array(*[F.lit(w) for w in cfg.blocklist])
         )
+        & (round4(dup_bigram_frac(toks)) <= cfg.max_dup_bigram_frac)
     )
     return gated.select(
         "doc_id",
