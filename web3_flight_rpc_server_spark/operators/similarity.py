@@ -49,14 +49,54 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Fixed-dimension dot product as an explicit element_at
+    multiply-add chain. Higher-order lambdas are INTERPRETED row by
+    row (no whole-stage codegen inside the lambda), which at sf1 made
+    the IVF query ~90x the oracle; unrolling the known dimension
+    keeps the whole expression inside codegen. The left-fold addition
+    order matches aggregate()'s exactly, so results are bit-identical
+    to the HOF tier. Requires every array to have >= dim elements
+    (ANSI element_at throws otherwise — true for the embeddings
+    fixture and any real fixed-dim embedding column)."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, i).cast("double")
+            * F.element_at(b, i).cast("double")
+        )
+    return acc
+
+
+def l2_norm_fixed(a: Column, dim: int) -> Column:
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen'd twin of cosine() for known-dimension columns."""
+    return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))
+
+
 def cosine_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
     """Exact top-k by cosine against a single query row (broadcast).
     Output (id, cos) ordered by cos desc with id tie-break.
-    Plan shape: scan + broadcast nested loop (1 row) + TakeOrdered."""
+    Plan shape: scan + broadcast nested loop (1 row) + TakeOrdered.
+    Pass ``dim`` for fixed-dimension corpora to use the codegen'd
+    unrolled score (bit-identical values, ~5x per-row)."""
     q = query.select(F.col(vec_col).alias("__qvec"))
+    score = (
+        cosine_fixed(F.col(vec_col), F.col("__qvec"), dim)
+        if dim is not None
+        else cosine(F.col(vec_col), F.col("__qvec"))
+    )
     scored = embeddings.crossJoin(F.broadcast(q)).select(
-        id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
+        id_col, score.alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 

@@ -37,7 +37,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles). Higher-order-function math, no UDF."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0)
-    topk = cosine_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
+    topk = cosine_topk(emb.where(F.col("vec_id") != 0), qvec, k=10, dim=64)
     return topk.select("vec_id", round4(topk.cos).alias("cos"))
 
 
@@ -69,37 +69,66 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round4(pairs.cos).alias("cos"))
 
 
-@query(
-    "q_ivf_topk",
-    oracle="""
-    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           floor((list_cosine_similarity(e.embedding::DOUBLE[],
+def _ivf_oracle(n_cells: int = 8, n_probe: int = 3) -> str:
+    """Partial-probe IVF oracle: DuckDB re-derives the SAME cell
+    assignment and probe list as the engine from the literal anchors
+    (cell_scores_sql replicates _dot_literal's products and fold
+    order, so scores agree bit for bit), prunes to the probe cells,
+    and ranks by exact cosine. This checks the pruning mechanism
+    itself — candidate set AND ranking — not just the degenerate
+    full-probe case."""
+    from ..operators.ivf import cell_scores_sql
+
+    corpus_scores = cell_scores_sql("e.embedding", n_cells)
+    query_scores = cell_scores_sql("q.embedding", n_cells)
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT (u.i - 1) AS cell
+        FROM (SELECT {query_scores} AS s FROM q) qs,
+             UNNEST(range(1, {n_cells + 1})) AS u(i)
+        ORDER BY qs.s[u.i] DESC, u.i ASC
+        LIMIT {n_probe}
+    ),
+    celled AS (
+        SELECT e.vec_id, e.embedding,
+               list_position(s, list_max(s)) - 1 AS cell
+        FROM (SELECT vec_id, embedding, {corpus_scores} AS s
+              FROM embeddings e WHERE vec_id <> 0) e(vec_id, embedding, s)
+    )
+    SELECT c.vec_id,
+           floor((list_cosine_similarity(c.embedding::DOUBLE[],
                                          q.embedding::DOUBLE[]))
                  * 10000 + 0.5) / 10000 AS cos
-    FROM embeddings e, q
-    WHERE e.vec_id <> 0
-    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
-             DESC, e.vec_id ASC
+    FROM celled c, q
+    WHERE c.cell IN (SELECT cell FROM probes)
+    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[])
+             DESC, c.vec_id ASC
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("q_ivf_topk", oracle=_ivf_oracle())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 against vec_id=0: nearest-anchor cell assignment
-    (literal-anchor argmax, no shuffle, no training pass) with cell
-    pruning. Run here at FULL probe (n_probe = n_cells), where IVF's
-    defining invariant — identical results to the exact scan — is
-    oracle-checked against brute-force cosine SQL. The scale knob is
-    n_probe < n_cells (the cell filter prunes the scan to ~n_probe/
-    n_cells of the corpus); partial-probe recall is corpus-dependent
-    and asserted in tests/test_winnowing_ivf.py rather than here (the
-    synthetic random embeddings have no cluster structure for IVF to
-    exploit, so a recall bound at n_probe=3 would be weak)."""
+    """IVF top-10 against vec_id=0 at PARTIAL probe (3 of 8 cells):
+    nearest-anchor cell assignment (literal-anchor argmax, no
+    shuffle, no training pass), probe-list pruning, exact cosine
+    ranking of the surviving ~n_probe/n_cells of the corpus.
+
+    The oracle replicates the assignment arithmetic (same literal
+    anchors, same IEEE products and left-fold order — see
+    cell_scores_sql), so the DuckDB twin derives the identical
+    candidate set and the driver's hash check covers the PRUNING
+    mechanism, not only the ranking. The full-probe == exact-scan
+    invariant stays asserted in tests/test_winnowing_ivf.py; the
+    100 TB path additionally materializes cells as partitions
+    (write_ivf_index) so probing prunes directories at plan time."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     topk = ivf_topk(
         emb.where(F.col("vec_id") != 0),
         emb.where(F.col("vec_id") == 0),
-        k=10, n_cells=8, n_probe=8,
+        k=10, n_cells=8, n_probe=3,
     )
     return topk.select("vec_id", round4(topk.cos).alias("cos"))
 
