@@ -341,10 +341,12 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. The pair join here
-    is all-pairs (fine at test scale); the scale path blocks on 16-bit
-    signature chunks first (a pair within Hamming<=3 of 64 bits shares
-    at least one of four 16-bit chunks exactly — pigeonhole)."""
+    """Near-dup pairs by SimHash Hamming distance, BLOCKED on 16-bit
+    signature chunks: a pair within Hamming<=3 of 64 bits must share
+    at least one of four 16-bit chunks exactly (pigeonhole), so the
+    join is a bucket equi-join on (chunk_idx, chunk) — exact for
+    max_hamming<=3, never all-pairs — followed by an in-row
+    bit_count(xor) verify of the candidates."""
     sh = simhash64(docs, id_col, text_col)
     chunks = sh.select(
         id_col, "simhash",
