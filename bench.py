@@ -44,6 +44,8 @@ HEADLINE = [
     "q_ivf_topk",              # IVF-pruned approximate top-k
     "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint
     "q_repetition",            # Gopher repeated-bigram gate (2 hash aggs)
+    "q_curation_funnel",       # full curation pipeline (gates->dedup->LSH->
+                               # components->decontam->blocklist), per-doc ledger
     "q_train_split",           # deterministic hash-bucket split
     "q_scalar_subquery",       # subquery planning
 ]

@@ -51,10 +51,16 @@ def _persisted(df: DataFrame) -> DataFrame:
 
 def release_caches() -> int:
     """Unpersist every cached intermediate created by this module since
-    the last release; returns the number of handles released."""
+    the last release; returns the number of handles released.
+
+    blocking=True: the default async unpersist leaves blocks resident
+    while the NEXT query runs — in a back-to-back workload (bench
+    loops, a busy Flight server) that storage pressure starves
+    execution memory and measured as multi-x slowdowns of unrelated
+    queries after a cache-heavy one."""
     n = 0
     while _CACHES:
-        _CACHES.pop().unpersist()
+        _CACHES.pop().unpersist(blocking=True)
         n += 1
     return n
 
