@@ -112,12 +112,29 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens("text").alias("__toks"),
         F.size(F.split(F.col("text"), " ")).cast("double").alias("__n_toks"),
     ).repartition(spark.sparkContext.defaultParallelism)
+    # Materialize the 4 per-language stopword hit counts in their OWN
+    # Project, like __toks above: the interpreted filter() lambda is
+    # re-evaluated at every downstream REFERENCE (best/pred/stop_ratio
+    # touch each count up to ~4x), and as multiply-referenced
+    # non-cheap expressions CollapseProject keeps these columns
+    # materialized — one filter pass per language per row instead of
+    # ~15. Modest in this query (~0.5 s of 5.5 s warm at sf1 — the
+    # fingerprint's sort/distinct and the BPE regex dominate), but
+    # the duplicated-lambda trap is the same one that cost 4x in
+    # q_repetition's filter, so the shape is worth locking in.
+    toked = toked.select(
+        "*",
+        *[
+            stopword_hits(F.col("__toks"), lang).alias(f"__h_{lang}")
+            for lang in STOPWORDS
+        ],
+    )
     toks = F.col("__toks")
     n_chars = F.length("text").cast("double")
     n_tokens = F.col("__n_toks")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
     n_punct = F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
-    hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
+    hits = {lang: F.col(f"__h_{lang}") for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     pred = (
         F.when(best == 0, "unknown")
