@@ -150,7 +150,63 @@ def test_concurrent_tickets_share_the_scheduler(client, server, spark):
     # the engine session opts into FAIR scheduling (pool tags are
     # inert under FIFO, so this documents the intended deployment)
     assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
-    # handler threads clean up their pool tag
+
+
+def test_handler_pool_tags_are_set_and_bounded(client, server, spark):
+    """Handler threads tag their jobs with a per-THREAD pool name: the
+    tag is observed from inside the handler (local properties are
+    per-thread, so checking from the pytest thread would be vacuous),
+    and repeated requests must REUSE names — a per-request name (the
+    old uuid scheme) leaks one scheduler pool per ticket forever,
+    because Spark never removes on-demand pools from rootPool."""
+    seen = []
+    orig = EngineFlightServer._do_get
+
+    def probe(self, context, ticket):
+        seen.append(
+            spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        )
+        return orig(self, context, ticket)
+
+    EngineFlightServer._do_get = probe
+    try:
+        for _ in range(12):
+            _get(client, {"dataset": "blocks", "startBlock": 5, "endBlock": 9})
+    finally:
+        EngineFlightServer._do_get = orig
+    assert len(seen) == 12
+    assert all(s and s.startswith("flight-") for s in seen)
+    # bounded: strictly fewer distinct pool names than requests proves
+    # names are keyed by handler thread, not minted per request
+    assert len(set(seen)) < 12
+
+
+def test_large_query_result_streams_in_bounded_batches(client, server, spark,
+                                                       sf_dir, monkeypatch):
+    """A scan-shaped query ticket above STREAM_THRESHOLD_ROWS must NOT
+    be driver-materialized in one piece: it is spilled by the executors
+    and served as multiple Arrow batches of at most SPILL_BATCH_ROWS.
+    Thresholds are shrunk so the fixture-scale q_scan_project (~hundreds
+    of rows at sf0.001) exercises the overflow path; content must match
+    the direct query result exactly."""
+    monkeypatch.setattr(EngineFlightServer, "STREAM_THRESHOLD_ROWS", 50)
+    monkeypatch.setattr(EngineFlightServer, "SPILL_BATCH_ROWS", 64)
+    reader = client.do_get(flight.Ticket(json.dumps(
+        {"dataset": "query", "name": "q_scan_project"}
+    ).encode()))
+    batches = [chunk.data for chunk in reader]
+    assert len(batches) > 1
+    assert all(b.num_rows <= 64 for b in batches)
+    import pyarrow as pa
+
+    served = pa.Table.from_batches(batches).to_pandas()
+    from web3_flight_rpc_server_spark.registry import all_queries
+
+    direct = all_queries()["q_scan_project"].fn(spark, sf_dir).toPandas()
+    assert len(served) == len(direct) > 50
+    key = sorted(served.columns)
     assert (
-        spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+        served.sort_values(key).reset_index(drop=True)[key].equals(
+            direct.sort_values(key).reset_index(drop=True)[key]
+        )
     )

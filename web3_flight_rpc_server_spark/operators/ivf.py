@@ -108,20 +108,29 @@ def probe_cells_for(query_vec, n_cells: int = 16, n_probe: int = 4,
 
 
 def _dot_sql(vec_expr: str, anchor_row: np.ndarray) -> str:
-    """DuckDB twin of _dot_literal: same products, same left-fold."""
+    """DuckDB twin of _dot_literal: same products, same left-fold.
+
+    Anchor constants are emitted as CAST('<repr>' AS DOUBLE), not bare
+    decimal literals: DuckDB parses a bare `0.123...` as DECIMAL and
+    its DECIMAL->DOUBLE conversion is NOT the correctly-rounded parse
+    Python/Spark use (measured: 116/1024 repr literals differed by an
+    ulp as DECIMAL, 0/1024 via the string cast). The string cast goes
+    through the same strtod path, so the per-term products — and hence
+    cell scores, argmax, and probe lists — agree bit for bit."""
     acc = "0.0"
     for i, v in enumerate(anchor_row, 1):
-        acc = f"({acc} + ({vec_expr}[{i}]::DOUBLE * {float(v)!r}))"
+        acc = f"({acc} + ({vec_expr}[{i}]::DOUBLE * CAST('{float(v)!r}' AS DOUBLE)))"
     return acc
 
 
 def cell_scores_sql(vec_expr: str, n_cells: int = 16, dim: int = 64) -> str:
     """DuckDB list expression of the K anchor dot products — the
     oracle-side twin of assign_cells' score array. Because anchors are
-    deterministic plan-time literals and both engines evaluate the
-    same IEEE double products in the same fold order, the scores (and
-    so the argmax cell and any probe list derived from them) agree
-    bit for bit across engines; `list_position(s, list_max(s)) - 1`
+    deterministic plan-time literals (emitted via a string CAST so
+    DuckDB's parse matches Spark's — see _dot_sql) and both engines
+    evaluate the same IEEE double products in the same fold order, the
+    scores (and so the argmax cell and any probe list derived from
+    them) agree bit for bit across engines; `list_position(s, list_max(s)) - 1`
     is the cell id, first-max tie-break matching array_position."""
     anchors = _anchors(n_cells, dim)
     return "[" + ", ".join(_dot_sql(vec_expr, a) for a in anchors) + "]"
@@ -164,8 +173,18 @@ def ivf_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
     scoring vs 0.8-1.2 s straight through, 20 k x 64 at sf1). At
     scale the real path is write_ivf_index + ivf_topk_partitioned,
     where assignment happens once at write time and probing prunes
-    partitions at plan time."""
-    qv = [float(v) for v in query.select(vec_col).first()[0]]
+    partitions at plan time.
+
+    `query` must contain EXACTLY one row; its vector is collected
+    eagerly at plan-build time to become the literal probe filter."""
+    qrows = query.select(vec_col).limit(2).collect()
+    if len(qrows) != 1 or qrows[0][0] is None:
+        raise ValueError(
+            "ivf_topk expects a single-row query DataFrame with a "
+            f"non-null {vec_col!r} column; got "
+            f"{'empty input' if not qrows else f'{len(qrows)}+ rows or a null vector'}"
+        )
+    qv = [float(v) for v in qrows[0][0]]
     probes = probe_cells_for(qv, n_cells, n_probe, dim)
     qlit = F.array(*[F.lit(v) for v in qv])
     # repartition: the corpus arrives as a couple of parquet splits

@@ -24,9 +24,11 @@ Parity notes:
   "sf_dir": ...} exposes the whole SURVEY §2 inventory over Flight —
   beyond-reference capability, same transport.
 
-Scale notes: a single do_get collects its (filtered, pruned) result to
-the driver before streaming — correct for serving query RESULTS (small
-by construction). For scan-shaped BOUNDED tickets, get_flight_info
+Scale notes: a single do_get collects small results (aggregates,
+top-k) zero-copy via toArrow; above STREAM_THRESHOLD_ROWS the result
+is executor-written to a parquet spill and streamed batch-by-batch, so
+driver memory stays bounded even for scan-shaped query tickets. For
+scan-shaped BOUNDED tickets, get_flight_info additionally
 shards the block range into multiple endpoints, each carrying the same
 ticket narrowed to a sub-range (the reference's own maxBlockRange
 paging, lifted to the Flight metadata plane): clients pull shards in
@@ -42,6 +44,9 @@ from __future__ import annotations
 
 import json
 import queue
+import shutil
+import tempfile
+import threading
 import uuid
 
 import pyarrow as pa
@@ -84,9 +89,17 @@ class EngineFlightServer(flight.FlightServerBase):
         # (Subscription.java) mapped onto Spark's scheduler. Local
         # properties are per-thread (pinned-thread mode), so parallel
         # handlers don't clobber each other; under a FIFO-mode session
-        # the tag is inert.
+        # the tag is inert. The pool name is keyed by the handler
+        # thread, NOT a per-request uuid: Spark materializes on-demand
+        # pools into the scheduler's rootPool and never removes them,
+        # so uuid-named pools grow without bound on a busy server —
+        # per-thread names give identical fairness (local properties
+        # are per-thread anyway) with a pool count bounded by the gRPC
+        # thread pool size.
         sc = self._spark.sparkContext
-        sc.setLocalProperty("spark.scheduler.pool", f"flight-{uuid.uuid4().hex[:8]}")
+        sc.setLocalProperty(
+            "spark.scheduler.pool", f"flight-{threading.get_ident()}"
+        )
         try:
             return self._do_get(context, ticket)
         finally:
@@ -109,14 +122,57 @@ class EngineFlightServer(flight.FlightServerBase):
                 df = plan_request(req, logs=self._logs, blocks=self._blocks)
         except ValueError as e:
             raise flight.FlightServerError(str(e))
-        table = df.toArrow()
+        # Small results (aggregates, top-k — the overwhelming ticket
+        # mix) collect zero-copy via toArrow. A scan-shaped result is
+        # probed first with a CollectLimit (Spark stops the job as soon
+        # as threshold+1 rows arrive, so the probe is cheap) and, when
+        # it overflows, streamed via a bounded spill instead of a full
+        # driver materialization.
+        probe = df.limit(self.STREAM_THRESHOLD_ROWS + 1).toArrow()
+        stream = None
+        if probe.num_rows > self.STREAM_THRESHOLD_ROWS:
+            stream = self._spill_stream(df)
         if obj.get("dataset") == "query":
             # long-lived host: drop any intermediates the dedup tiers
-            # persisted during this query (cache lifecycle contract)
+            # persisted during this query (cache lifecycle contract).
+            # Safe before returning the spill stream: the spill write
+            # already executed the query; only file reads remain.
             from ..operators.dedup import release_caches
 
             release_caches()
-        return flight.RecordBatchStream(table)
+        return stream if stream is not None else flight.RecordBatchStream(probe)
+
+    STREAM_THRESHOLD_ROWS = 10_000
+    SPILL_BATCH_ROWS = 8_192
+
+    def _spill_stream(self, df: DataFrame) -> flight.GeneratorStream:
+        """Serve a large result without materializing it on the driver:
+        the executors write the result to parquet in parallel (columnar,
+        JVM-side — no row-at-a-time Python conversion, unlike a
+        toLocalIterator loop), then the handler streams Arrow record
+        batches file-by-file, holding at most one SPILL_BATCH_ROWS
+        batch in driver memory. At cluster scale the spill dir lives on
+        shared storage, so any server instance can serve the batches —
+        the handoff carries files, not a pointer into one JVM's heap."""
+        import pyarrow.parquet as pq
+
+        spill_dir = tempfile.mkdtemp(prefix="flight_spill_")
+        df.write.mode("overwrite").parquet(spill_dir)
+        dataset = pq.ParquetDataset(spill_dir)
+        schema = dataset.schema
+
+        def generate():
+            try:
+                for fragment_path in dataset.files:
+                    pf = pq.ParquetFile(fragment_path)
+                    for batch in pf.iter_batches(
+                        batch_size=self.SPILL_BATCH_ROWS
+                    ):
+                        yield batch
+            finally:
+                shutil.rmtree(spill_dir, ignore_errors=True)
+
+        return flight.GeneratorStream(schema, generate())
 
     def _serve_unbounded(self, req: ClientRequest) -> flight.GeneratorStream:
         """The reference's hybrid hand-off over one do_get: historical
