@@ -61,3 +61,36 @@ def test_curation_rejects_are_first_failing_gate(spark, sf_dir):
     ids = [r.doc_id for r in rejects]
     assert len(ids) == len(set(ids)), "doc charged to multiple stages"
     assert {r.reject_reason for r in rejects} <= set(REJECT_ORDER)
+
+
+def test_lsh_and_exact_funnels_agree_on_kept_set(spark, sf_dir):
+    """The production near-dup tier (MinHash-LSH, pairs_fn=None) and
+    the oracle-friendly exact-Jaccard tier (what q_curation_funnel
+    declares) must route every document identically at fixture scale:
+    LSH candidates are exact-verified before rejecting, so any
+    divergence means the banding missed a true >=threshold pair. This
+    pins the driver-attested artifact to the 100 TB code path."""
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+    from web3_flight_rpc_server_spark.pipelines.curation import curation_rejects
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    try:
+        exact = {
+            (r.doc_id, r.reject_reason)
+            for r in curation_rejects(
+                docs, pairs_fn=lambda d: ngram_jaccard_pairs(d, threshold=0.3)
+            ).collect()
+        }
+        lsh = {
+            (r.doc_id, r.reject_reason)
+            for r in curation_rejects(docs, pairs_fn=None).collect()
+        }
+    finally:
+        release_caches()
+    assert lsh == exact
+    assert any(reason == "near_dup" for _, reason in exact), (
+        "parity is vacuous unless the near-dup gate fires at this sf"
+    )

@@ -32,6 +32,28 @@ def count_nodes(plan: str, node: str) -> int:
     return len(re.findall(rf"^\(\d+\) {node}$", plan, re.M))
 
 
+def final_plan_of(spark, name: str, sf_dir: str) -> str:
+    """Execute the query and return ONLY the AQE final-plan sections of
+    its adaptive plan dump. AdaptiveSparkPlan.toString interleaves
+    '== Final Plan ==' / '== Initial Plan ==' blocks (nested ones too,
+    via cached relations); a naive substring check over the whole dump
+    reads pre-AQE join choices as if they were executed."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()
+    dump = df._jdf.queryExecution().executedPlan().toString()
+    keep, out = True, []
+    for line in dump.split("\n"):
+        if "== Final Plan ==" in line:
+            keep = True
+            continue
+        if "== Initial Plan ==" in line:
+            keep = False
+            continue
+        if keep:
+            out.append(line)
+    return "\n".join(out)
+
+
 def test_range_scan_pushes_filters(spark, sf_dir):
     plan = plan_of(spark, "q_range_scan", sf_dir)
     assert "PushedFilters" in plan
@@ -141,6 +163,29 @@ def test_curation_funnel_plan_shape(spark, sf_dir):
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
             "stage branches must read the persisted gate projection"
         )
+        # the exact-dup ledger must be min-per-key + join-back, never a
+        # collect_list of every duplicate id in one aggregation buffer
+        # (unbounded per-key state = skewed-key OOM on boilerplate text)
+        assert "collect_list" not in plan
+    finally:
+        release_caches()
+
+
+def test_curation_funnel_aqe_executes_broadcast_joins(spark, sf_dir):
+    """The funnel's static plan carries SortMergeJoins for the reject
+    anti-joins and the final docs-to-rejects left join (correct at
+    100 TB, where reject sets are NOT broadcastable); at fixture scale
+    the reject sides are tiny, so AQE must convert every one of them
+    to a broadcast in the EXECUTED plan. A regression that defeats the
+    runtime conversion (e.g. a conf change or a shape AQE can't
+    restat) would silently tax every small-scale run."""
+    from web3_flight_rpc_server_spark.operators.dedup import release_caches
+
+    try:
+        final = final_plan_of(spark, "q_curation_funnel", sf_dir)
+        assert "isFinalPlan=true" in final
+        assert "SortMergeJoin" not in final
+        assert "BroadcastQueryStage" in final
     finally:
         release_caches()
 

@@ -16,8 +16,9 @@ how production pipelines report funnel losses):
     6. blocklist   token set intersects the term blocklist
 
 Scale shape: stages 1-2 and 6 are expression gates in the document
-scan (no shuffle); stage 3 is one hash shuffle on md5(text) — the
-content never shuffles twice; stage 4 is the LSH candidate pipeline
+scan (no shuffle); stage 3 shuffles only (doc_id, md5(text)) pairs —
+min-per-key then join-back, bounded per-key state, the document
+payload never shuffles; stage 4 is the LSH candidate pipeline
 (single signature shuffle, bucket join) plus O(diameter) component
 rounds over the tiny pair graph; stage 5 broadcasts the DISTINCT
 benchmark shingle set and probes it linearly. Later stages only see
@@ -127,11 +128,19 @@ def curation_rejects(docs: DataFrame,
     )
     s2 = s1.where(F.col("__q") >= cfg.min_quality)
 
-    # exact dedup: one shuffle on the content hash, min id survives
+    # exact dedup: min-id-per-key, then join the docs back on the key
+    # and reject everyone but the keeper. Two shuffles on the same
+    # key, both with BOUNDED per-key state: min() partial-aggregates
+    # map-side, and the join streams dup rows past a single keeper row
+    # (AQE splits skewed keys). The earlier collect_list ledger
+    # buffered every duplicate id of a key in one aggregation buffer —
+    # at 100 TB a boilerplate page duplicated millions of times is
+    # exactly the hottest key, i.e. a guaranteed skewed-key OOM. Same
+    # (key -> min id) contract as operators.dedup.exact_dedup.
+    keyed = s2.select("doc_id", F.md5("text").alias("__key"))
+    keepers = keyed.groupBy("__key").agg(F.min("doc_id").alias("__keep"))
     exact_losers = (
-        s2.groupBy(F.md5("text").alias("__key"))
-        .agg(F.min("doc_id").alias("__keep"), F.collect_list("doc_id").alias("__ids"))
-        .select(F.explode("__ids").alias("doc_id"), "__keep")
+        keyed.join(keepers, "__key")
         .where(F.col("doc_id") != F.col("__keep"))
         .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
     )
