@@ -136,3 +136,34 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, tmp_path):
     assert scanned.count() == direct.count()
     recall = len({r.vec_id for r in part_df.collect()} & set(exact)) / 10
     assert recall >= 0.3, f"partitioned ivf recall {recall}"
+
+
+def test_declared_q_ivf_topk_is_the_partitioned_path(spark, sf_dir):
+    """The driver-attested q_ivf_topk must BE the 100 TB plan: its
+    scan reads the materialized cell-partitioned index with the probe
+    list as a plan-time PartitionFilter — not the in-situ variant that
+    scans the full corpus and assigns cells at read time."""
+    import re
+
+    from web3_flight_rpc_server_spark.registry import all_queries
+
+    df = all_queries()["q_ivf_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)\]", plan)
+    assert m, f"no partition filter in declared q_ivf_topk plan:\n{plan}"
+    assert len(m.group(1).split(",")) == 3  # n_probe of 8 cells
+
+
+def test_ivf_topk_rejects_empty_and_multirow_query(spark, sf_dir):
+    """The eager single-row collect in ivf_topk must fail loudly, not
+    with a TypeError on an empty query or by silently picking an
+    arbitrary row from a multi-row one."""
+    import pytest
+
+    from web3_flight_rpc_server_spark.sources import tables
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="single-row"):
+        ivf_topk(emb, emb.where(F.col("vec_id") < 0), n_cells=8)
+    with pytest.raises(ValueError, match="single-row"):
+        ivf_topk(emb, emb.where(F.col("vec_id") < 2), n_cells=8)

@@ -16,6 +16,9 @@ product never exists.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -85,6 +88,25 @@ def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
     assign_cells(embeddings, n_cells, dim, vec_col).write.partitionBy(
         "cell"
     ).mode("overwrite").parquet(path)
+
+
+_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def ivf_index_for(corpus: DataFrame, cache_key: tuple, n_cells: int = 16,
+                  dim: int = 64, vec_col: str = "embedding") -> str:
+    """Materialize (once per process per cache_key) the cell-partitioned
+    index for a corpus and return its path. The first call pays the
+    write — exactly the amortization a deployment does: the index is
+    built once and every subsequent query prunes directories at plan
+    time. cache_key must identify the corpus + layout params (e.g.
+    (sf_dir, n_cells, dim)); a changed corpus needs a new key."""
+    path = _INDEX_CACHE.get(cache_key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix="ivf_index_")
+        write_ivf_index(corpus, path, n_cells, dim, vec_col)
+        _INDEX_CACHE[cache_key] = path
+    return path
 
 
 def probe_cells_for(query_vec, n_cells: int = 16, n_probe: int = 4,

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import round4
-from ..operators.ivf import ivf_topk
+from ..operators.ivf import ivf_index_for, ivf_topk_partitioned
 from ..operators.similarity import (
     cosine_topk,
     neardup_pairs_bruteforce,
@@ -111,24 +111,31 @@ def _ivf_oracle(n_cells: int = 8, n_probe: int = 3) -> str:
 
 @query("q_ivf_topk", oracle=_ivf_oracle())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 against vec_id=0 at PARTIAL probe (3 of 8 cells):
-    nearest-anchor cell assignment (literal-anchor argmax, no
-    shuffle, no training pass), probe-list pruning, exact cosine
-    ranking of the surviving ~n_probe/n_cells of the corpus.
+    """IVF top-10 against vec_id=0 at PARTIAL probe (3 of 8 cells),
+    served from the PARTITIONED index — the 100 TB code path is the
+    driver-attested artifact: write_ivf_index materializes one
+    directory per nearest-anchor cell (assignment paid once, at write
+    time, memoized per process), and the probe list becomes a literal
+    partition filter, so the scan never lists, opens, or schedules the
+    non-probed ~5/8 of the corpus (PartitionFilters in explain —
+    asserted in tests/test_winnowing_ivf.py).
 
     The oracle replicates the assignment arithmetic (same literal
     anchors, same IEEE products and left-fold order — see
     cell_scores_sql), so the DuckDB twin derives the identical
     candidate set and the driver's hash check covers the PRUNING
-    mechanism, not only the ranking. The full-probe == exact-scan
-    invariant stays asserted in tests/test_winnowing_ivf.py; the
-    100 TB path additionally materializes cells as partitions
-    (write_ivf_index) so probing prunes directories at plan time."""
+    mechanism, not only the ranking. The in-situ variant (assignment
+    at read time, no index) remains in operators.ivf.ivf_topk with its
+    full-probe == exact-scan invariant pytest-pinned."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
-    topk = ivf_topk(
+    index_path = ivf_index_for(
         emb.where(F.col("vec_id") != 0),
-        emb.where(F.col("vec_id") == 0),
-        k=10, n_cells=8, n_probe=3,
+        cache_key=(sf_dir, 8, 64),
+        n_cells=8,
+    )
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = ivf_topk_partitioned(
+        spark, index_path, qv, k=10, n_cells=8, n_probe=3,
     )
     return topk.select("vec_id", round4(topk.cos).alias("cos"))
 
