@@ -4,8 +4,17 @@ factor, one JSON line on stdout.
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
         python bench.py [--oracle] [--explain]
 
-Each query is materialized JVM-side with a noop write (full execution,
-no driver collect, no Python serialization in the measurement).
+Protocol (round 3+): cold numbers are the PER-QUERY MEDIAN over
+SPARK_GRAFT_BENCH_REPS (default 3) repetitions, each in a FRESH
+process/JVM — single-shot cold timings on a shared box carry ±50%
+startup/GC variance (BASELINE.md), which round 2 showed is easily
+mistaken for a work regression. Per-query [min, max] spread is
+reported alongside so an outlier repetition is visible instead of
+silently folded in. Warm numbers are medians of each process's second
+invocation (steady-state service cost). Each query is materialized
+JVM-side with a noop write (full execution, no driver collect, no
+Python serialization in the measurement).
+
 --oracle additionally times DuckDB running the oracle SQL on the same
 parquet (recorded in BASELINE.md); --explain dumps formatted physical
 plans to bench_plans.txt for shuffle/pushdown review.
@@ -15,6 +24,8 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -41,7 +52,7 @@ HEADLINE = [
     "q_dedup_jaccard",         # shingle self-join pairwise jaccard
     "q_minhash_lsh",           # MinHash-LSH near-dup pipeline
     "q_cosine_topk",           # brute-force cosine top-k
-    "q_ivf_topk",              # IVF-pruned approximate top-k
+    "q_ivf_topk",              # IVF index build (memoized) + pruned top-k
     "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint
     "q_repetition",            # Gopher repeated-bigram gate (2 hash aggs)
     "q_curation_funnel",       # full curation pipeline (gates->dedup->LSH->
@@ -51,12 +62,11 @@ HEADLINE = [
 ]
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    time_oracle = "--oracle" in sys.argv
-    dump_plans = "--explain" in sys.argv
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
+def run_single_pass(sf_dir: str, dump_plans: bool) -> int:
+    """One cold+warm measurement pass in THIS process; prints a JSON
+    line {"queries": ..., "queries_warm": ...}. Invoked as a fresh
+    subprocess per repetition so every cold number pays the same
+    JVM/codegen startup, none inherits another repetition's heap."""
     from web3_flight_rpc_server_spark.operators.dedup import release_caches
     from web3_flight_rpc_server_spark.registry import all_queries
     from web3_flight_rpc_server_spark.session import get_spark
@@ -103,22 +113,32 @@ def main() -> int:
         warm[name] = round(time.perf_counter() - t0, 3)
         release_caches()
 
-    # Backfill ingest throughput through the live-source plumbing
-    # (Python DataSource, paged partitions), measured in a FRESH
-    # PROCESS: this figure's role is the ENGINE-SIDE ceiling, and
-    # sharing a JVM with the 44-invocation query loops contaminates
-    # it both ways — the loops' heap/GC debt depresses ingest 3-4x
-    # (9.6k vs 35k blocks/s), while running the 1M-row ingest first
-    # inflates the cold query totals ~3x. spark.stop() is not enough
-    # (py4j keeps the same JVM), so the measurement subprocesses. The
-    # mock transport generates rows in-process, so the number excludes
-    # node/network latency, while the reference's ~1,000 blocks/s
-    # operational envelope (BASELINE.md) includes it; the comparison
-    # shows the engine is not the backfill bottleneck. A warmup read
-    # inside the subprocess pays the one-time Python-worker spin-up
-    # outside the measurement, like any long-running backfill would;
-    # best-of-2 because single-shot throughput still ramps (JIT,
-    # worker reuse) and the reported number is a ceiling.
+    if dump_plans:
+        with open(os.path.join(REPO, "bench_plans.txt"), "w") as f:
+            f.write("\n\n".join(plans))
+
+    print("PASS_JSON " + json.dumps({"queries": timings, "queries_warm": warm}))
+    spark.stop()
+    return 0
+
+
+def measure_ingest() -> float:
+    """Backfill ingest throughput through the live-source plumbing
+    (Python DataSource, paged partitions), measured in a FRESH
+    PROCESS: this figure's role is the ENGINE-SIDE ceiling, and
+    sharing a JVM with the query loops contaminates it both ways —
+    the loops' heap/GC debt depresses ingest 3-4x (9.6k vs 35k
+    blocks/s), while running the 1M-row ingest first inflates cold
+    query totals ~3x. spark.stop() is not enough (py4j keeps the same
+    JVM), so the measurement subprocesses. The mock transport
+    generates rows in-process, so the number excludes node/network
+    latency, while the reference's ~1,000 blocks/s operational
+    envelope (BASELINE.md) includes it; the comparison shows the
+    engine is not the backfill bottleneck. A warmup read inside the
+    subprocess pays the one-time Python-worker spin-up outside the
+    measurement, like any long-running backfill would; best-of-2
+    because single-shot throughput still ramps (JIT, worker reuse)
+    and the reported number is a ceiling."""
     ingest_blocks = 50_000
     ingest_script = f"""
 import sys, time
@@ -138,23 +158,61 @@ def ingest(n):
 ingest(2_000)
 print("INGEST_S", min(ingest({ingest_blocks}) for _ in range(2)))
 """
-    import subprocess
-
     proc = subprocess.run(
         [sys.executable, "-c", ingest_script],
         capture_output=True, text=True, timeout=600,
     )
-    ingest_s = None
     for line in proc.stdout.splitlines():
         if line.startswith("INGEST_S "):
-            ingest_s = float(line.split()[1])
-    if ingest_s is None:
-        raise RuntimeError(f"ingest bench subprocess failed: {proc.stderr[-2000:]}")
+            return ingest_blocks / float(line.split()[1])
+    raise RuntimeError(f"ingest bench subprocess failed: {proc.stderr[-2000:]}")
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    time_oracle = "--oracle" in sys.argv
+    dump_plans = "--explain" in sys.argv
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--single-pass" in sys.argv:
+        return run_single_pass(sf_dir, dump_plans)
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    passes: list[dict] = []
+    for i in range(reps):
+        args = [sys.executable, os.path.abspath(__file__), "--single-pass"]
+        if dump_plans and i == 0:
+            args.append("--explain")
+        proc = subprocess.run(args, capture_output=True, text=True,
+                              timeout=1800, env=os.environ)
+        payload = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("PASS_JSON "):
+                payload = json.loads(line[len("PASS_JSON "):])
+        if payload is None:
+            raise RuntimeError(
+                f"bench pass {i} failed: {proc.stderr[-2000:]}"
+            )
+        passes.append(payload)
+
+    def median_and_spread(key: str) -> tuple[dict, dict]:
+        med, spread = {}, {}
+        for name in HEADLINE:
+            vals = sorted(p[key][name] for p in passes)
+            med[name] = round(statistics.median(vals), 3)
+            spread[name] = [vals[0], vals[-1]]
+        return med, spread
+
+    cold, cold_spread = median_and_spread("queries")
+    warm, warm_spread = median_and_spread("queries_warm")
 
     oracle_timings: dict[str, float] = {}
     if time_oracle:
         import duckdb
 
+        from web3_flight_rpc_server_spark.registry import all_queries
+
+        registry = all_queries()
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.cpu_count()}")
         for t in ("region nation customer supplier part orders lineitem "
@@ -170,26 +228,24 @@ print("INGEST_S", min(ingest({ingest_blocks}) for _ in range(2)))
             con.execute(oracle).fetchall()
             oracle_timings[name] = round(time.perf_counter() - t0, 3)
 
-    if dump_plans:
-        with open(os.path.join(REPO, "bench_plans.txt"), "w") as f:
-            f.write("\n\n".join(plans))
-
-    total = round(sum(timings.values()), 3)
+    total = round(sum(cold.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": cold,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
-        "ingest_blocks_per_s": round(ingest_blocks / ingest_s),
+        "reps": reps,
+        "queries_spread": cold_spread,
+        "queries_warm_spread": warm_spread,
+        "ingest_blocks_per_s": round(measure_ingest()),
         "sf": sf,
     }
     if oracle_timings:
         out["oracle_queries"] = oracle_timings
         out["oracle_total"] = round(sum(oracle_timings.values()), 3)
     print(json.dumps(out))
-    spark.stop()
     return 0
 
 

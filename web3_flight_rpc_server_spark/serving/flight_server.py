@@ -68,8 +68,10 @@ class EngineFlightServer(flight.FlightServerBase):
                  stream_dir: str | None = None,
                  checkpoint_root: str | None = None,
                  realtime_max_batches: int | None = None,
-                 realtime_poll_timeout_s: float = 30.0):
+                 realtime_poll_timeout_s: float = 30.0,
+                 realtime_trigger_ms: int | None = None):
         super().__init__(location)
+        self._realtime_trigger_ms = realtime_trigger_ms
         self._spark = spark
         self._logs = logs
         self._blocks = blocks
@@ -118,7 +120,7 @@ class EngineFlightServer(flight.FlightServerBase):
             else:
                 req = ClientRequest.from_json(ticket.ticket)
                 if req.mode in (RequestMode.HYBRID, RequestMode.REALTIME):
-                    return self._serve_unbounded(req)
+                    return self._serve_unbounded(req, obj)
                 df = plan_request(req, logs=self._logs, blocks=self._blocks)
         except ValueError as e:
             raise flight.FlightServerError(str(e))
@@ -174,11 +176,19 @@ class EngineFlightServer(flight.FlightServerBase):
 
         return flight.GeneratorStream(schema, generate())
 
-    def _serve_unbounded(self, req: ClientRequest) -> flight.GeneratorStream:
+    def _serve_unbounded(self, req: ClientRequest,
+                         obj: dict | None = None) -> flight.GeneratorStream:
         """The reference's hybrid hand-off over one do_get: historical
         batches first, then live micro-batches as they arrive
         (Subscription.java BACKFILLING->STREAMING). Ordering matches
-        its subscription test: backfill, buffered realtime, live."""
+        its subscription test: backfill, buffered realtime, live.
+
+        Latency knob: the ticket's ``triggerMs`` (or the server-level
+        ``realtime_trigger_ms``) sets the micro-batch processing-time
+        trigger of the tail query. Arrival lag is bounded by trigger
+        interval + batch execution — the micro-batch analog of the
+        reference's push latency; omit for as-fast-as-possible
+        replanning (lag = execution time only)."""
         if self._logs is None or self._stream_dir is None:
             raise flight.FlightServerError(
                 "unbounded tickets need a server configured with a "
@@ -205,11 +215,16 @@ class EngineFlightServer(flight.FlightServerBase):
             if plan.tail is None:
                 return
             ckpt = f"{self._checkpoint_root}/{uuid.uuid4().hex}"
-            q = (
+            writer = (
                 plan.tail.writeStream.foreachBatch(sink)
                 .option("checkpointLocation", ckpt)
-                .start()
             )
+            trigger_ms = (obj or {}).get("triggerMs", self._realtime_trigger_ms)
+            if trigger_ms:
+                writer = writer.trigger(
+                    processingTime=f"{int(trigger_ms)} milliseconds"
+                )
+            q = writer.start()
             served = 0
             try:
                 while (

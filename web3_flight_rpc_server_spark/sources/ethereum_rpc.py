@@ -14,6 +14,12 @@ DataSource API, Spark 4) reproducing the reference's source operators:
 - A18 fault tolerance: one reconnect-and-retry on connection errors
       (LogsService.java:567-577,646-662); anything beyond that is
       Spark task retry (spark.task.maxFailures)
+- A19 in-stream self-healing: the STREAM readers retry connection
+      failures in-process with exponential backoff (default 3 s
+      doubling to 60 s, bounded attempts — the reference's reconnect
+      envelope, LogsService.java:306-351) in both the head probe and
+      the partition fetch; only after the attempt budget does the
+      failure surface and checkpoint-restart take over
 
 Transports are injected: ``mock`` (deterministic synthetic logs
 mirroring the reference's test-data generator — alternating Transfer/
@@ -67,13 +73,72 @@ class BlockRangePartition(InputPartition):
     end: int
 
 
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Connection-error retry envelope. The batch path keeps the
+    reference's recreate-and-retry-once (attempts=2, no sleep,
+    LogsService.java:567-577); the stream path defaults to the
+    reference's reconnect loop (3 s doubling to 60 s,
+    LogsService.java:306-351) so a transport that dies MID-STREAM
+    heals in-process instead of failing the query. Exhausting the
+    attempt budget re-raises — the documented fallback is Spark task
+    retry (batch) or checkpoint-restart (stream)."""
+
+    attempts: int = 2
+    initial_delay_s: float = 0.0
+    max_delay_s: float = 0.0
+
+    @classmethod
+    def from_options(cls, options: dict, attempts: int,
+                     initial_ms: int, max_ms: int) -> "RetryPolicy":
+        return cls(
+            attempts=max(1, int(options.get("retryattempts", attempts))),
+            initial_delay_s=int(
+                options.get("retryinitialdelayms", initial_ms)
+            ) / 1000.0,
+            max_delay_s=int(options.get("retrymaxdelayms", max_ms)) / 1000.0,
+        )
+
+    def call(self, fn, *args):
+        import time as _time
+
+        delay = self.initial_delay_s
+        for attempt in range(self.attempts):
+            try:
+                return fn(*args)
+            except TransportConnectionError:
+                if attempt == self.attempts - 1:
+                    raise
+                if delay > 0:
+                    _time.sleep(delay)
+                delay = min(max(delay * 2, self.initial_delay_s),
+                            self.max_delay_s)
+
+
+# Stream-path defaults: the reference's reconnect envelope.
+STREAM_RETRY_ATTEMPTS = 5
+STREAM_RETRY_INITIAL_MS = 3_000   # LogsService.java:306 initial backoff
+STREAM_RETRY_MAX_MS = 60_000      # LogsService.java:351 cap
+
+
+def _parse_call_range(spec: str | None) -> tuple[int, int] | None:
+    """'2:4' -> (2, 4); 1-based inclusive call numbers."""
+    if not spec:
+        return None
+    lo, _, hi = spec.partition(":")
+    return int(lo), int(hi or lo)
+
+
 def make_mock_transport(logs_per_block: int = 2, overflow_limit: int | None = None,
-                        fail_first_call: bool = False):
+                        fail_first_call: bool = False,
+                        fail_call_range: tuple[int, int] | None = None):
     """Deterministic synthetic transport. Emits ``logs_per_block`` logs
     per block with alternating Transfer/Approval topic0 (mirroring the
     reference generator); raises TransportOverflow when a request
     would return more than ``overflow_limit`` rows (to exercise A13)
-    and optionally one connection error on the first call (A18).
+    and optionally connection errors — on the first call (A18) or for
+    an inclusive 1-based window of call numbers (``fail_call_range``,
+    simulating a transport that dies mid-stream and recovers, A19).
     State is a mutable cell captured by the closure — safe because
     each worker gets its own deserialized copy."""
     transfer = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
@@ -85,6 +150,10 @@ def make_mock_transport(logs_per_block: int = 2, overflow_limit: int | None = No
         state["calls"] += 1
         if fail_first_call and state["calls"] == 1:
             raise TransportConnectionError("connection reset (simulated)")
+        if fail_call_range and fail_call_range[0] <= state["calls"] <= fail_call_range[1]:
+            raise TransportConnectionError(
+                f"transport down (simulated, call {state['calls']})"
+            )
         n_rows = (to_block - from_block + 1) * logs_per_block
         if overflow_limit is not None and n_rows > overflow_limit:
             raise TransportOverflow(OVERFLOW_MARKERS[0])
@@ -191,11 +260,16 @@ class EthereumLogsReader(DataSourceReader):
                     if "mockoverflowlimit" in options else None
                 ),
                 fail_first_call=options.get("mockfailfirstcall") == "true",
+                fail_call_range=_parse_call_range(options.get("mockfailcalls")),
             )
         elif transport == "http":
             self.fetch = make_http_transport(options["rpcurl"])
         else:
             raise ValueError(f"unknown transport: {transport!r}")
+        # Batch default: the reference's recreate-and-retry-once (A18).
+        # Stream readers overwrite this with the backoff envelope.
+        self.retry = RetryPolicy.from_options(options, attempts=2,
+                                              initial_ms=0, max_ms=0)
 
     def partitions(self):
         # A12: inclusive maxBlockRange pages (LogsService.java:509-521)
@@ -231,11 +305,11 @@ class EthereumLogsReader(DataSourceReader):
             )
 
     def _fetch_with_retry(self, start: int, end: int):
-        try:
-            return self.fetch(start, end, self.addresses, self.topics)
-        except TransportConnectionError:
-            # recreate-and-retry once (LogsService.java:567-577)
-            return self.fetch(start, end, self.addresses, self.topics)
+        # batch: recreate-and-retry once (LogsService.java:567-577);
+        # stream: backoff envelope (the stream reader swaps self.retry)
+        return self.retry.call(
+            self.fetch, start, end, self.addresses, self.topics
+        )
 
 
 def make_latest_probe(options: dict):
@@ -245,7 +319,29 @@ def make_latest_probe(options: dict):
     transport = options.get("transport", "mock")
     if transport == "mock":
         latest = int(options.get("mocklatestblock", options.get("endblock", 0)))
-        return lambda: latest
+        fail_range = _parse_call_range(options.get("mockprobefailcalls"))
+        # optional simulated chain cadence: the head advances one block
+        # every mockHeadAdvanceMs of wall-clock (for latency-envelope
+        # tests; a static head needs only one probe ever)
+        advance_ms = int(options.get("mockheadadvancems", 0))
+        state: dict = {"calls": 0, "t0": None}
+
+        def mock_probe() -> int:
+            import time as _time
+
+            state["calls"] += 1
+            if fail_range and fail_range[0] <= state["calls"] <= fail_range[1]:
+                raise TransportConnectionError(
+                    f"head probe down (simulated, call {state['calls']})"
+                )
+            if not advance_ms:
+                return latest
+            if state["t0"] is None:
+                state["t0"] = _time.monotonic()
+            elapsed_ms = (_time.monotonic() - state["t0"]) * 1000.0
+            return latest + int(elapsed_ms / advance_ms)
+
+        return mock_probe
     rpc_url = options["rpcurl"]
 
     def probe() -> int:
@@ -283,23 +379,58 @@ class EthereumLogsStreamReader(DataSourceStreamReader):
     subscription starts at startBlock (the backfill planner sets it to
     high_water+1 for realtime-only requests). maxBlocksPerBatch caps
     per-batch backlog (throughput shaping, the maxFilesPerTrigger
-    analog); recovery replays any offset range deterministically, so
-    the WSS heartbeat/reconnect machinery (A19) is subsumed by
-    checkpoint-restart."""
+    analog).
+
+    A19 self-healing: head probes and partition fetches retry
+    connection errors in-process with the reference's backoff envelope
+    (retryAttempts/retryInitialDelayMs/retryMaxDelayMs options,
+    default 5 attempts at 3 s doubling to 60 s,
+    LogsService.java:306-351). A transport outage longer than the
+    budget surfaces as query failure; recovery replays any offset
+    range deterministically, so checkpoint-restart closes whatever the
+    in-process loop couldn't — no gap, no replay.
+
+    Latency envelope (vs the reference's push WebSocket): event
+    arrival lag is bounded by head-poll cadence + micro-batch
+    execution, not by push delivery. ``pollIntervalMs`` rate-limits
+    the eth_blockNumber probe (between probes latestOffset reports
+    the last known head, so no new micro-batch is planned); 0 probes
+    on every cycle, i.e. as fast as the engine replans. With Ethereum's
+    ~12 s block cadence a pollIntervalMs of a few seconds adds nothing
+    observable; see README 'Realtime latency model'."""
 
     def __init__(self, options: dict):
         self._reader = EthereumLogsReader(options)
+        self._reader.retry = RetryPolicy.from_options(
+            options, STREAM_RETRY_ATTEMPTS,
+            STREAM_RETRY_INITIAL_MS, STREAM_RETRY_MAX_MS,
+        )
         self._probe = make_latest_probe(options)
         self._start = int(options.get("startblock", 0))
         self._max_per_batch = int(options.get("maxblocksperbatch", 0)) or None
         self._last_end = self._start  # throughput-cap bookkeeping only
+        self._poll_interval_s = int(options.get("pollintervalms", 0)) / 1000.0
+        self._last_probe_t: float | None = None
+        self._known_head = self._start - 1
 
     def initialOffset(self) -> dict:
         return {"block": self._start}
 
     def latestOffset(self) -> dict:
-        head = self._probe()
-        nxt = head + 1
+        import time as _time
+
+        in_window = (
+            self._poll_interval_s
+            and self._last_probe_t is not None
+            and _time.monotonic() - self._last_probe_t < self._poll_interval_s
+        )
+        if not in_window:
+            # probe the node; inside the poll window the cached head
+            # serves instead, so known backlog keeps draining at full
+            # speed while the node sees at most one probe per window
+            self._known_head = self._reader.retry.call(self._probe)
+            self._last_probe_t = _time.monotonic()
+        nxt = self._known_head + 1
         if self._max_per_batch is not None:
             nxt = min(nxt, self._last_end + self._max_per_batch)
         nxt = max(nxt, self._last_end)
@@ -424,6 +555,8 @@ class EthereumBlocksReader(DataSourceReader):
             self.fetch = make_http_blocks_transport(options["rpcurl"])
         else:
             raise ValueError(f"unknown transport: {transport!r}")
+        self.retry = RetryPolicy.from_options(options, attempts=2,
+                                              initial_ms=0, max_ms=0)
 
     def partitions(self):
         pages = []
@@ -436,10 +569,7 @@ class EthereumBlocksReader(DataSourceReader):
 
     def read(self, partition: BlockRangePartition):
         for number in range(partition.start, partition.end + 1):
-            try:
-                blk = self.fetch(number)
-            except TransportConnectionError:
-                blk = self.fetch(number)  # retry once (A18)
+            blk = self.retry.call(self.fetch, number)
             if blk is None:
                 continue  # beyond head: the reference stops paging
             yield (
@@ -475,21 +605,38 @@ class EthereumBlocksStreamReader(DataSourceStreamReader):
     polls the head per micro-batch and point-looks-up the new blocks,
     with engine-checkpointed block-number offsets — identical offset
     semantics to EthereumLogsStreamReader, per-block fetch instead of
-    range fetch."""
+    range fetch, same A19 in-stream retry envelope and pollIntervalMs
+    probe rate limit."""
 
     def __init__(self, options: dict):
         self._reader = EthereumBlocksReader(options)
+        self._reader.retry = RetryPolicy.from_options(
+            options, STREAM_RETRY_ATTEMPTS,
+            STREAM_RETRY_INITIAL_MS, STREAM_RETRY_MAX_MS,
+        )
         self._probe = make_latest_probe(options)
         self._start = int(options.get("startblock", 0))
         self._max_per_batch = int(options.get("maxblocksperbatch", 0)) or None
         self._last_end = self._start
+        self._poll_interval_s = int(options.get("pollintervalms", 0)) / 1000.0
+        self._last_probe_t: float | None = None
+        self._known_head = self._start - 1
 
     def initialOffset(self) -> dict:
         return {"block": self._start}
 
     def latestOffset(self) -> dict:
-        head = self._probe()
-        nxt = head + 1
+        import time as _time
+
+        in_window = (
+            self._poll_interval_s
+            and self._last_probe_t is not None
+            and _time.monotonic() - self._last_probe_t < self._poll_interval_s
+        )
+        if not in_window:
+            self._known_head = self._reader.retry.call(self._probe)
+            self._last_probe_t = _time.monotonic()
+        nxt = self._known_head + 1
         if self._max_per_batch is not None:
             nxt = min(nxt, self._last_end + self._max_per_batch)
         nxt = max(nxt, self._last_end)
