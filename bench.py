@@ -51,6 +51,9 @@ HEADLINE = [
     "q_dedup",                 # exact dedup
     "q_dedup_jaccard",         # shingle self-join pairwise jaccard
     "q_minhash_lsh",           # MinHash-LSH near-dup pipeline
+    "q_simhash",               # SimHash fingerprints + chunk-blocked pairs
+    "q_winnow_overlap",        # winnowing substring-overlap pairs
+    "q_bm25",                  # BM25 relevance top-k
     "q_cosine_topk",           # brute-force cosine top-k
     "q_ivf_topk",              # IVF index build (memoized) + pruned top-k
     "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint

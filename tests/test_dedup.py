@@ -153,3 +153,58 @@ def test_dedup_keep_canonical_drops_losers_only(spark, sf_dir):
     losers = {n for n, c in comp.items() if n != c}
     assert kept_ids == (all_ids - losers)
     assert canonicals <= kept_ids
+
+
+def test_md5_bridge_hash_matches_duckdb(spark):
+    """functions/hashing.py cross-engine contract: the 60-bit
+    md5-prefix hash must be bit-identical in Spark and DuckDB for
+    ASCII, UTF-8 multibyte, quotes, and the empty string — this is
+    what lets q_simhash / q_winnow_overlap carry true SQL oracles."""
+    import duckdb
+
+    from web3_flight_rpc_server_spark.functions import (
+        MD5_PREFIX60_SQL,
+        md5_prefix60,
+    )
+
+    vals = ["hello", "WORLD", "café", "123", "'s", " ", "", "a b'c\"d"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_prefix60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT " + MD5_PREFIX60_SQL.format("?"), [v]
+        ).fetchone()[0]
+        assert got[v] == want, (v, got[v], want)
+        assert 0 <= got[v] < 2 ** 60
+
+
+def test_simhash_md5_tier_blocking_is_exact(spark, sf_dir):
+    """The declared q_simhash uses the md5-bridge hash; its 16-bit
+    chunk blocking must lose nothing vs brute-force all-pairs at
+    hamming <= 3 (pigeonhole exactness, asserted per hash tier)."""
+    from web3_flight_rpc_server_spark.functions import md5_prefix60
+    from web3_flight_rpc_server_spark.operators.dedup import simhash64
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    blocked = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash_pairs(docs, 3, hash_fn=md5_prefix60).collect()
+    }
+    sh = simhash64(docs, hash_fn=md5_prefix60)
+    l, r = sh.alias("l"), sh.alias("r")
+    brute = {
+        (row.d1, row.d2, row.hamming)
+        for row in (
+            l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(
+                F.col("l.doc_id").alias("d1"),
+                F.col("r.doc_id").alias("d2"),
+                F.bit_count(
+                    F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= 3)
+        ).collect()
+    }
+    assert blocked == brute

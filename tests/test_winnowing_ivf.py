@@ -167,3 +167,32 @@ def test_ivf_topk_rejects_empty_and_multirow_query(spark, sf_dir):
         ivf_topk(emb, emb.where(F.col("vec_id") < 0), n_cells=8)
     with pytest.raises(ValueError, match="single-row"):
         ivf_topk(emb, emb.where(F.col("vec_id") < 2), n_cells=8)
+
+
+def test_winnow_md5_tier_guarantee_and_determinism(spark):
+    """The declared q_winnow_overlap uses the md5-bridge hash; the
+    winnowing guarantee (shared substring >= w+k-1 chars shares >= 1
+    fingerprint) and determinism must hold for that tier too."""
+    from web3_flight_rpc_server_spark.functions import md5_prefix60
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different sentence with other words here"),
+            (3, "prefix text then the quick brown fox jumps over something"),
+            (4, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(docs, hash_fn=md5_prefix60).collect()
+    }
+    fp2 = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(docs, hash_fn=md5_prefix60).collect()
+    }
+    assert fp == fp2
+    assert fp[4] == set()
+    assert fp[1] & fp[3], "long shared substring must share a fingerprint"
+    assert all(0 <= h < 2 ** 60 for hs in fp.values() for h in hs)

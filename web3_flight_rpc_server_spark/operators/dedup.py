@@ -27,6 +27,7 @@ shingles, mirroring what AQE skew-split does for joins.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -307,16 +308,23 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              hash_fn: Callable[[Column], Column] | None = None) -> DataFrame:
     """64-bit SimHash over unigram tokens: for each bit, sum +-1 of the
     token hashes' bit values; fingerprint bit = 1 iff the sum > 0.
     Output (id, simhash: bigint). Pairwise near-dups = small Hamming
     distance (bit_count(a XOR b)).
 
+    ``hash_fn`` defaults to xxhash64 (production tier); pass
+    ``functions.hashing.md5_prefix60`` for the cross-engine bridge
+    tier the DuckDB oracle can replicate bit-for-bit (its top 4 bits
+    are always 0, which only means those fingerprint bits never vote).
+
     Shape: hash each token ONCE into a materialized column, then 64
     conditional-sum aggregates in a single groupBy (one shuffle with
     map-side partials) — not a 64x posexplode row blowup, and the
     token hash is an attribute so nothing re-evaluates per bit."""
+    hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     toked = _persisted(
         docs.select(id_col, tokens(text_col).alias("__toks")).repartition(
             docs.sparkSession.sparkContext.defaultParallelism
@@ -324,7 +332,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     )
     hashed = toked.select(
         id_col, F.explode("__toks").alias("tok")
-    ).select(id_col, F.xxhash64("tok").alias("h"))
+    ).select(id_col, hash_fn(F.col("tok")).alias("h"))
 
     def bit_sum(bit: int) -> Column:
         is_set = F.call_function(
@@ -346,14 +354,15 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  hash_fn: Callable[[Column], Column] | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, BLOCKED on 16-bit
     signature chunks: a pair within Hamming<=3 of 64 bits must share
     at least one of four 16-bit chunks exactly (pigeonhole), so the
     join is a bucket equi-join on (chunk_idx, chunk) — exact for
     max_hamming<=3, never all-pairs — followed by an in-row
     bit_count(xor) verify of the candidates."""
-    sh = simhash64(docs, id_col, text_col)
+    sh = simhash64(docs, id_col, text_col, hash_fn)
     chunks = sh.select(
         id_col, "simhash",
         F.posexplode(

@@ -15,6 +15,8 @@ pitfall only bites when the lambda references an expression tree).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -23,12 +25,19 @@ from .dedup import _persisted
 
 def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        hash_fn: Callable[[Column], Column] | None = None,
+                        ) -> DataFrame:
     """(id, fingerprints: array<bigint> distinct winnowed hashes).
 
     Defaults (k=12, w=6) target substring matches of >= 17 chars —
     short k on a repetitive vocabulary makes every document share
-    fingerprints and the downstream pair join quadratic."""
+    fingerprints and the downstream pair join quadratic.
+
+    ``hash_fn`` defaults to xxhash64 (production tier); pass
+    ``functions.hashing.md5_prefix60`` for the oracle-bridge tier
+    DuckDB reproduces bit-for-bit."""
+    hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     text = F.lower(F.col(text_col))
     # k-gram rolling hashes; empty when the doc is shorter than k
     n_grams = F.length(text) - (k - 1)
@@ -41,7 +50,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
     )
     hashed = spread.select(
         id_col,
-        F.transform(grams, lambda i: F.xxhash64(F.substring(text, i, k))).alias("hs"),
+        F.transform(grams, lambda i: hash_fn(F.substring(text, i, k))).alias("hs"),
     )
     # windowed minima: min over each w-slice, then distinct
     n_windows = F.size("hs") - (w - 1)
@@ -59,7 +68,9 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
 def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
                               k: int = 12, w: int = 6, max_df: int = 50,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              hash_fn: Callable[[Column], Column] | None = None,
+                              ) -> DataFrame:
     """Pairs sharing >= min_shared winnowed fingerprints (d1 < d2) —
     substring-overlap candidates.
 
@@ -73,7 +84,9 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
     # re-evaluates its generator expression per output element, so an
     # unmaterialized winnow expression would be recomputed ~|fps|
     # times per doc (measured 50x slowdown).
-    arrays = _persisted(winnow_fingerprints(docs, k, w, id_col, text_col))
+    arrays = _persisted(
+        winnow_fingerprints(docs, k, w, id_col, text_col, hash_fn)
+    )
     fp = arrays.select(id_col, F.explode("fingerprints").alias("fp"))
     rare = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
         F.col("df") <= max_df

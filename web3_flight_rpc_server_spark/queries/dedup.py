@@ -1,10 +1,13 @@
 """Deduplication queries (north-star C10/C11) over documents.
 
-The exact tiers (hash dedup, pairwise n-gram Jaccard) are oracle
-checked against DuckDB. The sketch tiers (MinHash-LSH, SimHash) are
-rows-only — their hash values are engine-specific — but each is
-verified in tests/test_dedup.py against the exact tier (recall of the
-true near-dup pairs).
+Every tier is oracle-checked against DuckDB: the exact tiers (hash
+dedup, pairwise n-gram Jaccard) directly; MinHash-LSH against the
+exact-Jaccard SQL (candidates are exact-verified, banded recall is
+complete on this corpus); SimHash and winnowing via the md5-bridge
+hash (functions/hashing.py) that both engines compute bit-identically,
+so the DuckDB twin recomputes the very same fingerprints and checks
+the blocked pair generation by brute force. Each sketch tier is
+additionally verified corpus-independently in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -12,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import round4
+from ..functions import MD5_PREFIX60_SQL, md5_prefix60, round4
 from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_pairs,
@@ -153,24 +156,114 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round4(pairs.jaccard).alias("jaccard"))
 
 
-def winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling k-gram hash, windowed minima) substring
-    overlap pairs — detects shared passages rather than whole-doc
-    near-dups; stop-fingerprint df-cap prevents join skew
-    (operators/winnowing.py). Not a registry entry: its xxhash
-    fingerprints admit no SQL oracle and the driver window is budgeted
-    for oracle-backed queries; guarantees are pytest-asserted in
-    tests/test_winnowing_ivf.py."""
+def _simhash_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
+    """All-pairs SimHash SQL twin over the md5-bridge hash.
+
+    Recomputes the full fingerprint pipeline in DuckDB — tokenize,
+    60-bit md5-prefix token hash (functions/hashing.py, bit-identical
+    to the Spark column), 60 conditional-sum bit votes, fingerprint
+    fold, then brute-force bit_count(xor) over all pairs. The Spark
+    side blocks candidates on 16-bit chunks (pigeonhole-exact for
+    Hamming <= 3), so a hash match proves the BLOCKING loses nothing,
+    not just that the fingerprint math agrees. Bits 60-63 of the hash
+    are always 0, so their vote sums are -n_tokens < 0 and those
+    fingerprint bits are 0 on both sides — the oracle only materializes
+    the 60 live bits."""
+    h = MD5_PREFIX60_SQL.format("tok")
+    sums = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) AS s{b}"
+        for b in range(n_bits)
+    )
+    fold = " + ".join(
+        f"(case when s{b} > 0 then {2 ** b} else 0 end)" for b in range(n_bits)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {h} AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM sums)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("q_simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 3 (C11 sketch
+    tier): per-token hash, 64 conditional-sum bit votes in ONE groupBy
+    (map-side partials, single shuffle), then candidate generation by
+    16-bit chunk blocking — a pair within Hamming <= 3 must agree
+    exactly on >= 1 of 4 chunks (pigeonhole), so the join is a bucket
+    equi-join, never all-pairs — and an in-row bit_count(xor) verify.
+
+    Declared with the md5-bridge hash (functions/hashing.py) so the
+    DuckDB oracle can recompute the identical fingerprints and check
+    the pairs by brute force; production callers keep the xxhash64
+    default (same plan, cheaper hash). Blocking exactness is also
+    asserted corpus-independently in tests/test_dedup.py."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=3, hash_fn=md5_prefix60)
+    return pairs.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _winnow_oracle(k: int = 12, w: int = 6, max_df: int = 20,
+                   min_shared: int = 8) -> str:
+    """Winnowing SQL twin: character k-gram rolling hashes
+    (md5-bridge), per-position window minima via a frame window
+    function, distinct fingerprints, the same stop-fingerprint df cap,
+    and the pair self-join with the shared-count floor."""
+    h = MD5_PREFIX60_SQL.format(f"substr(t, CAST(i AS INT), {k})")
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, lower(text) AS t,
+               len(lower(text)) - {k - 1} AS ng
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i, {h} AS h
+        FROM pos, unnest(generate_series(1, ng)) AS u(i)
+    ),
+    wmins AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                   AS m,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, m AS fp FROM wmins WHERE i <= n - {w - 1}),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}),
+    fpr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+    FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """
+
+
+@query("q_winnow_overlap", oracle=_winnow_oracle())
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, windowed minima — the
+    MOSS/Schleimer-Wilkerson-Aiken scheme) substring-overlap pairs:
+    detects shared passages rather than whole-doc near-dups. The
+    stop-fingerprint df-cap (<= 20 docs) drops boilerplate
+    fingerprints BEFORE the self-join — a fingerprint in m docs costs
+    m^2/2 candidate pairs, exactly the join skew that must be capped
+    at 100 TB; min_shared = 8 keeps only pairs sharing a real passage
+    (guarantee: any shared substring of >= w + k - 1 = 17 chars
+    contributes >= 1 shared fingerprint).
+
+    Declared with the md5-bridge hash so the oracle recomputes the
+    identical winnowed minima; production callers keep the xxhash64
+    default (operators/winnowing.py)."""
     from ..operators.winnowing import fingerprint_overlap_pairs
 
     docs = tables.load_table(spark, sf_dir, "documents")
-    return fingerprint_overlap_pairs(docs, min_shared=5)
-
-
-def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs within Hamming distance 3, candidate
-    generation via 16-bit chunk blocking (pigeonhole exact for <=3).
-    Not a registry entry (engine-specific fingerprints, no SQL
-    oracle); blocking exactness asserted in tests/test_dedup.py."""
-    docs = tables.load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return fingerprint_overlap_pairs(
+        docs, min_shared=8, max_df=20, hash_fn=md5_prefix60
+    )

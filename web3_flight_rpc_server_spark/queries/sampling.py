@@ -134,12 +134,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY 1
     """,
+    declared=False,
 )
 def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-length histogram (100-char buckets) — the standard
     first look at a corpus before setting length filters. Fixed-width
     bucketing is a scalar expression, so the plan is scan -> partial
-    agg -> single exchange regardless of corpus size."""
+    agg -> single exchange regardless of corpus size.
+
+    Undeclared since round 3: its driver slot went to q_bm25 (C13
+    relevance scoring); C19 stays driver-attested through
+    q_train_split and q_sample_stratified, and this query remains
+    pytest-parity-run."""
     docs = tables.load_table(spark, sf_dir, "documents")
     bucket_lo = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
     return (

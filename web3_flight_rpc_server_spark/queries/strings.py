@@ -52,9 +52,15 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY 1, 2, 3
     """,
+    declared=False,
 )
 def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar decomposition + aggregate (C7 date functions)."""
+    """Calendar decomposition + aggregate (C7 date functions).
+
+    Undeclared since round 3: its driver slot went to q_winnow_overlap
+    (C13 fingerprinting gained a SQL oracle via the md5-bridge hash);
+    C7 date coverage stays driver-attested through q_time_rollup
+    (date_trunc/hour) and this query remains pytest-parity-run."""
     orders = tables.load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -78,12 +84,18 @@ def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings
     WHERE vec_id < 10
     """,
+    declared=False,
 )
 def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array explode with ordinality (posexplode == UNNEST WITH
     ORDINALITY). The array is a plain column attribute, so the
     Generate per-output-element re-evaluation cost documented in
-    operators/dedup.py does not apply."""
+    operators/dedup.py does not apply.
+
+    Undeclared since round 3: its driver slot went to q_simhash (C11
+    sketch tier gained a SQL oracle); explode semantics stay
+    driver-attested inside q_simhash's chunk posexplode and
+    q_ann_lsh, and this query remains pytest-parity-run."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return (
         emb.where(F.col("vec_id") < 10)
