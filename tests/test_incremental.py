@@ -1,0 +1,101 @@
+"""Incremental dedup against a persisted MinHash index
+(operators/incremental.py) — parity with the one-shot pipeline and the
+ingest loop's admit/reject behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.dedup import (
+    minhash_lsh_dedup_pairs,
+    release_caches,
+)
+from web3_flight_rpc_server_spark.operators.incremental import (
+    dedup_against_index,
+    ingest_batch,
+    write_minhash_index,
+)
+from web3_flight_rpc_server_spark.sources import tables
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_caches()
+
+
+def _split(spark, sf_dir, cut=25):
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") < cut), docs.where(F.col("doc_id") >= cut)
+
+
+def test_index_probe_matches_one_shot_cross_pairs(spark, sf_dir, tmp_path):
+    """Probing a new batch against an indexed corpus must find exactly
+    the one-shot pipeline's pairs that cross the split — same
+    signatures, same buckets, same exact verification."""
+    old, new = _split(spark, sf_dir)
+    docs = tables.load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, path)
+
+    got = {
+        (r.new_id, r.idx_id, round(r.jaccard, 6))
+        for r in dedup_against_index(new, path, threshold=0.3).collect()
+    }
+    cut = 25
+    want = {
+        (r.d2, r.d1, round(r.jaccard, 6))
+        for r in minhash_lsh_dedup_pairs(docs, threshold=0.3).collect()
+        if r.d1 < cut <= r.d2
+    }
+    assert got == want
+
+
+def test_index_append_extends_probe_surface(spark, sf_dir, tmp_path):
+    """Appending a batch to the index makes LATER probes collide with
+    it: an exact copy of an appended doc must be caught."""
+    old, new = _split(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, path)
+    write_minhash_index(new, path, append=True)
+
+    copy = new.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    src_id = new.limit(1).collect()[0].doc_id
+    hits = dedup_against_index(copy, path, threshold=0.99).collect()
+    assert any(r.idx_id == src_id and r.jaccard == 1.0 for r in hits)
+
+
+def test_ingest_batch_rejects_dups_admits_novel(spark, sf_dir, tmp_path):
+    old, _ = _split(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, path)
+
+    dup = old.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [
+            (200001, "zymurgy quixotic fjord waltz blitz nymph vexing jigsaw"),
+            (200002, "glyph sphinx quartz vodka jackdaws bumf klutz wyvern"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = dup.unionByName(novel)
+    kept_ids = {r.doc_id for r in ingest_batch(batch, path, 0.5).collect()}
+    assert kept_ids == {200001, 200002}
+
+    # the admitted docs are now indexed: replaying one of them is a dup
+    replay = novel.limit(1).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    hits = dedup_against_index(replay, path, threshold=0.99).collect()
+    assert {r.idx_id for r in hits} == {200001}
+
+
+def test_probe_requires_existing_index(spark, sf_dir, tmp_path):
+    _, new = _split(spark, sf_dir)
+    with pytest.raises(FileNotFoundError):
+        dedup_against_index(new, str(tmp_path / "missing"))

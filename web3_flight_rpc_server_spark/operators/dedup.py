@@ -222,12 +222,14 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
     return sets.select(id_col, _sig_expr(F.col("shs"), num_hashes).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (rows_per_band = len/bands), hash each band,
-    and emit candidate pairs sharing any (band, band_hash) bucket.
-    Output (d1, d2) distinct, d1 < d2."""
-    banded = signatures.select(
+def banded_signatures(signatures: DataFrame, bands: int = 8,
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) rows: the signature split into ``bands``
+    slices, each hashed to one bucket value. This is THE bucket
+    derivation — the pair join (lsh_candidate_pairs) and the
+    persistent index (operators/incremental.py) both call it, so an
+    indexed corpus and a fresh batch always band identically."""
+    return signatures.select(
         id_col,
         F.posexplode(
             F.transform(
@@ -249,6 +251,14 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (rows_per_band = len/bands), hash each band,
+    and emit candidate pairs sharing any (band, band_hash) bucket.
+    Output (d1, d2) distinct, d1 < d2."""
+    banded = banded_signatures(signatures, bands, id_col)
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -293,8 +303,21 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     # interpreted per exploded row and measured 1.7x slower at sf1
     # for bit-identical output.
     sets = _persisted(shingle_sets(docs, id_col, text_col, n))
+    sigs = agg_signatures(sets, num_hashes, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    return _verify_pairs(cands, sets, threshold, id_col)
+
+
+def agg_signatures(sets: DataFrame, num_hashes: int = 32,
+                   id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures from a shingle-set table via explode + k
+    direct codegen'd min-aggregates — the measured-cheapest shape when
+    a downstream banding explode follows (see the shape notes in
+    minhash_lsh_dedup_pairs). Value-identical to the in-row _sig_expr
+    stream; shared by the one-shot pipeline and the persistent index
+    (operators/incremental.py) so both produce identical signatures."""
     sh = sets.select(id_col, F.explode("shs").alias("shingle"))
-    sigs = sh.groupBy(id_col).agg(
+    return sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__h{i}")
             for i in range(num_hashes)
@@ -303,8 +326,6 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
         id_col,
         F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
-    return _verify_pairs(cands, sets, threshold, id_col)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
@@ -361,7 +382,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     at least one of four 16-bit chunks exactly (pigeonhole), so the
     join is a bucket equi-join on (chunk_idx, chunk) — exact for
     max_hamming<=3, never all-pairs — followed by an in-row
-    bit_count(xor) verify of the candidates."""
+    bit_count(xor) verify of the candidates.
+
+    Scale envelope: with uniform fingerprints, expected candidate
+    volume is ~4 N^2 / 2^16 — negligible to ~10^6-10^7 docs, after
+    which widen the blocking key (pair-of-chunks keys, HmSearch-style,
+    still pigeonhole-exact) and df-cap pathologically dense buckets
+    the way the shingle tiers cap stop-shingles (template-heavy
+    corpora concentrate mass on few chunk values)."""
     sh = simhash64(docs, id_col, text_col, hash_fn)
     chunks = sh.select(
         id_col, "simhash",
