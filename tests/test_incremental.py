@@ -99,3 +99,23 @@ def test_probe_requires_existing_index(spark, sf_dir, tmp_path):
     _, new = _split(spark, sf_dir)
     with pytest.raises(FileNotFoundError):
         dedup_against_index(new, str(tmp_path / "missing"))
+
+
+def test_manifest_pins_layout(spark, sf_dir, tmp_path):
+    """Probes band with the manifest's parameters (a 16-band index
+    still collides with a default-parameter probe call), and appends
+    with a conflicting layout are refused instead of silently
+    never-colliding."""
+    old, new = _split(spark, sf_dir)
+    path = str(tmp_path / "idx16")
+    write_minhash_index(old, path, bands=16)
+
+    copy = old.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    src_id = old.limit(1).collect()[0].doc_id
+    hits = dedup_against_index(copy, path, threshold=0.99).collect()
+    assert any(r.idx_id == src_id and r.jaccard == 1.0 for r in hits)
+
+    with pytest.raises(ValueError, match="rebanding"):
+        write_minhash_index(new, path, bands=8, append=True)

@@ -67,3 +67,19 @@ def test_fixture_corpus_is_clean(spark, sf_dir):
     docs = tables.load_table(spark, sf_dir, "documents")
     rep = redaction_report(docs)
     assert rep.where(~rep.clean).count() == 0
+
+
+def test_long_digit_runs_not_half_redacted(spark):
+    """Blockchain-ish numbers (uint256 values, tx-hash digit spans,
+    order ids) must pass through untouched: the phone pattern pins its
+    start to a non-digit context so it cannot eat a 13-digit suffix of
+    a longer run."""
+    rows = [
+        "block 18446744073709551615 mined",
+        "tx 0x1234567890123456789 pending",
+        "order 99999999999999999999 shipped",
+    ]
+    out = _report(spark, rows)
+    for i, t in enumerate(rows):
+        assert out[i].redacted == t, out[i].redacted
+        assert out[i].clean

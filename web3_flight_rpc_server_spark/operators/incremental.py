@@ -5,8 +5,8 @@ re-signatures the WHOLE corpus every run. At 100 TB that is the wrong
 shape for the workload that actually occurs: a corpus snapshot is
 already curated, and each day a new batch (orders of magnitude
 smaller) must be checked against it — and against itself — before
-being appended. This module persists the two artifacts that make that
-incremental:
+being appended. This module persists the three artifacts that make
+that incremental:
 
 - ``bands/``    (doc_id, band, bucket): banded LSH signatures — the
                 probe side of candidate generation. The bucket values
@@ -17,6 +17,17 @@ incremental:
 - ``shingles/`` (doc_id, shs, sz): distinct shingle arrays — exact
                 Jaccard verification of candidates without re-reading
                 or re-tokenizing the corpus text.
+- ``manifest/`` one row (num_hashes, bands, n): the layout the index
+                was built with. Probes ALWAYS band with the manifest's
+                parameters — a probe banded differently would simply
+                never collide and silently admit duplicates, so the
+                layout is recorded with the data, not re-guessed per
+                call; appends validate against it and refuse a
+                mismatch.
+
+All three are written and read through Spark, so the index path may
+live on any Hadoop-visible filesystem (local, HDFS, s3a), not just the
+driver's local disk.
 
 Scale shape: checking a batch of b docs against an index of N docs
 costs signatures over b docs plus ONE equi-join of b x bands probe
@@ -36,13 +47,13 @@ taken to its production ingestion shape.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from .dedup import (
     _persisted,
+    _verify_pairs,
     agg_signatures,
     banded_signatures,
     shingle_sets,
@@ -50,64 +61,92 @@ from .dedup import (
 
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 8
+DEFAULT_SHINGLE_N = 3
 
 
-def _bands_path(path: str) -> str:
-    return os.path.join(path, "bands")
+def _sub(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name
 
 
-def _shingles_path(path: str) -> str:
-    return os.path.join(path, "shingles")
+def _read_manifest(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """(num_hashes, bands, n) of the index at ``path``; raises
+    FileNotFoundError if there is no index there."""
+    try:
+        row = spark.read.parquet(_sub(path, "manifest")).collect()[0]
+    except AnalysisException as exc:
+        raise FileNotFoundError(
+            f"no MinHash index at {path!r} — write the first corpus "
+            "snapshot with write_minhash_index() before probing it"
+        ) from exc
+    return int(row.num_hashes), int(row.bands), int(row.n)
 
 
 def write_minhash_index(docs: DataFrame, path: str,
                         num_hashes: int = DEFAULT_NUM_HASHES,
                         bands: int = DEFAULT_BANDS,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, append: bool = False) -> None:
+                        n: int = DEFAULT_SHINGLE_N, append: bool = False,
+                        _sets: DataFrame | None = None) -> None:
     """Write (or append a new batch to) the MinHash index at ``path``.
 
     ``append=True`` is the ingestion loop: after a batch passes
     :func:`dedup_against_index`, index its survivors so the NEXT batch
     is checked against them too. Appends are partition-additive
-    parquet writes — no rewrite of existing index files. The caller
-    owns id uniqueness across appends (deterministic doc ids, e.g.
-    content-hash-derived, make replays idempotent)."""
+    parquet writes — no rewrite of existing index files — and must use
+    the layout recorded in the manifest (validated; ValueError on
+    mismatch). The caller owns id uniqueness across appends
+    (deterministic doc ids, e.g. content-hash-derived, make replays
+    idempotent)."""
+    spark = docs.sparkSession
+    if append:
+        m_hashes, m_bands, m_n = _read_manifest(spark, path)
+        if (num_hashes, bands, n) != (m_hashes, m_bands, m_n):
+            raise ValueError(
+                f"index at {path!r} was built with (num_hashes, bands, n)="
+                f"{(m_hashes, m_bands, m_n)}; append requested "
+                f"{(num_hashes, bands, n)} — rebanding an existing index "
+                "silently breaks collisions, rebuild instead"
+            )
     mode = "append" if append else "overwrite"
-    sets = _persisted(shingle_sets(docs, id_col, text_col, n))
+    sets = _sets if _sets is not None else _persisted(
+        shingle_sets(docs, id_col, text_col, n)
+    )
     sigs = agg_signatures(sets, num_hashes, id_col)
     banded_signatures(sigs, bands, id_col).write.mode(mode).parquet(
-        _bands_path(path)
+        _sub(path, "bands")
     )
-    sets.write.mode(mode).parquet(_shingles_path(path))
+    sets.write.mode(mode).parquet(_sub(path, "shingles"))
+    if not append:
+        spark.createDataFrame(
+            [(num_hashes, bands, n)], "num_hashes int, bands int, n int"
+        ).write.mode("overwrite").parquet(_sub(path, "manifest"))
 
 
 def dedup_against_index(new_docs: DataFrame, path: str,
                         threshold: float = 0.5,
-                        num_hashes: int = DEFAULT_NUM_HASHES,
-                        bands: int = DEFAULT_BANDS,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3) -> DataFrame:
+                        _sets: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs between a new batch and the indexed corpus.
 
-    Output (new_id, idx_id, jaccard) with jaccard >= threshold —
-    exact-verified, so precision is 1 by construction; recall is the
-    banding recall of the underlying LSH (identical to the one-shot
-    pipeline's, because signatures and buckets are derived by the same
-    functions). Batch-internal duplicates are NOT reported here — run
-    minhash_lsh_dedup_pairs on the batch itself for those."""
+    Banding parameters come from the index manifest — a probe banded
+    differently from the index would never collide, so they are not
+    caller-suppliable. Output (new_id, idx_id, jaccard) with
+    jaccard >= threshold — exact-verified, so precision is 1 by
+    construction; recall is the banding recall of the underlying LSH
+    (identical to the one-shot pipeline's, because signatures and
+    buckets are derived by the same functions). Batch-internal
+    duplicates are NOT reported here — ingest_batch resolves those
+    from the same artifacts."""
     spark = new_docs.sparkSession
-    if not os.path.exists(_bands_path(path)):
-        raise FileNotFoundError(
-            f"no MinHash index at {path!r} — write the first corpus "
-            "snapshot with write_minhash_index() before probing it"
-        )
-    new_sets = _persisted(shingle_sets(new_docs, id_col, text_col, n))
+    num_hashes, bands, n = _read_manifest(spark, path)
+    new_sets = _sets if _sets is not None else _persisted(
+        shingle_sets(new_docs, id_col, text_col, n)
+    )
     new_banded = banded_signatures(
         agg_signatures(new_sets, num_hashes, id_col), bands, id_col
     )
 
-    idx_bands = spark.read.parquet(_bands_path(path))
+    idx_bands = spark.read.parquet(_sub(path, "bands"))
     probe = new_banded.select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
@@ -122,7 +161,7 @@ def dedup_against_index(new_docs: DataFrame, path: str,
         .distinct()
     )
 
-    idx_sets = spark.read.parquet(_shingles_path(path)).select(
+    idx_sets = spark.read.parquet(_sub(path, "shingles")).select(
         F.col(id_col).alias("idx_id"),
         F.col("shs").alias("shs_i"),
         F.col("sz").alias("sz_i"),
@@ -148,23 +187,46 @@ def dedup_against_index(new_docs: DataFrame, path: str,
 
 def ingest_batch(new_docs: DataFrame, path: str,
                  threshold: float = 0.5,
-                 num_hashes: int = DEFAULT_NUM_HASHES,
-                 bands: int = DEFAULT_BANDS,
-                 id_col: str = "doc_id", text_col: str = "text",
-                 n: int = 3) -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One step of the incremental ingestion loop: report the batch's
     near-dups against the index, append only the NON-duplicate batch
     docs to it, and return the kept docs. Batch-internal near-dups are
-    resolved first (smallest id wins) so two copies arriving in the
-    same batch cannot both be admitted."""
-    from .dedup import minhash_lsh_dedup_pairs
+    resolved first (smallest id wins per pair) so two copies arriving
+    in the same batch cannot both be admitted.
+
+    The batch is featurized ONCE: the persisted shingle sets feed the
+    index probe, the batch-internal self-check, and (filtered to the
+    survivors) the index append — no re-tokenization per stage."""
+    spark = new_docs.sparkSession
+    num_hashes, bands, n = _read_manifest(spark, path)
+    new_sets = _persisted(shingle_sets(new_docs, id_col, text_col, n))
+    new_banded = banded_signatures(
+        agg_signatures(new_sets, num_hashes, id_col), bands, id_col
+    )
 
     vs_index = dedup_against_index(
-        new_docs, path, threshold, num_hashes, bands, id_col, text_col, n
+        new_docs, path, threshold, id_col, text_col, _sets=new_sets
     ).select(F.col("new_id").alias(id_col)).distinct()
-    internal = minhash_lsh_dedup_pairs(
-        new_docs, threshold, num_hashes, bands, id_col, text_col, n
-    ).select(F.col("d2").alias(id_col)).distinct()
+
+    # batch-internal near-dups from the SAME banded signatures: the
+    # self-join bucket collision + exact verify is exactly the
+    # one-shot pipeline restricted to this batch
+    l, r = new_banded.alias("l"), new_banded.alias("r")
+    internal_cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"), F.col(f"r.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+    internal = _verify_pairs(internal_cands, new_sets, threshold, id_col) \
+        .select(F.col("d2").alias(id_col)).distinct()
+
     kept = (
         new_docs.join(vs_index, id_col, "left_anti")
         .join(internal, id_col, "left_anti")
@@ -178,7 +240,11 @@ def ingest_batch(new_docs: DataFrame, path: str,
     # severs the plan from the path entirely. (At cluster scale with
     # executor loss in play, use a reliable checkpoint dir instead.)
     kept = kept.localCheckpoint(eager=True)
+    kept_sets = new_sets.join(
+        kept.select(id_col), id_col, "left_semi"
+    )
     write_minhash_index(
-        kept, path, num_hashes, bands, id_col, text_col, n, append=True
+        kept, path, num_hashes, bands, id_col, text_col, n,
+        append=True, _sets=kept_sets,
     )
     return kept

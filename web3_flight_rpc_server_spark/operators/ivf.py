@@ -16,8 +16,11 @@ product never exists.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import threading
 
 import numpy as np
 
@@ -91,6 +94,16 @@ def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
 
 
 _INDEX_CACHE: dict[tuple, str] = {}
+_INDEX_LOCK = threading.Lock()
+
+
+def _cleanup_index_cache() -> None:
+    for path in _INDEX_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _INDEX_CACHE.clear()
+
+
+atexit.register(_cleanup_index_cache)
 
 
 def ivf_index_for(corpus: DataFrame, cache_key: tuple, n_cells: int = 16,
@@ -100,13 +113,20 @@ def ivf_index_for(corpus: DataFrame, cache_key: tuple, n_cells: int = 16,
     write — exactly the amortization a deployment does: the index is
     built once and every subsequent query prunes directories at plan
     time. cache_key must identify the corpus + layout params (e.g.
-    (sf_dir, n_cells, dim)); a changed corpus needs a new key."""
-    path = _INDEX_CACHE.get(cache_key)
-    if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix="ivf_index_")
-        write_ivf_index(corpus, path, n_cells, dim, vec_col)
-        _INDEX_CACHE[cache_key] = path
-    return path
+    (sf_dir, n_cells, dim)); a changed corpus needs a new key.
+
+    The miss path is serialized: concurrent Flight handler threads
+    must not each pay a full assign-and-write (and orphan the loser's
+    directory). Cached directories are removed at interpreter exit —
+    a production deployment passes an explicit shared path to
+    write_ivf_index instead of leaning on this scratch cache."""
+    with _INDEX_LOCK:
+        path = _INDEX_CACHE.get(cache_key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix="ivf_index_")
+            write_ivf_index(corpus, path, n_cells, dim, vec_col)
+            _INDEX_CACHE[cache_key] = path
+        return path
 
 
 def probe_cells_for(query_vec, n_cells: int = 16, n_probe: int = 4,

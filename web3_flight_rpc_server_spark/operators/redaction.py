@@ -40,7 +40,10 @@ PII_PATTERNS: list[tuple[str, str]] = [
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
     ("card", r"\b(?:\d[ -]?){13,16}\d\b"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
-    ("phone", r"(?:\+?\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"),
+    # (?<![\d-]) pins the start to a non-digit context: without it the
+    # pattern matches a 13-digit SUFFIX inside any longer digit run —
+    # uint256 values, tx hashes, order ids — half-redacting non-PII.
+    ("phone", r"(?<![\d-])(?:\+?\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"),
 ]
 
 _PLACEHOLDER = {name: f"<{name.upper()}>" for name, _ in PII_PATTERNS}
@@ -71,15 +74,11 @@ def redaction_report(docs: DataFrame, id_col: str = "doc_id",
     ``redacted`` (or drops rows above a count threshold), metrics roll
     up the per-class counts per source. Single scan, all codegen."""
     c = F.col(text_col)
-    return docs.select(
-        id_col,
-        redact_pii(c).alias("redacted"),
-        *pii_counts(c),
-        (
-            sum(
-                (F.regexp_count(c, F.lit(p)) for _, p in PII_PATTERNS),
-                F.lit(0),
-            )
-            == 0
-        ).alias("clean"),
+    counted = docs.select(id_col, redact_pii(c).alias("redacted"), *pii_counts(c))
+    # derive `clean` from the already-computed count ATTRIBUTES — an
+    # inline sum of regexp_count calls would run all five regexes a
+    # second time per row (they dominate the stage's cost)
+    total = sum(
+        (F.col(f"n_{name}") for name, _ in PII_PATTERNS), F.lit(0)
     )
+    return counted.select("*", (total == 0).alias("clean"))

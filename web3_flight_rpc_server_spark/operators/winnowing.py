@@ -38,16 +38,21 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
     ``functions.hashing.md5_prefix60`` for the oracle-bridge tier
     DuckDB reproduces bit-for-bit."""
     hash_fn = hash_fn or (lambda c: F.xxhash64(c))
-    text = F.lower(F.col(text_col))
+    # Materialize lower(text) as an ATTRIBUTE before the k-gram
+    # lambda: HOF lambdas are interpreted with no common-subexpression
+    # elimination, so substring(lower(text), i, k) inside the lambda
+    # would re-lowercase the WHOLE document at every gram position —
+    # O(len^2) per doc. The repartition doubles as the projection
+    # barrier that keeps the lowered column materialized.
+    spread = docs.select(
+        id_col, F.lower(F.col(text_col)).alias("__lt")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    text = F.col("__lt")
     # k-gram rolling hashes; empty when the doc is shorter than k
     n_grams = F.length(text) - (k - 1)
     grams = F.when(
         n_grams >= 1, F.sequence(F.lit(1), n_grams)
     ).otherwise(F.array().cast("array<int>"))
-
-    spread = docs.select(id_col, text_col).repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    )
     hashed = spread.select(
         id_col,
         F.transform(grams, lambda i: hash_fn(F.substring(text, i, k))).alias("hs"),

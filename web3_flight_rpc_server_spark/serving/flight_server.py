@@ -129,11 +129,25 @@ class EngineFlightServer(flight.FlightServerBase):
         # probed first with a CollectLimit (Spark stops the job as soon
         # as threshold+1 rows arrive, so the probe is cheap) and, when
         # it overflows, streamed via a bounded spill instead of a full
-        # driver materialization.
-        probe = df.limit(self.STREAM_THRESHOLD_ROWS + 1).toArrow()
-        stream = None
-        if probe.num_rows > self.STREAM_THRESHOLD_ROWS:
-            stream = self._spill_stream(df)
+        # driver materialization. The persist() makes the probe-then-
+        # spill sequence a SINGLE execution even for agg/join-shaped
+        # results, where the CollectLimit sits above the shuffle and
+        # cannot stop early: the probe materializes the cached result,
+        # and the spill write reads the cache instead of re-running
+        # the query. Scan-shaped probes still stop early and cache
+        # only the partitions they touched.
+        df = df.persist()
+        try:
+            probe = df.limit(self.STREAM_THRESHOLD_ROWS + 1).toArrow()
+            stream = None
+            if probe.num_rows > self.STREAM_THRESHOLD_ROWS:
+                # serve with Spark's Arrow schema (the probe's), not
+                # the parquet footer's — round-tripped timestamp/
+                # nullability metadata can differ, and the client-
+                # visible schema must not flip with result size
+                stream = self._spill_stream(df, probe.schema)
+        finally:
+            df.unpersist()
         if obj.get("dataset") == "query":
             # long-lived host: drop any intermediates the dedup tiers
             # persisted during this query (cache lifecycle contract).
@@ -147,7 +161,8 @@ class EngineFlightServer(flight.FlightServerBase):
     STREAM_THRESHOLD_ROWS = 10_000
     SPILL_BATCH_ROWS = 8_192
 
-    def _spill_stream(self, df: DataFrame) -> flight.GeneratorStream:
+    def _spill_stream(self, df: DataFrame,
+                      schema=None) -> flight.GeneratorStream:
         """Serve a large result without materializing it on the driver:
         the executors write the result to parquet in parallel (columnar,
         JVM-side — no row-at-a-time Python conversion, unlike a
@@ -161,16 +176,22 @@ class EngineFlightServer(flight.FlightServerBase):
         spill_dir = tempfile.mkdtemp(prefix="flight_spill_")
         df.write.mode("overwrite").parquet(spill_dir)
         dataset = pq.ParquetDataset(spill_dir)
-        schema = dataset.schema
+        if schema is None:
+            schema = dataset.schema
+        # part-file names embed the partition index under one job UUID,
+        # so the lexical sort IS the partition order — ParquetDataset's
+        # own file order is documented as unspecified, and an ORDER
+        # BY'd result must not be reshuffled by the transport
+        files = sorted(dataset.files)
 
         def generate():
             try:
-                for fragment_path in dataset.files:
+                for fragment_path in files:
                     pf = pq.ParquetFile(fragment_path)
                     for batch in pf.iter_batches(
                         batch_size=self.SPILL_BATCH_ROWS
                     ):
-                        yield batch
+                        yield batch.cast(schema)
             finally:
                 shutil.rmtree(spill_dir, ignore_errors=True)
 
