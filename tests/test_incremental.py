@@ -119,3 +119,69 @@ def test_manifest_pins_layout(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="rebanding"):
         write_minhash_index(new, path, bands=8, append=True)
+
+
+def test_streaming_ingest_loop(spark, sf_dir, tmp_path):
+    """readStream -> foreachBatch(ingest_batch): batch 2's duplicate
+    of a batch-1 doc is rejected against the index the stream itself
+    built; novel docs are admitted and indexed; replaying an admitted
+    doc (at-least-once recovery) is rejected, so the index never gains
+    duplicate entries."""
+    import time
+
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        streaming_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "idx")
+    kept_batches = []
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight ok"),
+            (2, "a completely different sentence with other words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    b1.write.mode("overwrite").parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = streaming_ingest(
+        stream, path, str(tmp_path / "ckpt"),
+        on_kept=lambda df, bid: kept_batches.append(
+            {r.doc_id for r in df.collect()}
+        ),
+    )
+    try:
+        q.processAllAvailable()
+        assert set().union(*kept_batches) == {1, 2}
+
+        b2 = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog tonight ok"),
+                (11, "entirely novel third document with fresh vocabulary words"),
+            ],
+            "doc_id long, text string",
+        )
+        b2.write.mode("overwrite").parquet(str(src / "b2"))
+        q.processAllAvailable()
+        admitted = set().union(*kept_batches)
+        assert 10 not in admitted, "dup of an indexed doc must be rejected"
+        assert 11 in admitted
+    finally:
+        q.stop()
+
+    # simulated at-least-once replay: re-ingesting an admitted doc
+    # collides with its indexed copy and adds nothing
+    replay = spark.createDataFrame(
+        [(11, "entirely novel third document with fresh vocabulary words")],
+        "doc_id long, text string",
+    )
+    kept = ingest_batch(replay, path, 0.5)
+    assert kept.count() == 0
+    shingles = spark.read.parquet(path + "/shingles")
+    assert shingles.where(F.col("doc_id") == 11).count() == 1

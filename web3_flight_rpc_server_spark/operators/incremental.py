@@ -248,3 +248,53 @@ def ingest_batch(new_docs: DataFrame, path: str,
         append=True, _sets=kept_sets,
     )
     return kept
+
+
+def streaming_ingest(stream_docs: DataFrame, path: str,
+                     checkpoint_dir: str, threshold: float = 0.5,
+                     num_hashes: int = DEFAULT_NUM_HASHES,
+                     bands: int = DEFAULT_BANDS,
+                     n: int = DEFAULT_SHINGLE_N,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     on_kept=None):
+    """Continuous ingestion: every micro-batch of the document stream
+    is deduped against the index (and against itself) and its
+    survivors appended — ``readStream -> foreachBatch(ingest_batch)``.
+    Returns the started StreamingQuery.
+
+    Bootstraps an empty index (with the given layout) when ``path``
+    has none, so the stream can be the corpus's first writer.
+
+    Replay safety: foreachBatch is at-least-once on failure recovery,
+    but a replayed append is self-healing — the replayed documents
+    probe an index that already contains their first copies, collide
+    at Jaccard 1, and are rejected, so the index gains no duplicate
+    entries (asserted in tests/test_incremental.py). ``on_kept(df,
+    batch_id)`` is the survivors' hand-off to downstream sinks; it
+    inherits foreachBatch's at-least-once contract."""
+    spark = stream_docs.sparkSession
+    try:
+        _read_manifest(spark, path)
+    except FileNotFoundError:
+        empty = spark.createDataFrame(
+            [], f"{id_col} long, {text_col} string"
+        )
+        write_minhash_index(
+            empty, path, num_hashes, bands, id_col, text_col, n
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = ingest_batch(
+            batch_df.select(id_col, text_col), path, threshold,
+            id_col, text_col,
+        )
+        if on_kept is not None:
+            on_kept(kept, batch_id)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
