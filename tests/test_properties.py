@@ -162,3 +162,59 @@ def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "d1 long, d2 long")
     got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == truth
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=50))
+def test_md5_bridge_cross_engine_identical(spark, ss):
+    """The 60-bit md5-prefix hash (functions/hashing.py) must agree
+    bit-for-bit between Spark and DuckDB for ARBITRARY unicode
+    strings — the foundation of the q_simhash / q_winnow_overlap
+    oracles, probed beyond the fixture vocabulary."""
+    from web3_flight_rpc_server_spark.functions import (
+        MD5_PREFIX60_SQL,
+        md5_prefix60,
+    )
+
+    sdf = spark.createDataFrame([(s,) for s in ss], "s string")
+    got_spark = [
+        r.h for r in sdf.select(md5_prefix60(F.col("s")).alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT " + MD5_PREFIX60_SQL.format("?"), [s]
+        ).fetchone()[0]
+        for s in ss
+    ]
+    assert got_spark == got_duck
+    assert all(0 <= h < 2 ** 60 for h in got_spark)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**30),
+                min_size=1, max_size=30))
+def test_redaction_never_touches_bare_numbers(spark, ns):
+    """Digit runs that are not phone/card/ssn/ip-shaped — chain values,
+    ids of any length — must survive redaction byte-identical, and a
+    13+-digit run must never be HALF-eaten (the suffix-match trap):
+    either a full standalone match or untouched."""
+    from web3_flight_rpc_server_spark.operators.redaction import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+    import re
+
+    texts = [f"v {n} end" for n in ns]
+    sdf = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r.v for r in sdf.select(redact_pii(F.col("t")).alias("v")).collect()
+    ]
+    pats = [re.compile(p) for _, p in PII_PATTERNS]
+    for t, out, n in zip(texts, got, ns):
+        if any(p.search(t) for p in pats):
+            # a legitimate full match may redact — but never partially:
+            # no digits of the run may survive around a placeholder
+            assert "<" not in out or not re.search(r"\d<|>\d", out), (t, out)
+        else:
+            assert out == t, (t, out)
