@@ -201,3 +201,31 @@ def test_dedup_clusters_single_pair_shuffle(spark, sf_dir):
         assert "CartesianProduct" not in plan
     finally:
         release_caches()
+
+
+def test_simhash_no_cartesian_and_single_vote_exchange(spark, sf_dir):
+    """The 64 bit-vote sums run as ONE hash aggregation (one exchange
+    on doc id); candidates come from the chunk equi-join, never an
+    all-pairs product."""
+    plan = plan_of(spark, "q_simhash", sf_dir)
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_winnow_overlap_no_cartesian(spark, sf_dir):
+    """Pair generation is the fingerprint equi-join (df-capped), never
+    all-pairs."""
+    plan = plan_of(spark, "q_winnow_overlap", sf_dir)
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_bm25_stats_fold_to_broadcasts(spark, sf_dir):
+    """Corpus/df statistics join in as single-row broadcasts (the two
+    BroadcastNestedLoopJoins ARE the crossJoins of 1-row stat frames);
+    the per-doc side shuffles once for the tf aggregation and never
+    sort-merges."""
+    plan = plan_of(spark, "q_bm25", sf_dir)
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 2
