@@ -57,16 +57,23 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
         id_col,
         F.transform(grams, lambda i: hash_fn(F.substring(text, i, k))).alias("hs"),
     )
-    # windowed minima: min over each w-slice, then distinct
-    n_windows = F.size("hs") - (w - 1)
-    windows = F.when(
-        n_windows >= 1, F.sequence(F.lit(1), n_windows)
-    ).otherwise(F.array().cast("array<int>"))
+    # Windowed minima as a fold of w SHIFTED SLICES zipped with
+    # least() — the word_shingles trick: each zip_with touches already
+    # materialized arrays, so the whole minima pass costs O(w) array
+    # traversals per doc. The direct shape — transform(windows, j ->
+    # array_min(slice(hs, j, w))) — runs an interpreted slice+min per
+    # WINDOW, O(n*w) lambda evaluations per doc (measured ~1.3x slower
+    # end-to-end on the sf1 pair pipeline: 5.9 s -> 4.4-5.0 s warm,
+    # identical output).
+    m = F.size("hs") - (w - 1)  # window count when size >= w
+    acc = F.slice("hs", 1, m)
+    for j in range(1, w):
+        acc = F.zip_with(
+            acc, F.slice("hs", j + 1, m), lambda a, b: F.least(a, b)
+        )
+    minima = F.when(m >= 1, acc).otherwise(F.array().cast("array<bigint>"))
     return hashed.select(
-        id_col,
-        F.array_distinct(
-            F.transform(windows, lambda j: F.array_min(F.slice("hs", j, w)))
-        ).alias("fingerprints"),
+        id_col, F.array_distinct(minima).alias("fingerprints")
     )
 
 
