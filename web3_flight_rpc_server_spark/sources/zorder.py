@@ -1,0 +1,90 @@
+"""Z-order (Morton curve) clustered layout — multi-column data
+skipping (C27 storage lever).
+
+Linear sort clusters ONE column: parquet row-group min/max stats get
+tight on the sort key and useless on everything else. Interleaving
+the bits of several scaled columns (the Morton / Z space-filling
+curve) and range-partitioning + sorting on that value gives every
+file a contiguous z-range — a small axis-aligned BOX in the original
+column space — so min/max stats are tight on ALL the z-ordered
+columns at once and a multi-dimension box predicate prunes row groups
+in every dimension. This is the technique behind Delta Lake's
+OPTIMIZE ZORDER BY and Iceberg's z-ordered rewrites, expressed here
+with nothing but built-in Spark expressions and a plain parquet
+write.
+
+The engine-relevant workload: logs filtered by block range AND
+address (the reference can only scope by block range,
+LogsService.java:548-556, and re-filters addresses row by row); a
+(blockNumber, address-hash) z-order makes both predicates prune IO.
+
+Scale notes: the column scaling uses global min/max (one tiny
+aggregate); ranks would resist skew better but cost a full sort —
+min/max matches what Delta does by default. The z value is transient
+(dropped before write); re-clustering is a rewrite, exactly like
+OPTIMIZE. Stats collection + repartitionByRange's sampling are the
+only extra cost over a plain sorted write.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BITS = 16
+
+
+def _scaled(c: Column, cmin: float, cmax: float, bits: int) -> Column:
+    """Map a numeric column to an integer in [0, 2^bits) by min/max
+    scaling (constant-degenerate columns map to 0)."""
+    span = cmax - cmin
+    if span <= 0:
+        return F.lit(0).cast("long")
+    scaled = F.floor(
+        (c.cast("double") - F.lit(float(cmin)))
+        / F.lit(float(span))
+        * F.lit(float(2 ** bits))
+    ).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit(2 ** bits - 1))
+
+
+def zorder_value(scaled_cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Interleave the low ``bits`` bits of the scaled columns into one
+    Morton value: output bit (b * k + i) = bit b of column i."""
+    k = len(scaled_cols)
+    terms = [
+        F.shiftleft(
+            F.shiftright(col, b).bitwiseAND(F.lit(1)), b * k + i
+        ).cast("long")
+        for b in range(bits)
+        for i, col in enumerate(scaled_cols)
+    ]
+    return reduce(lambda a, t: a + t, terms, F.lit(0).cast("long"))
+
+
+def write_zordered(df: DataFrame, path: str, cols: list[str],
+                   bits: int = DEFAULT_BITS, files: int = 32) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of ``cols``:
+    one global min/max aggregate for scaling, then
+    repartitionByRange + sortWithinPartitions on the (transient) z
+    value so each of the ``files`` output files covers a contiguous
+    z-range — an axis-aligned box in the original columns."""
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    scaled = [
+        _scaled(F.col(c), float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"]), bits)
+        for c in cols
+    ]
+    z = zorder_value(scaled, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
