@@ -185,3 +185,52 @@ def test_streaming_ingest_loop(spark, sf_dir, tmp_path):
     assert kept.count() == 0
     shingles = spark.read.parquet(path + "/shingles")
     assert shingles.where(F.col("doc_id") == 11).count() == 1
+
+
+def test_partial_append_heals_on_replay(spark, sf_dir, tmp_path):
+    """A crash between the two append writes leaves a doc with band
+    rows but no shingle row; replaying the batch must COMPLETE the
+    half-indexed doc without duplicating either dataset (per-dataset
+    presence exclusion in write_minhash_index)."""
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        agg_signatures,
+        banded_signatures,
+        shingle_sets,
+    )
+
+    old, _ = _split(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    write_minhash_index(old, path)
+
+    doc = spark.createDataFrame(
+        [(999, "a fresh document that crashed halfway through indexing")],
+        "doc_id long, text string",
+    )
+    # simulate the crash: bands appended, shingles NOT
+    sets = shingle_sets(doc)
+    banded_signatures(agg_signatures(sets)).write.mode("append").parquet(
+        path + "/bands"
+    )
+    n_band_rows = spark.read.parquet(path + "/bands").where(
+        F.col("doc_id") == 999
+    ).count()
+    assert n_band_rows > 0
+
+    kept = ingest_batch(doc, path, 0.5)
+    # re-admitted (its half-indexed copy could not verify) ...
+    assert {r.doc_id for r in kept.collect()} == {999}
+    # ... and the index is now COMPLETE with no duplicates
+    bands_after = spark.read.parquet(path + "/bands").where(
+        F.col("doc_id") == 999
+    ).count()
+    shingles_after = spark.read.parquet(path + "/shingles").where(
+        F.col("doc_id") == 999
+    ).count()
+    assert bands_after == n_band_rows
+    assert shingles_after == 1
+    # a subsequent replay is a pure duplicate: rejected, nothing grows
+    kept2 = ingest_batch(doc, path, 0.5)
+    assert kept2.count() == 0
+    assert spark.read.parquet(path + "/bands").where(
+        F.col("doc_id") == 999
+    ).count() == n_band_rows

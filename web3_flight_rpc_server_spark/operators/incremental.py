@@ -112,10 +112,40 @@ def write_minhash_index(docs: DataFrame, path: str,
         shingle_sets(docs, id_col, text_col, n)
     )
     sigs = agg_signatures(sets, num_hashes, id_col)
-    banded_signatures(sigs, bands, id_col).write.mode(mode).parquet(
-        _sub(path, "bands")
-    )
-    sets.write.mode(mode).parquet(_sub(path, "shingles"))
+    banded = banded_signatures(sigs, bands, id_col)
+    if append:
+        # Idempotent append: the two dataset writes are not atomic, so
+        # a crash between them leaves a doc half-indexed and the
+        # replayed batch re-admits it (its probe can't verify against
+        # a missing shingle row). Excluding ids ALREADY PRESENT in
+        # each dataset makes the replay complete the missing half
+        # without duplicating the other — the index never gains
+        # duplicate entries even across crash-replay. The presence
+        # probe is a broadcast semi-join of the (small) batch ids
+        # against the id column only.
+        spark_ = docs.sparkSession
+        batch_ids = F.broadcast(sets.select(id_col).distinct())
+        for sub, df_out in (("bands", banded), ("shingles", sets)):
+            try:
+                # materialized eagerly (normally EMPTY — only crash
+                # replays match) so the append's plan does not read
+                # the very path it is writing to
+                present = [
+                    r[0]
+                    for r in spark_.read.parquet(_sub(path, sub))
+                    .select(id_col)
+                    .join(batch_ids, id_col, "left_semi")
+                    .distinct()
+                    .collect()
+                ]
+            except AnalysisException:
+                present = []  # dataset missing entirely
+            if present:
+                df_out = df_out.where(~F.col(id_col).isin(present))
+            df_out.write.mode(mode).parquet(_sub(path, sub))
+    else:
+        banded.write.mode(mode).parquet(_sub(path, "bands"))
+        sets.write.mode(mode).parquet(_sub(path, "shingles"))
     if not append:
         spark.createDataFrame(
             [(num_hashes, bands, n)], "num_hashes int, bands int, n int"
@@ -125,7 +155,8 @@ def write_minhash_index(docs: DataFrame, path: str,
 def dedup_against_index(new_docs: DataFrame, path: str,
                         threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        _sets: DataFrame | None = None) -> DataFrame:
+                        _sets: DataFrame | None = None,
+                        _banded: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs between a new batch and the indexed corpus.
 
     Banding parameters come from the index manifest — a probe banded
@@ -142,7 +173,7 @@ def dedup_against_index(new_docs: DataFrame, path: str,
     new_sets = _sets if _sets is not None else _persisted(
         shingle_sets(new_docs, id_col, text_col, n)
     )
-    new_banded = banded_signatures(
+    new_banded = _banded if _banded is not None else banded_signatures(
         agg_signatures(new_sets, num_hashes, id_col), bands, id_col
     )
 
@@ -200,12 +231,18 @@ def ingest_batch(new_docs: DataFrame, path: str,
     spark = new_docs.sparkSession
     num_hashes, bands, n = _read_manifest(spark, path)
     new_sets = _persisted(shingle_sets(new_docs, id_col, text_col, n))
-    new_banded = banded_signatures(
-        agg_signatures(new_sets, num_hashes, id_col), bands, id_col
+    # persisted: the banded signatures feed BOTH the index probe and
+    # the batch-internal self-join — without the persist each consumer
+    # re-runs the explode + k-min-aggregate signature job
+    new_banded = _persisted(
+        banded_signatures(
+            agg_signatures(new_sets, num_hashes, id_col), bands, id_col
+        )
     )
 
     vs_index = dedup_against_index(
-        new_docs, path, threshold, id_col, text_col, _sets=new_sets
+        new_docs, path, threshold, id_col, text_col,
+        _sets=new_sets, _banded=new_banded,
     ).select(F.col("new_id").alias(id_col)).distinct()
 
     # batch-internal near-dups from the SAME banded signatures: the
@@ -276,22 +313,35 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
     try:
         _read_manifest(spark, path)
     except FileNotFoundError:
+        # bootstrap with the STREAM's own id/text types — a hardcoded
+        # (long, string) schema would poison the index with
+        # type-conflicting files for, e.g., content-hash string ids
         empty = spark.createDataFrame(
-            [], f"{id_col} long, {text_col} string"
+            [], stream_docs.select(id_col, text_col).schema
         )
         write_minhash_index(
             empty, path, num_hashes, bands, id_col, text_col, n
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from .dedup import release_caches
+
         if batch_df.isEmpty():
             return
-        kept = ingest_batch(
-            batch_df.select(id_col, text_col), path, threshold,
-            id_col, text_col,
-        )
-        if on_kept is not None:
-            on_kept(kept, batch_id)
+        try:
+            kept = ingest_batch(
+                batch_df.select(id_col, text_col), path, threshold,
+                id_col, text_col,
+            )
+            if on_kept is not None:
+                on_kept(kept, batch_id)
+        finally:
+            # long-lived host contract (operators/dedup.py): drop the
+            # batch's persisted shingle/signature intermediates, or a
+            # continuous stream pins one set per micro-batch forever.
+            # Safe here: `kept` is localCheckpointed, so nothing
+            # returned to on_kept depends on the released caches.
+            release_caches()
 
     return (
         stream_docs.writeStream.foreachBatch(_process)

@@ -94,7 +94,8 @@ def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
 
 
 _INDEX_CACHE: dict[tuple, str] = {}
-_INDEX_LOCK = threading.Lock()
+_INDEX_LOCK = threading.Lock()  # guards _KEY_LOCKS only
+_KEY_LOCKS: dict[tuple, threading.Lock] = {}
 
 
 def _cleanup_index_cache() -> None:
@@ -115,12 +116,20 @@ def ivf_index_for(corpus: DataFrame, cache_key: tuple, n_cells: int = 16,
     time. cache_key must identify the corpus + layout params (e.g.
     (sf_dir, n_cells, dim)); a changed corpus needs a new key.
 
-    The miss path is serialized: concurrent Flight handler threads
-    must not each pay a full assign-and-write (and orphan the loser's
-    directory). Cached directories are removed at interpreter exit —
-    a production deployment passes an explicit shared path to
-    write_ivf_index instead of leaning on this scratch cache."""
+    The miss path is serialized PER KEY: concurrent Flight handler
+    threads must not each pay a full assign-and-write (or orphan the
+    loser's directory), but a cache hit for an already-built index —
+    and a miss for a DIFFERENT corpus — must not wait behind another
+    key's multi-second build. Cached directories are removed at
+    interpreter exit — a production deployment passes an explicit
+    shared path to write_ivf_index instead of leaning on this scratch
+    cache."""
+    path = _INDEX_CACHE.get(cache_key)
+    if path is not None and os.path.isdir(path):
+        return path
     with _INDEX_LOCK:
+        key_lock = _KEY_LOCKS.setdefault(cache_key, threading.Lock())
+    with key_lock:
         path = _INDEX_CACHE.get(cache_key)
         if path is None or not os.path.isdir(path):
             path = tempfile.mkdtemp(prefix="ivf_index_")

@@ -52,8 +52,18 @@ def _scaled(c: Column, cmin: float, cmax: float, bits: int) -> Column:
 
 def zorder_value(scaled_cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Interleave the low ``bits`` bits of the scaled columns into one
-    Morton value: output bit (b * k + i) = bit b of column i."""
+    Morton value: output bit (b * k + i) = bit b of column i.
+
+    bits * len(cols) must stay under 64: Spark's shiftleft masks the
+    shift amount mod 64, so an overflowing position would silently
+    wrap onto low bits and scramble the curve — refused here instead."""
     k = len(scaled_cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"bits*cols = {bits * k} exceeds 63 — interleaved positions "
+            "past bit 63 wrap (shiftleft masks mod 64); lower bits "
+            f"(e.g. {63 // k}) or z-order fewer columns"
+        )
     terms = [
         F.shiftleft(
             F.shiftright(col, b).bitwiseAND(F.lit(1)), b * k + i
@@ -71,10 +81,17 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     repartitionByRange + sortWithinPartitions on the (transient) z
     value so each of the ``files`` output files covers a contiguous
     z-range — an axis-aligned box in the original columns."""
+    bits = min(bits, 63 // max(len(cols), 1))
     stats = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).first()
+    if any(stats[f"mn_{c}"] is None for c in cols):
+        # empty input (or all-null cluster columns): nothing to
+        # cluster — write the empty/plain frame rather than crash a
+        # scheduled re-clustering job on a benign empty partition
+        df.write.mode("overwrite").parquet(path)
+        return
     scaled = [
         _scaled(F.col(c), float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"]), bits)
         for c in cols
