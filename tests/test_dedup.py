@@ -208,3 +208,37 @@ def test_simhash_md5_tier_blocking_is_exact(spark, sf_dir):
         ).collect()
     }
     assert blocked == brute
+
+
+def test_simhash_blocking_exact_at_wider_radii(spark, sf_dir):
+    """The generalized chunk blocking (max_hamming+1 disjoint chunks)
+    must stay pigeonhole-exact at radii beyond the classic 3: blocked
+    pairs == brute-force all-pairs at Hamming <= 7 and <= 0."""
+    from web3_flight_rpc_server_spark.functions import md5_prefix60
+    from web3_flight_rpc_server_spark.operators.dedup import simhash64
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sh = simhash64(docs, hash_fn=md5_prefix60)
+    l, r = sh.alias("l"), sh.alias("r")
+    all_pairs = (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("d1"),
+            F.col("r.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+    )
+    for radius in (0, 7):
+        blocked = {
+            (p.d1, p.d2, p.hamming)
+            for p in simhash_pairs(
+                docs, radius, hash_fn=md5_prefix60
+            ).collect()
+        }
+        brute = {
+            (p.d1, p.d2, p.hamming)
+            for p in all_pairs.where(F.col("hamming") <= radius).collect()
+        }
+        assert blocked == brute, f"radius {radius}"

@@ -377,28 +377,49 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   hash_fn: Callable[[Column], Column] | None = None) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, BLOCKED on 16-bit
-    signature chunks: a pair within Hamming<=3 of 64 bits must share
-    at least one of four 16-bit chunks exactly (pigeonhole), so the
-    join is a bucket equi-join on (chunk_idx, chunk) — exact for
-    max_hamming<=3, never all-pairs — followed by an in-row
-    bit_count(xor) verify of the candidates.
+    """Near-dup pairs by SimHash Hamming distance, BLOCKED on
+    signature chunks: the 64 bits split into ``max_hamming + 1``
+    disjoint chunks, so a pair within the radius must agree EXACTLY on
+    >= 1 chunk (pigeonhole — exact for ANY radius, not just 3), and
+    the join is a bucket equi-join on (chunk_idx, chunk value)
+    followed by an in-row bit_count(xor) verify of the candidates.
+    Defaults give the classic 4 x 16-bit layout for Hamming <= 3; a
+    looser radius just yields more, narrower chunks (e.g. 8 x 8-bit
+    for <= 7) with correspondingly denser buckets.
 
-    Scale envelope: with uniform fingerprints, expected candidate
-    volume is ~4 N^2 / 2^16 — negligible to ~10^6-10^7 docs, after
-    which widen the blocking key (pair-of-chunks keys, HmSearch-style,
-    still pigeonhole-exact) and df-cap pathologically dense buckets
-    the way the shingle tiers cap stop-shingles (template-heavy
-    corpora concentrate mass on few chunk values)."""
+    Scale envelope: with uniform fingerprints and chunk width w,
+    expected candidate volume is ~(max_hamming+1) N^2 / 2^w —
+    negligible to ~10^6-10^7 docs at w=16, after which widen the
+    blocking key (pair-of-chunks keys, HmSearch-style, still
+    pigeonhole-exact) and df-cap pathologically dense buckets the way
+    the shingle tiers cap stop-shingles (template-heavy corpora
+    concentrate mass on few chunk values)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    # chunk c covers bits [c*width, (c+1)*width) — the last chunk also
+    # takes the 64 % n_chunks remainder bits so every bit is covered
+    # (uncovered bits would break the pigeonhole guarantee)
+    bounds = [
+        (c * width, width if c < n_chunks - 1 else 64 - c * width)
+        for c in range(n_chunks)
+    ]
+
+    def chunk_expr(lo: int, w: int) -> Column:
+        if w >= 64:  # max_hamming=0: the whole fingerprint is the key
+            return F.col("simhash")
+        # arithmetic shiftright sign-fills the high bits; the mask
+        # strips them, so the top chunk is still exact
+        return F.call_function(
+            "shiftright", F.col("simhash"), F.lit(lo)
+        ).bitwiseAND(F.lit((1 << w) - 1))
+
     sh = simhash64(docs, id_col, text_col, hash_fn)
     chunks = sh.select(
         id_col, "simhash",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.call_function("shiftright", F.col("simhash"), c * 16)
-                .bitwiseAND(F.lit(0xFFFF)),
-            )
+            F.array(*[chunk_expr(lo, w) for lo, w in bounds])
         ).alias("chunk_idx", "chunk"),
     )
     l = chunks.alias("l")
