@@ -1,0 +1,120 @@
+"""Cross-engine parity on GENERATED corpora: the driver pins each
+oracle on one fixture dataset; these tests re-run the fingerprint and
+ranking oracles on randomized corpora (fixed seeds, injected near-dup
+structure) so parity holds for the OPERATOR, not one dataset.
+
+Plain seeded random rather than hypothesis: each example costs two
+engine runs, so three structured corpora beat hundreds of tiny ones.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from web3_flight_rpc_server_spark.registry import all_queries
+
+from .oracle_harness import compare
+
+QUERIES = all_queries()
+# The deterministic oracles: blocked generation is pigeonhole/df-cap
+# EXACT, so Spark == oracle on any corpus. q_minhash_lsh is fuzzed
+# separately below: LSH banding recall is probabilistic near the
+# threshold (the fixture's near-dups sit high enough for full recall;
+# a random corpus's J≈0.3 pairs collide in a band with p≈0.06), so
+# its fuzz contract is precision==1 + certain recall of exact copies,
+# not set equality.
+FUZZED = ["q_simhash", "q_winnow_overlap", "q_bm25"]
+
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu spark vector stream"
+).split()
+
+
+def _corpus(seed: int, n_docs: int = 120):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs):
+        toks = rng.choices(_VOCAB, k=rng.randint(5, 60))
+        docs.append((i, " ".join(toks)))
+    # inject near-dup structure: mutated copies and shared passages
+    for j in range(15):
+        src_id, src_text = docs[rng.randrange(n_docs)]
+        toks = src_text.split()
+        for _ in range(rng.randint(0, 2)):
+            toks[rng.randrange(len(toks))] = rng.choice(_VOCAB)
+        docs.append((n_docs + j, " ".join(toks)))
+    passage = " ".join(rng.choices(_VOCAB, k=12))
+    for j in range(5):
+        _, tail = docs[rng.randrange(n_docs)]
+        docs.append((n_docs + 100 + j, passage + " " + tail))
+    return docs
+
+
+@pytest.mark.parametrize("seed", [7, 23, 1009])
+@pytest.mark.parametrize("name", FUZZED)
+def test_oracle_parity_on_generated_corpus(spark, tmp_path, seed, name):
+    rows = _corpus(seed)
+    sf_dir = str(tmp_path / f"corpus{seed}")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    q = QUERIES[name]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"{name} seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_minhash_lsh_contract_on_generated_corpus(spark, tmp_path, seed):
+    """On arbitrary corpora the LSH tier's contract is: every emitted
+    pair is a true J >= threshold pair with the exact Jaccard value
+    (precision 1 — candidates are exact-verified), and identical-text
+    pairs are ALWAYS found (equal signatures collide in every band)."""
+    rng = random.Random(seed * 31)
+    rows = _corpus(seed)
+    copies = [
+        (9000 + i, rows[rng.randrange(len(rows))][1]) for i in range(8)
+    ]
+    rows = rows + copies
+    sf_dir = str(tmp_path / f"lsh{seed}")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    q = QUERIES["q_minhash_lsh"]
+    got = {
+        (r.d1, r.d2): r.jaccard for r in q.fn(spark, sf_dir).collect()
+    }
+    truth = {
+        (d1, d2): j for d1, d2, j in con.execute(q.oracle).fetchall()
+    }
+    assert got, "no pairs found at all"
+    for pair, j in got.items():
+        assert pair in truth and truth[pair] == pytest.approx(j), pair
+    by_text: dict[str, int] = {}
+    for did, text in rows:
+        if text in by_text:
+            first = by_text[text]
+            pair = (min(first, did), max(first, did))
+            assert got.get(pair) == 1.0, f"exact copy missed: {pair}"
+        else:
+            by_text[text] = did
