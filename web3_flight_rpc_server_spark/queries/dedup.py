@@ -150,7 +150,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability is high, and the fixed-seed xxhash signatures make the
     result deterministic (verified equal to the exact tier at sf0.001
     and sf0.01). The recall floor is additionally asserted
-    corpus-independently in tests/test_dedup.py."""
+    corpus-independently in tests/test_dedup.py, and the
+    corpus-independent CONTRACT — precision 1 with exact Jaccard
+    values, certain recall of identical-text pairs — is fuzzed on
+    generated corpora in tests/test_oracle_fuzz.py (banding recall
+    near the threshold is probabilistic on arbitrary corpora; set
+    equality with the exact oracle is a property of this corpus's
+    high-J near-dup structure, not of LSH)."""
     docs = tables.load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(docs, threshold=0.3)
     return pairs.select("d1", "d2", round4(pairs.jaccard).alias("jaccard"))
