@@ -157,3 +157,35 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "q_pack",
+    oracle=None,  # set immediately below (needs the operator's helper)
+    declared=False,
+)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining (concatenate-and-cut at a
+    512-token budget): each document's (start_bin, start_offset) in
+    the packed stream via a two-phase distributed prefix sum — no
+    single-partition global window (operators/packing.py). Undeclared
+    (C19's driver slots are q_train_split / q_sample_stratified);
+    parity-run against the single-window DuckDB oracle in
+    tests/test_oracle_parity.py."""
+    from ..operators.packing import pack_sequences
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512)
+
+
+def _set_pack_oracle() -> None:
+    from ..operators.packing import pack_oracle_sql
+    from ..registry import REGISTRY, Query
+
+    q = REGISTRY["q_pack"]
+    REGISTRY["q_pack"] = Query(
+        q.name, q.fn, pack_oracle_sql(512), q.doc, q.declared
+    )
+
+
+_set_pack_oracle()
