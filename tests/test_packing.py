@@ -69,3 +69,74 @@ def test_budget_validation(spark, sf_dir):
     docs = tables.load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_offsets_join_keeps_plan_shallow_at_many_partitions(spark, sf_dir):
+    """The per-partition offsets must come back as a broadcast-joined
+    P-row dimension, not a P-deep CASE WHEN expression chain: at the
+    design point P is thousands and a literal chain blows the
+    analyzer/codegen limits. 256 partitions would already produce a
+    visibly nested chain; assert the plan carries none and the result
+    still matches the naive single window."""
+    docs = tables.load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, BUDGET, partitions=256)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    # the null-text guard contributes a constant handful of WHENs; the
+    # old offset literal chain contributed one per partition (~255)
+    assert plan.count("WHEN") < 20, "offset literal chain resurfaced"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    got = {
+        r.doc_id: (r.n_tokens, r.start_bin, r.start_offset)
+        for r in packed.collect()
+    }
+    naive = (
+        docs.select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n")
+        )
+        .withColumn(
+            "start",
+            F.sum("n").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("n"),
+        )
+        .collect()
+    )
+    want = {
+        r.doc_id: (r.n, r.start // BUDGET, r.start % BUDGET) for r in naive
+    }
+    assert got == want
+
+
+def test_null_text_packs_as_zero_tokens(spark):
+    """size(NULL) is -1/NULL depending on ANSI mode; either would
+    corrupt the prefix sum. The operator pins null text to 0 tokens."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, 4).collect()}
+    assert rows[2].n_tokens == 0
+    # the null doc occupies zero width: doc 3 starts where doc 2 does
+    assert (rows[2].start_bin, rows[2].start_offset) == (
+        rows[3].start_bin, rows[3].start_offset
+    )
+    assert (rows[3].start_bin, rows[3].start_offset) == (0, 3)
+
+
+def test_tied_order_keys_do_not_overlap(spark):
+    """Duplicate id values must still receive consecutive (ROWS-frame)
+    positions, not identical RANGE-frame cumulative sums: total width
+    equals the token total and every start is distinct."""
+    docs = spark.createDataFrame(
+        [(1, "a b"), (1, "c d e"), (2, "f")], "doc_id long, text string"
+    )
+    rows = pack_sequences(docs, 4, partitions=2).collect()
+    starts = sorted(r.start_bin * 4 + r.start_offset for r in rows)
+    assert len(set(starts)) == len(rows), "tied ids overlapped"
+    total = sum(r.n_tokens for r in rows)
+    widths = starts[1:] + [total]
+    assert all(
+        w - s in {r.n_tokens for r in rows} for s, w in zip(starts, widths)
+    )

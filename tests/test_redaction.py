@@ -55,6 +55,23 @@ def test_class_precedence_card_and_ip_before_phone(spark):
     assert out[1].n_ip == 1 and out[1].n_phone == 1
 
 
+def test_card_length_range_13_to_19(spark):
+    """Card coverage spans real PAN lengths: 13-digit Visa through
+    19-digit Maestro/UnionPay, with or without separators; a 20-digit
+    run is not a PAN and must pass through."""
+    out = _report(spark, [
+        "visa 4222222222222 ok",                     # 13 digits
+        "maestro 6759 6498 2643 8453 983 ok",        # 19 digits
+        "counter 12345678901234567890 ok",           # 20 digits: not a card
+    ])
+    assert out[0].redacted == "visa <CARD> ok"
+    assert out[0].n_card == 1
+    assert out[1].redacted == "maestro <CARD> ok"
+    assert out[1].n_card == 1
+    assert out[2].redacted == "counter 12345678901234567890 ok"
+    assert out[2].clean
+
+
 def test_surrounding_text_preserved(spark):
     out = _report(spark, ["a@b.io;c@d.io, end"])
     assert out[0].redacted == "<EMAIL>;<EMAIL>, end"

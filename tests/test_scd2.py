@@ -98,3 +98,22 @@ def test_requires_attribute_columns(spark):
         scd2_from_history(
             spark.createDataFrame([("a", 1)], "key string, ts long")
         )
+
+
+def test_asof_lookup_colliding_columns_prefixed_or_refused(spark):
+    """Facts sharing an attribute name with the dimension must either
+    get an explicit prefix on the dimension's columns or fail loudly —
+    never produce a duplicate-name schema that breaks the next
+    select-by-name."""
+    scd = scd2_from_history(_hist(spark, [("a", 10, "x"), ("a", 30, "y")]))
+    facts = spark.createDataFrame(
+        [("a", 20, "fact-label")], "key string, fts long, label string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_lookup(facts, scd, "key", "fts")
+    out = asof_lookup(facts, scd, "key", "fts", prefix="dim_")
+    assert out.columns.count("label") == 1
+    row = out.select("key", "fts", "label", "dim_label").collect()[0]
+    assert (row.key, row.fts, row.label, row.dim_label) == (
+        "a", 20, "fact-label", "x"
+    )

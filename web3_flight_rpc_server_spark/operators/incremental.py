@@ -122,26 +122,28 @@ def write_minhash_index(docs: DataFrame, path: str,
         # without duplicating the other — the index never gains
         # duplicate entries even across crash-replay. The presence
         # probe is a broadcast semi-join of the (small) batch ids
-        # against the id column only.
+        # against the id column only; the result stays a DataFrame
+        # (a genuine full-batch replay after a crash can be huge — a
+        # driver collect + IN-list literal would not survive it) and
+        # is localCheckpointed so the exclusion anti-join below does
+        # NOT keep a live plan over the very path being appended to.
         spark_ = docs.sparkSession
         batch_ids = F.broadcast(sets.select(id_col).distinct())
         for sub, df_out in (("bands", banded), ("shingles", sets)):
             try:
-                # materialized eagerly (normally EMPTY — only crash
-                # replays match) so the append's plan does not read
-                # the very path it is writing to
-                present = [
-                    r[0]
-                    for r in spark_.read.parquet(_sub(path, sub))
+                present = (
+                    spark_.read.parquet(_sub(path, sub))
                     .select(id_col)
                     .join(batch_ids, id_col, "left_semi")
                     .distinct()
-                    .collect()
-                ]
+                    .localCheckpoint(eager=True)
+                )
             except AnalysisException:
-                present = []  # dataset missing entirely
-            if present:
-                df_out = df_out.where(~F.col(id_col).isin(present))
+                present = None  # dataset missing entirely
+            if present is not None and not present.isEmpty():
+                df_out = df_out.join(
+                    F.broadcast(present), id_col, "left_anti"
+                )
             df_out.write.mode(mode).parquet(_sub(path, sub))
     else:
         banded.write.mode(mode).parquet(_sub(path, "bands"))

@@ -18,10 +18,15 @@ serializes). This implementation is the classic two-phase prefix sum:
 range-partition by the order key, cumsum locally per partition (a
 partitioned window — parallel), collect only the P per-partition
 totals to the driver (P numbers, not rows), and add each partition's
-cumulative offset back as a literal map. Identical result to the
-single-window formulation, no serialization point — pinned by both a
-pytest equivalence check and a DuckDB window-SQL oracle
-(test_oracle_parity runs the undeclared q_pack registry entry).
+cumulative offset back via a broadcast equi-join on the partition id
+— a P-row dimension, O(1) plan depth regardless of P. (An earlier
+version folded the offsets into a nested ``when`` chain; at the
+100 TB design point P is thousands and a thousand-deep expression
+tree hits the analyzer/codegen 64 KB-method limits long before the
+data does.) Identical result to the single-window formulation, no
+serialization point — pinned by both a pytest equivalence check and
+a DuckDB window-SQL oracle (test_oracle_parity runs the undeclared
+q_pack registry entry).
 
 No counterpart in the reference; deterministic like the
 queries/sampling.py split ops — the same corpus always packs
@@ -47,8 +52,16 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
         raise ValueError(f"budget must be positive, got {budget}")
     spark = docs.sparkSession
     p = partitions or spark.sparkContext.defaultParallelism
+    # size(NULL) is -1 (legacy) or NULL (ANSI) in Spark — either way a
+    # null text would corrupt the prefix sum (negative counts, or a
+    # null that the window skips while downstream math propagates it).
+    # Branch on the text itself so the convention is explicit: null
+    # text packs as 0 tokens, mirrored in the oracle SQL.
     toked = docs.select(
-        id_col, F.size(tokens(text_col)).cast("long").alias("n_tokens")
+        id_col,
+        F.when(F.col(text_col).isNull(), F.lit(0).cast("long"))
+        .otherwise(F.size(tokens(text_col)).cast("long"))
+        .alias("n_tokens"),
     )
     parted = toked.repartitionByRange(p, id_col).withColumn(
         "__pid", F.spark_partition_id()
@@ -59,31 +72,39 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     # hosts release with release_caches().
     from .dedup import _persisted
 
-    w = Window.partitionBy("__pid").orderBy(id_col)
+    # ROWS frame, not the default RANGE: RANGE gives tied order-key
+    # values identical cumulative sums (overlapping pack positions),
+    # silently diverging from the ROWS-framed oracle when ids repeat
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = _persisted(parted.withColumn("__cum", F.sum("n_tokens").over(w)))
     # phase 2: P partition totals -> cumulative offsets (driver-side,
-    # P values — not a row collect)
+    # P values — not a row collect), rejoined as a broadcast P-row
+    # dimension so the plan stays O(1) deep at any partition count
     totals = {
         r["__pid"]: r["total"]
         for r in local.groupBy("__pid")
         .agg(F.max("__cum").alias("total"))
         .collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += totals[pid]
-    offset_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        if off:
-            offset_expr = F.when(
-                F.col("__pid") == pid, F.lit(off).cast("long")
-            ).otherwise(offset_expr)
-    start = offset_expr + F.col("__cum") - F.col("n_tokens")
-    out = local.select(
-        id_col,
-        "n_tokens",
-        start.alias("__start"),
+    offset_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
+    out = (
+        local.join(F.broadcast(offset_df), "__pid", "left")
+        .select(
+            id_col,
+            "n_tokens",
+            start.alias("__start"),
+        )
     ).select(
         id_col,
         "n_tokens",
@@ -99,8 +120,10 @@ def pack_oracle_sql(budget: int = 2048, table: str = "documents",
     return f"""
     WITH t AS (
         SELECT {id_col},
-               CAST(len(string_split(lower({text_col}), ' ')) AS BIGINT)
-                   AS n_tokens
+               CASE WHEN {text_col} IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE CAST(len(string_split(lower({text_col}), ' '))
+                              AS BIGINT)
+               END AS n_tokens
         FROM {table}
     ),
     c AS (

@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 PII_PATTERNS: list[tuple[str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    ("card", r"\b(?:\d[ -]?){13,16}\d\b"),
+    # 13-19 total digits: 13-digit Visa PANs through 19-digit
+    # Maestro/UnionPay — the repeated group supplies 12-18 digits plus
+    # the final literal one
+    ("card", r"\b(?:\d[ -]?){12,18}\d\b"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
     # (?<![\d-]) pins the start to a non-digit context: without it the
     # pattern matches a 13-digit SUFFIX inside any longer digit run —

@@ -126,16 +126,40 @@ def scd2_merge(existing: DataFrame, changes: DataFrame,
 
 
 def asof_lookup(facts: DataFrame, scd2: DataFrame, key_col: str,
-                fact_ts_col: str) -> DataFrame:
+                fact_ts_col: str, prefix: str = "") -> DataFrame:
     """Join each fact to the dimension version valid at its timestamp
     — a plain range join (broadcastable when the dimension is small;
-    at scale, both sides pre-partitioned by key)."""
+    at scale, both sides pre-partitioned by key).
+
+    The joined schema must be unambiguous by NAME, not just by
+    attribute reference — downstream ``select("col")`` calls fail on
+    duplicates. Dimension columns that collide with a facts column
+    (shared attribute names, or facts that themselves carry
+    valid_from/valid_to/is_current) are renamed with ``prefix``; with
+    the default empty prefix a collision raises instead of producing a
+    schema that breaks one select later."""
+    dim_cols = [c for c in scd2.columns if c != key_col]
+    clash = sorted(set(dim_cols) & set(facts.columns))
+    if clash:
+        if not prefix:
+            raise ValueError(
+                f"dimension columns {clash} collide with fact columns; "
+                "pass prefix= (e.g. 'dim_') to disambiguate the output "
+                "schema"
+            )
+        dim = scd2.select(
+            key_col,
+            *[F.col(c).alias(prefix + c) for c in dim_cols],
+        )
+        vfrom, vto = prefix + "valid_from", prefix + "valid_to"
+    else:
+        dim, vfrom, vto = scd2, "valid_from", "valid_to"
     cond = (
-        (facts[key_col] == scd2[key_col])
-        & (facts[fact_ts_col] >= scd2["valid_from"])
+        (facts[key_col] == dim[key_col])
+        & (facts[fact_ts_col] >= dim[vfrom])
         & (
-            scd2["valid_to"].isNull()
-            | (facts[fact_ts_col] < scd2["valid_to"])
+            dim[vto].isNull()
+            | (facts[fact_ts_col] < dim[vto])
         )
     )
-    return facts.join(scd2, cond, "left").drop(scd2[key_col])
+    return facts.join(dim, cond, "left").drop(dim[key_col])
