@@ -171,6 +171,39 @@ def test_curation_funnel_plan_shape(spark, sf_dir):
         release_caches()
 
 
+def test_declared_funnel_runs_lsh_tier(spark, sf_dir, monkeypatch):
+    """The DECLARED funnel must run the production MinHash-LSH
+    near-dup tier, never the quadratic exact-Jaccard self-join kept
+    for ground truth. The tier is invisible in the final physical plan
+    (connected_components checkpoint-truncates the pair lineage), so
+    assert behaviorally: the exact tier must not be invoked at all,
+    and the LSH pipeline must be invoked exactly once."""
+    from web3_flight_rpc_server_spark.operators import dedup as dedup_mod
+    from web3_flight_rpc_server_spark.operators.dedup import release_caches
+    from web3_flight_rpc_server_spark.pipelines import curation as pipe_mod
+
+    calls = {"lsh": 0}
+    real_lsh = dedup_mod.minhash_lsh_dedup_pairs
+
+    def counting_lsh(*a, **kw):
+        calls["lsh"] += 1
+        return real_lsh(*a, **kw)
+
+    def forbidden_exact(*a, **kw):
+        raise AssertionError(
+            "declared funnel invoked the exact-Jaccard pair tier"
+        )
+
+    monkeypatch.setattr(pipe_mod, "minhash_lsh_dedup_pairs", counting_lsh)
+    monkeypatch.setattr(dedup_mod, "ngram_jaccard_pairs", forbidden_exact)
+    try:
+        df = QUERIES["q_curation_funnel"].fn(spark, sf_dir)
+        assert df.count() > 0
+        assert calls["lsh"] == 1
+    finally:
+        release_caches()
+
+
 def test_curation_funnel_aqe_executes_broadcast_joins(spark, sf_dir):
     """The funnel's static plan carries SortMergeJoins for the reject
     anti-joins and the final docs-to-rejects left join (correct at

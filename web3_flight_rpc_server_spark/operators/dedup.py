@@ -278,7 +278,8 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                             num_hashes: int = 32, bands: int = 8,
                             id_col: str = "doc_id", text_col: str = "text",
-                            n: int = 3) -> DataFrame:
+                            n: int = 3,
+                            _sets: DataFrame | None = None) -> DataFrame:
     """Full LSH near-dup pipeline: candidates from banded MinHash, then
     EXACT Jaccard verification of candidates only. Output
     (d1, d2, jaccard) — a (high-recall) subset of ngram_jaccard_pairs.
@@ -302,7 +303,12 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     # a per-row transform() into an hs array first: the lambda runs
     # interpreted per exploded row and measured 1.7x slower at sf1
     # for bit-identical output.
-    sets = _persisted(shingle_sets(docs, id_col, text_col, n))
+    # _sets lets a host pipeline (e.g. the curation funnel, whose
+    # decontamination stage needs the same shingle table) inject an
+    # already-persisted shingle-set table instead of re-tokenizing
+    sets = _sets if _sets is not None else _persisted(
+        shingle_sets(docs, id_col, text_col, n)
+    )
     sigs = agg_signatures(sets, num_hashes, id_col)
     cands = lsh_candidate_pairs(sigs, bands, id_col)
     return _verify_pairs(cands, sets, threshold, id_col)

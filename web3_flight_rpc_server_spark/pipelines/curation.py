@@ -137,7 +137,10 @@ def curation_rejects(docs: DataFrame,
     # at 100 TB a boilerplate page duplicated millions of times is
     # exactly the hottest key, i.e. a guaranteed skewed-key OOM. Same
     # (key -> min id) contract as operators.dedup.exact_dedup.
-    keyed = s2.select("doc_id", F.md5("text").alias("__key"))
+    # persisted: the keeper aggregate and the join probe below both
+    # consume this projection; unpersisted, each re-filters the gate
+    # cache and re-hashes the text (one extra md5 pass per branch)
+    keyed = _persisted(s2.select("doc_id", F.md5("text").alias("__key")))
     keepers = keyed.groupBy("__key").agg(F.min("doc_id").alias("__keep"))
     exact_losers = (
         keyed.join(keepers, "__key")
@@ -149,10 +152,20 @@ def curation_rejects(docs: DataFrame,
         .select("doc_id", "text")
     )
 
-    # near-dup: pairs -> components -> min-id canonical survives
+    # near-dup: pairs -> components -> min-id canonical survives. The
+    # LSH tier's persisted shingle-set table doubles as the
+    # decontamination stage's input below (filtered to survivors) —
+    # one tokenize+shingle pass over the corpus instead of two, the
+    # materialized-shingle-table shape a warehouse pipeline uses.
+    from ..operators.dedup import shingle_sets
+
     if pairs_fn is None:
-        pairs = minhash_lsh_dedup_pairs(s3, threshold=cfg.neardup_threshold)
+        sets3 = _persisted(shingle_sets(s3))
+        pairs = minhash_lsh_dedup_pairs(
+            s3, threshold=cfg.neardup_threshold, _sets=sets3
+        )
     else:
+        sets3 = None
         pairs = pairs_fn(s3)
     comp = connected_components(pairs)
     near_losers = comp.where(F.col("node") != F.col("cluster_id")).select(
@@ -161,12 +174,13 @@ def curation_rejects(docs: DataFrame,
     s4 = s3.join(near_losers.select("doc_id"), "doc_id", "left_anti")
 
     # decontamination: benchmark shingles broadcast, linear probe
-    from ..operators.dedup import shingle_sets
     from ..queries.sampling import _BUCKET_SPARK
 
-    sets = shingle_sets(s4.select("doc_id", "text")).withColumn(
-        "bucket", F.expr(_BUCKET_SPARK)
-    )
+    if sets3 is not None:
+        base_sets = sets3.join(s4.select("doc_id"), "doc_id", "left_semi")
+    else:
+        base_sets = shingle_sets(s4.select("doc_id", "text"))
+    sets = base_sets.withColumn("bucket", F.expr(_BUCKET_SPARK))
     bench_sh = (
         sets.where(F.col("bucket") == cfg.bench_bucket)
         .select(F.explode("shs").alias("shingle"))

@@ -3,12 +3,19 @@ composition): every document routed to its first failing gate — or
 'kept' — with the ENTIRE funnel verified per-document against a
 single DuckDB oracle.
 
-The near-dup stage uses the exact-Jaccard pair tier here (instead of
-the default MinHash-LSH) precisely so the whole pipeline is
-SQL-expressible: the oracle rebuilds lang-ID, the rounded quality
-score, windowed exact dedup, pairwise Jaccard + WITH RECURSIVE
-connected components, survivor-scoped decontamination, and the
-blocklist probe, then routes each doc through the same CASE ladder.
+The declared funnel runs the PRODUCTION near-dup tier — MinHash-LSH
+(pairs_fn=None), the 100 TB code path — while the oracle rebuilds the
+ground truth with exact pairwise Jaccard: lang-ID, the rounded
+quality score, windowed exact dedup, pairwise Jaccard +
+WITH RECURSIVE connected components, survivor-scoped decontamination,
+and the blocklist probe, then routes each doc through the same CASE
+ladder. The cross-tier comparison is sound because LSH candidates are
+exact-verified before rejecting (precision 1) and q_minhash_lsh
+independently proves the LSH pair set equals the exact pair set on
+this corpus; tests/test_curation.py additionally pins per-document
+routing parity between the two tiers, and tests/test_plans.py asserts
+the declared plan carries the LSH banding (posexplode), not the
+quadratic shingle self-join.
 Each fragment mirrors an independently driver-verified query
 (q_text_stats, q_dedup, q_minhash_lsh/_JACCARD_ORACLE,
 q_dedup_clusters, q_contamination, q_blocklist_filter) — this entry
@@ -22,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, stopword_hits_sql
-from ..operators.dedup import ngram_jaccard_pairs
 from ..pipelines.curation import CurationConfig, curation_rejects
 from ..registry import query
 from ..sources import tables
@@ -134,15 +140,15 @@ def _funnel_oracle() -> str:
 @query("q_curation_funnel", oracle=_funnel_oracle())
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document's funnel routing (first failing gate or 'kept'),
-    exact-Jaccard near-dup tier for SQL-oracle parity. The default
-    MinHash-LSH tier and the writer/split path are covered by
-    pipelines/curation.py + tests/test_curation.py."""
+    production MinHash-LSH near-dup tier (pairs_fn=None — the scale
+    shape). The oracle's exact-Jaccard ground truth stays valid
+    because LSH candidates are exact-verified (precision 1) and the
+    tiers' pair sets/routing agree on this corpus (q_minhash_lsh,
+    tests/test_curation.py). The exact tier remains available as
+    ngram_jaccard_pairs for ground-truth runs; the writer/split path
+    is covered by pipelines/curation.py + tests/test_curation.py."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    rejects = curation_rejects(
-        docs,
-        CurationConfig(),
-        pairs_fn=lambda d: ngram_jaccard_pairs(d, threshold=0.3),
-    )
+    rejects = curation_rejects(docs, CurationConfig(), pairs_fn=None)
     return docs.join(rejects, "doc_id", "left").select(
         "doc_id",
         F.coalesce("reject_reason", F.lit("kept")).alias("stage"),
