@@ -234,3 +234,66 @@ def test_partial_append_heals_on_replay(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path + "/bands").where(
         F.col("doc_id") == 999
     ).count() == n_band_rows
+
+
+def test_bucketed_bands_tier_no_exchange_on_index_side(spark, sf_dir, tmp_path):
+    """The metastore bucketed-bands tier: the probe join must shuffle
+    ONLY the probe side — the bands table's pinned (band, bucket) hash
+    partitioning satisfies the join's distribution requirement, so the
+    plan carries no Exchange over the index scan. Also: identical
+    pairs to the plain-parquet tier, and appends follow the manifest's
+    tier automatically."""
+    old, new = _split(spark, sf_dir)
+    plain_path = str(tmp_path / "idx_plain")
+    bt_path = str(tmp_path / "idx_bucketed")
+    table = "test_idx_bands"
+    write_minhash_index(old, plain_path)
+    # broadcast off so the join planning is the SMJ-vs-bucketing
+    # decision under test, not a tiny-fixture broadcast
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_minhash_index(old, bt_path, bands_table=table, buckets=8)
+
+        probe = dedup_against_index(new, bt_path, threshold=0.3)
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Bucketed: true" in plan, "index side not read as bucketed"
+        # exactly one (band, bucket) exchange: the probe side's. The
+        # plain tier plans two (both join children shuffle).
+        assert plan.count("hashpartitioning(band") == 1, plan
+        plain_probe = dedup_against_index(new, plain_path, threshold=0.3)
+        plain_plan = plain_probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert plain_plan.count("hashpartitioning(band") == 2
+
+        got = {
+            (r.new_id, r.idx_id, round(r.jaccard, 6))
+            for r in probe.collect()
+        }
+        want = {
+            (r.new_id, r.idx_id, round(r.jaccard, 6))
+            for r in plain_probe.collect()
+        }
+        assert got == want and got
+
+        # append follows the manifest's tier: the table (not a
+        # path/bands directory) gains the new batch's rows
+        before = spark.table(table).count()
+        write_minhash_index(new, bt_path, append=True)
+        assert spark.table(table).count() > before
+        copy = new.limit(1).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        src_id = new.limit(1).collect()[0].doc_id
+        hits = dedup_against_index(copy, bt_path, threshold=0.99).collect()
+        assert any(r.idx_id == src_id and r.jaccard == 1.0 for r in hits)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

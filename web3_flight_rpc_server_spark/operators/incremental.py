@@ -32,11 +32,14 @@ driver's local disk.
 Scale shape: checking a batch of b docs against an index of N docs
 costs signatures over b docs plus ONE equi-join of b x bands probe
 rows against the bands dataset keyed on (band, bucket) — never a
-rescan of the N-doc text, never all-pairs. The join shuffles only the
-(tiny) probe side when the bands dataset is written bucketed on
-``bucket`` (sources/bucketed.py:write_bucketed via a metastore table);
-the plain-parquet layout here keeps the index a portable directory and
-still reduces the join to candidate buckets. Verification then joins
+rescan of the N-doc text, never all-pairs. Two storage tiers for the
+bands dataset, chosen at first write and recorded in the manifest:
+plain parquet (default — the index stays a portable directory, no
+metastore needed) or a metastore table bucketed on (band, bucket)
+(``bands_table=``, sources/bucketed.py's lever), whose pinned hash
+partitioning makes the probe join shuffle ONLY the probe side — no
+Exchange over the index no matter how large the corpus grows
+(plan-asserted in tests/test_incremental.py). Verification then joins
 the (small) candidate set to both shingle tables in-row
 (array_intersect) — AQE broadcasts it at runtime.
 
@@ -46,6 +49,8 @@ taken to its production ingestion shape.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,9 +73,30 @@ def _sub(path: str, name: str) -> str:
     return path.rstrip("/") + "/" + name
 
 
-def _read_manifest(spark: SparkSession, path: str) -> tuple[int, int, int]:
-    """(num_hashes, bands, n) of the index at ``path``; raises
-    FileNotFoundError if there is no index there."""
+@dataclass(frozen=True)
+class IndexManifest:
+    """The layout an index was built with — recorded with the data so
+    probes and appends can never band differently (a mismatched probe
+    would simply never collide and silently admit duplicates)."""
+    num_hashes: int
+    bands: int
+    n: int
+    # metastore bucketed-bands tier: when set, the bands dataset lives
+    # in this bucketed table (CLUSTERED BY (band, bucket)) instead of
+    # plain parquet under path/bands — the probe join then shuffles
+    # ONLY the probe side; the index side reads co-located buckets
+    bands_table: str | None = None
+    buckets: int = 0
+
+    @property
+    def layout(self) -> tuple[int, int, int]:
+        return (self.num_hashes, self.bands, self.n)
+
+
+def _read_manifest(spark: SparkSession, path: str) -> IndexManifest:
+    """Layout of the index at ``path``; raises FileNotFoundError if
+    there is no index there. Pre-bucketed-tier manifests (no
+    bands_table column) read as the plain-parquet layout."""
     try:
         row = spark.read.parquet(_sub(path, "manifest")).collect()[0]
     except AnalysisException as exc:
@@ -78,7 +104,11 @@ def _read_manifest(spark: SparkSession, path: str) -> tuple[int, int, int]:
             f"no MinHash index at {path!r} — write the first corpus "
             "snapshot with write_minhash_index() before probing it"
         ) from exc
-    return int(row.num_hashes), int(row.bands), int(row.n)
+    d = row.asDict()
+    return IndexManifest(
+        int(row.num_hashes), int(row.bands), int(row.n),
+        d.get("bands_table"), int(d.get("buckets") or 0),
+    )
 
 
 def write_minhash_index(docs: DataFrame, path: str,
@@ -86,28 +116,61 @@ def write_minhash_index(docs: DataFrame, path: str,
                         bands: int = DEFAULT_BANDS,
                         id_col: str = "doc_id", text_col: str = "text",
                         n: int = DEFAULT_SHINGLE_N, append: bool = False,
+                        bands_table: str | None = None,
+                        buckets: int = 64,
                         _sets: DataFrame | None = None) -> None:
     """Write (or append a new batch to) the MinHash index at ``path``.
 
     ``append=True`` is the ingestion loop: after a batch passes
     :func:`dedup_against_index`, index its survivors so the NEXT batch
     is checked against them too. Appends are partition-additive
-    parquet writes — no rewrite of existing index files — and must use
+    writes — no rewrite of existing index files — and must use
     the layout recorded in the manifest (validated; ValueError on
     mismatch). The caller owns id uniqueness across appends
     (deterministic doc ids, e.g. content-hash-derived, make replays
-    idempotent)."""
+    idempotent).
+
+    ``bands_table`` selects the metastore tier for the bands dataset:
+    a bucketed table CLUSTERED BY (band, bucket) INTO ``buckets``
+    buckets (sources/bucketed.py's lever applied to the index). Probe
+    joins against a bucketed bands side shuffle ONLY the probe — the
+    index side's hash partitioning is pinned in the table layout, so
+    the plan carries no Exchange over it no matter how large the
+    indexed corpus grows. The plain-parquet default keeps the index a
+    portable directory (no metastore needed); the layout choice is
+    recorded in the manifest and appends/probes follow it
+    automatically."""
     spark = docs.sparkSession
     if append:
-        m_hashes, m_bands, m_n = _read_manifest(spark, path)
-        if (num_hashes, bands, n) != (m_hashes, m_bands, m_n):
+        m = _read_manifest(spark, path)
+        if (num_hashes, bands, n) != m.layout:
             raise ValueError(
                 f"index at {path!r} was built with (num_hashes, bands, n)="
-                f"{(m_hashes, m_bands, m_n)}; append requested "
+                f"{m.layout}; append requested "
                 f"{(num_hashes, bands, n)} — rebanding an existing index "
                 "silently breaks collisions, rebuild instead"
             )
+        # layout (incl. the bands storage tier) comes from the
+        # manifest on append — a caller cannot switch tiers mid-index
+        bands_table, buckets = m.bands_table, m.buckets
     mode = "append" if append else "overwrite"
+
+    def _write_bands(df: DataFrame, write_mode: str) -> None:
+        if bands_table:
+            (
+                df.write.mode(write_mode)
+                .bucketBy(buckets, "band", "bucket")
+                .sortBy("band", "bucket")
+                .saveAsTable(bands_table)
+            )
+        else:
+            df.write.mode(write_mode).parquet(_sub(path, "bands"))
+
+    def _read_bands_existing() -> DataFrame:
+        if bands_table:
+            return spark.table(bands_table)
+        return spark.read.parquet(_sub(path, "bands"))
+
     sets = _sets if _sets is not None else _persisted(
         shingle_sets(docs, id_col, text_col, n)
     )
@@ -127,13 +190,15 @@ def write_minhash_index(docs: DataFrame, path: str,
         # driver collect + IN-list literal would not survive it) and
         # is localCheckpointed so the exclusion anti-join below does
         # NOT keep a live plan over the very path being appended to.
-        spark_ = docs.sparkSession
         batch_ids = F.broadcast(sets.select(id_col).distinct())
         for sub, df_out in (("bands", banded), ("shingles", sets)):
             try:
+                existing = (
+                    _read_bands_existing() if sub == "bands"
+                    else spark.read.parquet(_sub(path, sub))
+                )
                 present = (
-                    spark_.read.parquet(_sub(path, sub))
-                    .select(id_col)
+                    existing.select(id_col)
                     .join(batch_ids, id_col, "left_semi")
                     .distinct()
                     .localCheckpoint(eager=True)
@@ -144,13 +209,19 @@ def write_minhash_index(docs: DataFrame, path: str,
                 df_out = df_out.join(
                     F.broadcast(present), id_col, "left_anti"
                 )
-            df_out.write.mode(mode).parquet(_sub(path, sub))
+            if sub == "bands":
+                _write_bands(df_out, mode)
+            else:
+                df_out.write.mode(mode).parquet(_sub(path, sub))
     else:
-        banded.write.mode(mode).parquet(_sub(path, "bands"))
+        _write_bands(banded, mode)
         sets.write.mode(mode).parquet(_sub(path, "shingles"))
     if not append:
         spark.createDataFrame(
-            [(num_hashes, bands, n)], "num_hashes int, bands int, n int"
+            [(num_hashes, bands, n, bands_table,
+              buckets if bands_table else 0)],
+            "num_hashes int, bands int, n int, "
+            "bands_table string, buckets int",
         ).write.mode("overwrite").parquet(_sub(path, "manifest"))
 
 
@@ -171,7 +242,8 @@ def dedup_against_index(new_docs: DataFrame, path: str,
     duplicates are NOT reported here — ingest_batch resolves those
     from the same artifacts."""
     spark = new_docs.sparkSession
-    num_hashes, bands, n = _read_manifest(spark, path)
+    m = _read_manifest(spark, path)
+    num_hashes, bands, n = m.layout
     new_sets = _sets if _sets is not None else _persisted(
         shingle_sets(new_docs, id_col, text_col, n)
     )
@@ -179,7 +251,14 @@ def dedup_against_index(new_docs: DataFrame, path: str,
         agg_signatures(new_sets, num_hashes, id_col), bands, id_col
     )
 
-    idx_bands = spark.read.parquet(_sub(path, "bands"))
+    # bucketed tier: the table scan's pinned (band, bucket) hash
+    # partitioning satisfies the join's distribution requirement, so
+    # only the (tiny) probe side shuffles — asserted in
+    # tests/test_incremental.py
+    idx_bands = (
+        spark.table(m.bands_table) if m.bands_table
+        else spark.read.parquet(_sub(path, "bands"))
+    )
     probe = new_banded.select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
@@ -231,7 +310,7 @@ def ingest_batch(new_docs: DataFrame, path: str,
     index probe, the batch-internal self-check, and (filtered to the
     survivors) the index append — no re-tokenization per stage."""
     spark = new_docs.sparkSession
-    num_hashes, bands, n = _read_manifest(spark, path)
+    num_hashes, bands, n = _read_manifest(spark, path).layout
     new_sets = _persisted(shingle_sets(new_docs, id_col, text_col, n))
     # persisted: the banded signatures feed BOTH the index probe and
     # the batch-internal self-join — without the persist each consumer
@@ -295,7 +374,8 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
                      bands: int = DEFAULT_BANDS,
                      n: int = DEFAULT_SHINGLE_N,
                      id_col: str = "doc_id", text_col: str = "text",
-                     on_kept=None):
+                     on_kept=None, bands_table: str | None = None,
+                     buckets: int = 64):
     """Continuous ingestion: every micro-batch of the document stream
     is deduped against the index (and against itself) and its
     survivors appended — ``readStream -> foreachBatch(ingest_batch)``.
@@ -322,7 +402,8 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
             [], stream_docs.select(id_col, text_col).schema
         )
         write_minhash_index(
-            empty, path, num_hashes, bands, id_col, text_col, n
+            empty, path, num_hashes, bands, id_col, text_col, n,
+            bands_table=bands_table, buckets=buckets,
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
