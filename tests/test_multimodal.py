@@ -92,3 +92,55 @@ def test_real_media_bytes_raise_cleanly(spark):
     )
     with pytest.raises(Exception, match="PIL|SYNM|NotImplementedError"):
         decode_media(fake_jpeg).collect()
+
+
+FIXTURES = __file__.rsplit("/", 1)[0] + "/fixtures"
+
+
+def _fixture_df(spark, *names):
+    rows = []
+    for i, name in enumerate(names):
+        with open(f"{FIXTURES}/{name}", "rb") as fh:
+            blob = fh.read()
+        kind = "audio" if name.endswith(".wav") else "image"
+        rows.append((i, kind, blob, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_real_png_decodes_through_arrow_path(spark):
+    """A real PNG fixture (8-bit RGB, committed in-repo) decodes to
+    pixel dims and payload length via the stdlib zlib+unfilter codec,
+    through the same mapInPandas Arrow path as everything else."""
+    media = _fixture_df(spark, "gradient_f0.png")
+    row = decode_media(media).collect()[0]
+    assert (row.decoded_kind, row.decoded_width, row.decoded_height) == (
+        "image", 8, 5
+    )
+    assert row.payload_len == 8 * 5 * 3
+
+
+def test_png_unfilters_validated_against_filter0_twin(spark):
+    """gradient_mixed.png carries the SAME pixels as gradient_f0.png
+    under Sub/Up/Average/Paeth scanline filters; filter 0 is trivially
+    correct to decode, so byte-identical decoded features across the
+    two files pin the unfilter implementations without trusting the
+    fixture encoder's filters."""
+    media = _fixture_df(spark, "gradient_f0.png", "gradient_mixed.png")
+    feats = {
+        r.media_id: list(r.features)
+        for r in byte_histogram_features(media, bins=256).collect()
+    }
+    assert feats[0] == feats[1]
+    assert sum(feats[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_real_wav_decodes_pcm_stats(spark):
+    """The committed WAV fixture (16-bit mono PCM, 8 kHz, 64 frames)
+    decodes via the stdlib wave module: channels/rate/frame-count land
+    in the decoded columns and the payload is the PCM byte stream."""
+    media = _fixture_df(spark, "tone.wav")
+    row = decode_media(media).collect()[0]
+    assert row.decoded_kind == "audio"
+    assert row.decoded_width == 1        # channels
+    assert row.decoded_height == 8000    # sample rate
+    assert row.payload_len == 64 * 2     # frames x 16-bit
