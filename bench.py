@@ -247,14 +247,23 @@ def main() -> int:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "reps": reps,
-        "queries_spread": cold_spread,
-        "queries_warm_spread": warm_spread,
         "ingest_blocks_per_s": round(measure_ingest()),
         "sf": sf,
     }
     if oracle_timings:
         out["oracle_queries"] = oracle_timings
         out["oracle_total"] = round(sum(oracle_timings.values()), 3)
+    # The per-query [min, max] spreads triple the line length; a tail
+    # capture of stdout (how the round driver records the result)
+    # would truncate mid-JSON and record parsed=null, as happened in
+    # round 3. The printed line stays compact; the FULL record —
+    # spreads included — always lands in BENCH_local.json, written
+    # whole before anything is printed.
+    full = dict(out, queries_spread=cold_spread,
+                queries_warm_spread=warm_spread)
+    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
     print(json.dumps(out))
     return 0
 

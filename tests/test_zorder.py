@@ -97,3 +97,46 @@ def test_zordered_layout_prunes_both_dimensions(spark, tmp_path):
     read_z_v = _scan_rows_read(spark, zpath, pred_v)
     assert read_z_v < read_lin_v / 2, (read_z_v, read_lin_v)
     assert read_z_v < total * 0.5, (read_z_v, total)
+
+
+def test_outlier_does_not_collapse_the_curve(spark, tmp_path):
+    """One planted extreme outlier must not collapse the scaled bit
+    range: with percentile-clamped scaling, row-group skipping on the
+    poisoned table stays within ~2x of the clean table's (raw min/max
+    scaling degrades it by orders of magnitude — the outlier stretches
+    the scale until every real value lands in one cell)."""
+    import os
+
+    import pytest
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ZORDER_SF_DIR", "/root/testdata/sf0.1"
+    )
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"no bench-scale fixture at {sf_dir}")
+    events = tables.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    poisoned = events.unionByName(
+        spark.createDataFrame(
+            [(10**9, 10**9, 1e12)], "event_id long, user_id long, value double"
+        )
+    )
+
+    clean, dirty = str(tmp_path / "clean"), str(tmp_path / "dirty")
+    write_zordered(events, clean, ["user_id", "value"], files=32)
+    write_zordered(poisoned, dirty, ["user_id", "value"], files=32)
+
+    pred = (
+        F.col("user_id").between(100, 150)
+        & F.col("value").between(10.0, 20.0)
+    )
+    read_clean = _scan_rows_read(spark, clean, pred)
+    read_dirty = _scan_rows_read(spark, dirty, pred)
+    assert read_dirty <= read_clean * 2 + 10_000, (read_dirty, read_clean)
+    # and the planted outlier itself is still findable (it saturates
+    # into the curve's edge cell, it is not lost)
+    assert (
+        spark.read.parquet(dirty).where(F.col("event_id") == 10**9).count()
+        == 1
+    )

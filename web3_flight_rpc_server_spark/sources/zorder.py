@@ -18,12 +18,16 @@ address (the reference can only scope by block range,
 LogsService.java:548-556, and re-filters addresses row by row); a
 (blockNumber, address-hash) z-order makes both predicates prune IO.
 
-Scale notes: the column scaling uses global min/max (one tiny
-aggregate); ranks would resist skew better but cost a full sort —
-min/max matches what Delta does by default. The z value is transient
-(dropped before write); re-clustering is a rewrite, exactly like
-OPTIMIZE. Stats collection + repartitionByRange's sampling are the
-only extra cost over a plain sorted write.
+Scale notes: the column scaling clamps to the approximate 0.1/99.9
+percentiles (one tiny approx_percentile aggregate) instead of raw
+min/max — a single extreme outlier would otherwise collapse the
+effective bit range for the whole column and degrade skipping to a
+near-scan; values outside the clamp saturate to the curve's edge
+cells, which costs nothing (they cluster into the edge files). Ranks
+would resist skew even better but cost a full sort. The z value is
+transient (dropped before write); re-clustering is a rewrite, exactly
+like OPTIMIZE. Stats collection + repartitionByRange's sampling are
+the only extra cost over a plain sorted write.
 """
 
 from __future__ import annotations
@@ -82,9 +86,20 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     value so each of the ``files`` output files covers a contiguous
     z-range — an axis-aligned box in the original columns."""
     bits = min(bits, 63 // max(len(cols), 1))
+    # percentile-clamped scaling bounds: one planted outlier (a bad
+    # sensor value, an overflowed counter) must not stretch the scale
+    # so far that the real data collapses into a handful of cells
     stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
+        *[
+            F.approx_percentile(F.col(c).cast("double"), F.lit(0.001))
+            .alias(f"mn_{c}")
+            for c in cols
+        ],
+        *[
+            F.approx_percentile(F.col(c).cast("double"), F.lit(0.999))
+            .alias(f"mx_{c}")
+            for c in cols
+        ],
     ).first()
     if any(stats[f"mn_{c}"] is None for c in cols):
         # empty input (or all-null cluster columns): nothing to
