@@ -242,3 +242,54 @@ def test_simhash_blocking_exact_at_wider_radii(spark, sf_dir):
             for p in all_pairs.where(F.col("hamming") <= radius).collect()
         }
         assert blocked == brute, f"radius {radius}"
+
+
+def test_hmsearch_pair_blocking_exact_and_matches_classic(spark, sf_dir):
+    """The HmSearch-style pair-of-chunks blocking (the documented
+    >10^7-doc escalation) must be pigeonhole-exact: identical pairs to
+    brute-force all-pairs — and hence to the classic single-chunk
+    blocking — at several radii and chunk counts, including a
+    non-default m with remainder bits in the last chunk."""
+    from web3_flight_rpc_server_spark.functions import md5_prefix60
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        simhash64,
+        simhash_pairs_hmsearch,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    sh = simhash64(docs, hash_fn=md5_prefix60)
+    l, r = sh.alias("l"), sh.alias("r")
+    all_pairs = (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("d1"),
+            F.col("r.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+    )
+    for radius, m in ((3, None), (3, 7), (7, 9), (0, 2)):
+        got = {
+            (p.d1, p.d2, p.hamming)
+            for p in simhash_pairs_hmsearch(
+                docs, radius, n_chunks=m, hash_fn=md5_prefix60
+            ).collect()
+        }
+        brute = {
+            (p.d1, p.d2, p.hamming)
+            for p in all_pairs.where(F.col("hamming") <= radius).collect()
+        }
+        assert got == brute, f"radius {radius}, n_chunks {m}"
+
+
+def test_hmsearch_rejects_underchunked_layouts(spark, sf_dir):
+    import pytest
+
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        simhash_pairs_hmsearch,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="pair blocking"):
+        simhash_pairs_hmsearch(docs, 3, n_chunks=4)

@@ -395,11 +395,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
     Scale envelope: with uniform fingerprints and chunk width w,
     expected candidate volume is ~(max_hamming+1) N^2 / 2^w —
-    negligible to ~10^6-10^7 docs at w=16, after which widen the
-    blocking key (pair-of-chunks keys, HmSearch-style, still
-    pigeonhole-exact) and df-cap pathologically dense buckets the way
-    the shingle tiers cap stop-shingles (template-heavy corpora
-    concentrate mass on few chunk values)."""
+    negligible to ~10^6-10^7 docs at w=16, after which switch to
+    :func:`simhash_pairs_hmsearch` (pair-of-chunks keys, still
+    pigeonhole-exact, ~2^w fewer candidates) and df-cap
+    pathologically dense buckets the way the shingle tiers cap
+    stop-shingles (template-heavy corpora concentrate mass on few
+    chunk values)."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
@@ -435,6 +436,96 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             r,
             (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
             & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"),
+            F.col(f"r.{id_col}").alias("d2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
+                           n_chunks: int | None = None,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           hash_fn: Callable[[Column], Column] | None = None
+                           ) -> DataFrame:
+    """:func:`simhash_pairs` with HmSearch-style WIDENED blocking keys
+    for >10^7-doc corpora — same output, ~2^w fewer candidates.
+
+    Generalized pigeonhole: split the 64 bits into ``n_chunks`` = m
+    disjoint chunks with m - max_hamming >= 2. At most ``max_hamming``
+    chunks can differ between two fingerprints within the radius, so
+    at least m - max_hamming >= 2 chunks agree exactly — hence some
+    PAIR of chunks agrees, and blocking on all C(m, 2) ordered chunk
+    pairs (key = (pair_idx, chunk_i, chunk_j)) is still exact. The
+    key is ~2x wider than the single-chunk tier's, so with uniform
+    fingerprints expected candidate volume drops from
+    ~(k+1) N^2 / 2^w to ~C(m,2) N^2 / 2^(2w') (w' = 64/m): at k=3,
+    N=10^8, that is ~6x10^11 candidates for the 4x16 layout vs
+    ~3x10^9 for the default 5-chunk pair layout — the difference
+    between an impossible shuffle and a large-but-plannable one. Cost:
+    C(m,2) key rows per doc instead of m (10 vs 4 at the defaults).
+
+    Defaults: n_chunks = max_hamming + 2 (the minimum m that admits
+    pair keys, which maximizes chunk width and thus selectivity)."""
+    if n_chunks is None:
+        n_chunks = max_hamming + 2
+    if not 0 <= max_hamming <= 62:
+        raise ValueError(f"max_hamming must be in [0, 62], got {max_hamming}")
+    if n_chunks - max_hamming < 2:
+        raise ValueError(
+            f"need n_chunks - max_hamming >= 2 for pair blocking to be "
+            f"exact, got n_chunks={n_chunks}, max_hamming={max_hamming}"
+        )
+    if n_chunks > 64:
+        raise ValueError(f"n_chunks must be <= 64, got {n_chunks}")
+    width = 64 // n_chunks
+    bounds = [
+        (c * width, width if c < n_chunks - 1 else 64 - c * width)
+        for c in range(n_chunks)
+    ]
+
+    def chunk_expr(lo: int, w: int) -> Column:
+        if w >= 64:
+            return F.col("simhash")
+        return F.call_function(
+            "shiftright", F.col("simhash"), F.lit(lo)
+        ).bitwiseAND(F.lit((1 << w) - 1))
+
+    from itertools import combinations
+
+    chunk_cols = [chunk_expr(lo, w) for lo, w in bounds]
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pk"), c1.alias("k1"), c2.alias("k2")
+            )
+            for p, (c1, c2) in enumerate(combinations(chunk_cols, 2))
+        ]
+    )
+    sh = simhash64(docs, id_col, text_col, hash_fn)
+    keyed = sh.select(
+        id_col, "simhash", F.explode(pair_keys).alias("key")
+    ).select(id_col, "simhash", "key.pk", "key.k1", "key.k2")
+    l = keyed.alias("l")
+    r = keyed.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.pk") == F.col("r.pk"))
+            & (F.col("l.k1") == F.col("r.k1"))
+            & (F.col("l.k2") == F.col("r.k2"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
