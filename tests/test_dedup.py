@@ -135,6 +135,35 @@ def test_connected_components_vs_union_find(spark):
     assert got == truth
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path (small graphs) and the
+    distributed min-label loop (forced via driver_threshold=0) must
+    produce identical labelings on the same graph."""
+    from web3_flight_rpc_server_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(10, 18)]
+        + [(1, 2), (2, 3), (1, 3)]
+        + [(100, 200)]
+        + [(50, x) for x in (51, 52, 53, 54)]
+    )
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    fast = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist == {
+        (r.node, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+
+
 def test_dedup_keep_canonical_drops_losers_only(spark, sf_dir):
     """Survivors = min-id doc of every near-dup cluster + all docs in
     no pair; cluster membership must collapse to one survivor each."""

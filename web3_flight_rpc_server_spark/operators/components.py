@@ -20,22 +20,72 @@ The driver-side loop is deliberate: iterative fixpoints are the one
 place imperative control flow belongs — every iteration is still a
 fully distributed job, and the only driver-visible value is the
 changed-label count used as the convergence test.
+
+Small graphs short-circuit to a driver union-find: the pair graph
+after candidate generation is typically minuscule relative to the
+corpus (dup pairs, not documents), and each propagation round costs
+2-3 fixed-overhead Spark jobs — seconds of scheduler latency to
+converge a graph that fits in kilobytes. Below ``driver_threshold``
+edges (bounded, so never a scale hazard) the already-materialized
+edge list collects once and a path-halving union-find labels it in
+microseconds, returning the identical (node, min-id cluster) result.
+Above the threshold the distributed loop runs unchanged.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _driver_union_find(edges_rows, node_type) -> tuple[list, T.StructType]:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path halving
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges_rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            parent[b] = a
+    mins: dict = {}
+    nodes = set()
+    for r in edges_rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    for n in nodes:
+        root = find(n)
+        if root not in mins or n < mins[root]:
+            mins[root] = n
+    schema = T.StructType([
+        T.StructField("node", node_type, False),
+        T.StructField("cluster_id", node_type, False),
+    ])
+    return [(n, mins[find(n)]) for n in sorted(nodes)], schema
 
 
 def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         driver_threshold: int = 200_000) -> DataFrame:
     """(node, cluster_id) for every node appearing in `pairs`, where
     cluster_id is the minimum node id in the node's component."""
     e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     edges = e.unionByName(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).distinct().localCheckpoint()
+    # the count is free (edges just materialized); the collect is
+    # bounded by the threshold — see module docstring
+    if edges.count() <= driver_threshold:
+        rows, schema = _driver_union_find(
+            edges.collect(), edges.schema["s"].dataType
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
