@@ -261,7 +261,11 @@ def main() -> int:
     # whole before anything is printed.
     full = dict(out, queries_spread=cold_spread,
                 queries_warm_spread=warm_spread)
-    with open(os.path.join(REPO, "BENCH_local.json"), "w") as f:
+    # BENCH_local.json is the canonical sf0.1 record (what the driver
+    # benches); other scales get their own snapshot file so an sf1 run
+    # cannot clobber the canonical one
+    fname = "BENCH_local.json" if sf == "0.1" else f"BENCH_sf{sf}.json"
+    with open(os.path.join(REPO, fname), "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
     print(json.dumps(out))

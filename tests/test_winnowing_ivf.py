@@ -196,3 +196,48 @@ def test_winnow_md5_tier_guarantee_and_determinism(spark):
     assert fp[4] == set()
     assert fp[1] & fp[3], "long shared substring must share a fingerprint"
     assert all(0 <= h < 2 ** 60 for hs in fp.values() for h in hs)
+
+
+def test_ivf_append_matches_one_shot_and_pins_layout(spark, sf_dir, tmp_path):
+    """Incremental IVF ingestion: appending a second batch must land
+    every vector in the cell the one-shot build assigns (assignment is
+    a pure function of vector + manifest layout), so queries over the
+    appended index equal queries over a one-shot index of the union.
+    Mismatched layouts are refused at append AND at probe time."""
+    import pytest
+
+    from web3_flight_rpc_server_spark.operators.ivf import (
+        ivf_topk_partitioned,
+        write_ivf_index,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    first = corpus.where(F.col("vec_id") % 2 == 0)
+    second = corpus.where(F.col("vec_id") % 2 == 1)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+
+    inc_path = str(tmp_path / "ivf_inc")
+    one_path = str(tmp_path / "ivf_one")
+    write_ivf_index(first, inc_path, n_cells=8)
+    write_ivf_index(second, inc_path, n_cells=8, append=True)
+    write_ivf_index(corpus, one_path, n_cells=8)
+
+    inc = [
+        (r.vec_id, round(r.cos, 6))
+        for r in ivf_topk_partitioned(
+            spark, inc_path, qvec, k=10, n_cells=8, n_probe=3
+        ).collect()
+    ]
+    one = [
+        (r.vec_id, round(r.cos, 6))
+        for r in ivf_topk_partitioned(
+            spark, one_path, qvec, k=10, n_cells=8, n_probe=3
+        ).collect()
+    ]
+    assert inc == one and inc
+
+    with pytest.raises(ValueError, match="rebuild"):
+        write_ivf_index(second, inc_path, n_cells=16, append=True)
+    with pytest.raises(ValueError, match="wrong cells"):
+        ivf_topk_partitioned(spark, inc_path, qvec, k=10, n_cells=16)

@@ -82,15 +82,59 @@ def assign_cells(embeddings: DataFrame, n_cells: int = 16, dim: int = 64,
     )
 
 
+def read_ivf_manifest(spark, path: str) -> tuple[int, int, str]:
+    """(n_cells, dim, vec_col) the index at ``path`` was built with.
+    Raises FileNotFoundError when the layout record is absent (either
+    no index, or a pre-manifest layout — callers then fall back to
+    their own parameters)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        row = spark.read.parquet(path.rstrip("/") + "/_ivf_manifest") \
+            .collect()[0]
+    except AnalysisException as exc:
+        raise FileNotFoundError(f"no IVF manifest at {path!r}") from exc
+    return int(row.n_cells), int(row.dim), str(row.vec_col)
+
+
 def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
-                    dim: int = 64, vec_col: str = "embedding") -> None:
+                    dim: int = 64, vec_col: str = "embedding",
+                    append: bool = False) -> None:
     """Materialize the cell-partitioned layout: one directory per cell
     (`cell=N/`). At 100 TB this is the index — assignment happens once
     at write time, and every later query prunes to its probe cells'
-    directories without touching the rest of the corpus."""
+    directories without touching the rest of the corpus.
+
+    ``append=True`` is the ingestion path (embedding corpora grow like
+    document corpora): new vectors are assigned with the layout
+    RECORDED IN THE MANIFEST — cell assignment is a pure function of
+    (vector, n_cells, dim), so appended vectors land in the same
+    directories the one-shot build would put them in, and the append
+    is partition-additive parquet (no rewrite of existing cells). A
+    layout mismatch is refused: vectors assigned under a different
+    K/dim would land in wrong cells and silently lose recall. The
+    manifest lives under ``_ivf_manifest/`` — an underscore-prefixed
+    directory Spark's partition discovery ignores, so the data scan
+    never sees it."""
+    spark = embeddings.sparkSession
+    if append:
+        m_cells, m_dim, m_vec = read_ivf_manifest(spark, path)
+        if (n_cells, dim, vec_col) != (m_cells, m_dim, m_vec):
+            raise ValueError(
+                f"IVF index at {path!r} was built with (n_cells, dim, "
+                f"vec_col)={(m_cells, m_dim, m_vec)}; append requested "
+                f"{(n_cells, dim, vec_col)} — re-assigning under a "
+                "different layout silently loses recall, rebuild instead"
+            )
     assign_cells(embeddings, n_cells, dim, vec_col).write.partitionBy(
         "cell"
-    ).mode("overwrite").parquet(path)
+    ).mode("append" if append else "overwrite").parquet(path)
+    if not append:
+        spark.createDataFrame(
+            [(n_cells, dim, vec_col)], "n_cells int, dim int, vec_col string"
+        ).write.mode("overwrite").parquet(
+            path.rstrip("/") + "/_ivf_manifest"
+        )
 
 
 _INDEX_CACHE: dict[tuple, str] = {}
@@ -195,7 +239,25 @@ def ivf_topk_partitioned(spark, path: str, query_vec, k: int = 10,
     literal IN-filter on the partition column, so the scan prunes to
     n_probe directories at plan time (PartitionFilters in explain) —
     non-probed cells are never listed, opened, or scheduled. Same
-    (id, cos) contract as ivf_topk/cosine_topk."""
+    (id, cos) contract as ivf_topk/cosine_topk.
+
+    Layout comes from the index manifest when one exists — a probe
+    list computed under a different K/dim would prune to the WRONG
+    directories and silently lose recall, so a caller/manifest
+    mismatch is refused rather than honored (pre-manifest layouts
+    fall back to the caller's parameters)."""
+    try:
+        m_cells, m_dim, m_vec = read_ivf_manifest(spark, path)
+    except FileNotFoundError:
+        pass
+    else:
+        if (n_cells, dim) != (m_cells, m_dim):
+            raise ValueError(
+                f"IVF index at {path!r} was built with (n_cells, dim)="
+                f"{(m_cells, m_dim)}; probing with {(n_cells, dim)} "
+                "would prune the wrong cells"
+            )
+        vec_col = m_vec
     probes = probe_cells_for(query_vec, n_cells, n_probe, dim)
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
     scanned = spark.read.parquet(path).where(F.col("cell").isin(probes))
