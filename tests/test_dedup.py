@@ -322,3 +322,26 @@ def test_hmsearch_rejects_underchunked_layouts(spark, sf_dir):
     docs = tables.load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="pair blocking"):
         simhash_pairs_hmsearch(docs, 3, n_chunks=4)
+
+
+def test_components_deep_chain_converges_in_log_rounds(spark):
+    """Pointer jumping bounds the distributed loop at O(log diameter):
+    a 500-node path graph must converge well within 12 rounds (plain
+    neighbor propagation would need ~500) and still label every node
+    with the component minimum. driver_threshold=0 forces the
+    distributed loop."""
+    from web3_flight_rpc_server_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 500
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "d1 long, d2 long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            pairs, max_iter=12, driver_threshold=0
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

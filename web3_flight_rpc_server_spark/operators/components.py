@@ -4,17 +4,24 @@ pairs -> clusters -> canonical stage that finishes a dedup pipeline
 the corpus-curation step a 100 TB training set needs after candidate
 generation).
 
-Min-label propagation ("hash-to-min"): every node starts labeled with
-its own id; each round a node takes the min label across itself and
-its neighbors. Converges in O(component diameter) rounds, and near-dup
-clusters are dense and shallow (diameter <= ~3 in real corpora), so a
-handful of rounds closes the graph. Each round costs one shuffle join
-plus one aggregate, both on the node key, and lineage is truncated per
-round with localCheckpoint so the plan stays flat. For adversarially
-long chain graphs, the same two primitives implement
+Min-label propagation ("hash-to-min") with pointer jumping: every
+node starts labeled with its own id; each round a node takes the min
+label across itself, its neighbors, and ITS LABEL'S label (the
+pointer-jumping step — label chains halve every round, so the min
+propagates doubling distances). Neighbor propagation alone converges
+in O(component diameter) rounds — fine for dense, shallow near-dup
+clusters (diameter <= ~3 in real corpora) but pathological on chain
+graphs; the jump bounds every graph at O(log diameter) rounds
+(a 500-node path converges in ~9 rounds instead of 500 — pinned in
+tests). Labels only decrease and never leave the component (a jump
+target is itself a component member's label), so the fixed point is
+the component minimum, same contract as before. Each round costs one
+shuffle join + one aggregate + one self-join, all on the node key,
+and lineage is truncated per round with localCheckpoint so the plan
+stays flat. This is the same round-shrinking idea as
 large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond") in O(log^2 n) rounds; diameter-bounded
-propagation is the right default for dedup graphs.
+MapReduce and Beyond") expressed on the label table instead of the
+edge set.
 
 The driver-side loop is deliberate: iterative fixpoints are the one
 place imperative control flow belongs — every iteration is still a
@@ -97,10 +104,25 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
         nbr = edges.join(labels, edges.s == labels.node).select(
             F.col("d").alias("node"), "label"
         )
-        new = (
+        stepped = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: label <- min(label, label(label)). Chains of
+        # stale labels halve each round, so convergence is bounded by
+        # O(log diameter) instead of O(diameter).
+        hop = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("__l2")
+        )
+        new = (
+            stepped.join(hop, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("__l2", "label")
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
