@@ -157,3 +157,39 @@ def test_pack_oracle_parity_on_generated_corpus(spark, tmp_path, seed):
     q = QUERIES["q_pack"]
     problems = compare(q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, f"q_pack seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [11, 503])
+def test_chunk_oracle_parity_on_generated_corpus(spark, tmp_path, seed):
+    """Chunking parity on randomized corpora: null text (no chunks),
+    single-token docs (one short chunk), exact-boundary lengths, and
+    long docs spanning many overlapping windows."""
+    rng = random.Random(seed * 13)
+    rows = []
+    for i in range(120):
+        kind = rng.random()
+        if kind < 0.1:
+            text = None
+        elif kind < 0.2:
+            text = rng.choice(_VOCAB)
+        elif kind < 0.3:
+            # exact window/stride boundary lengths
+            text = " ".join(rng.choices(_VOCAB, k=rng.choice([16, 112, 128, 129, 240])))
+        else:
+            text = " ".join(rng.choices(_VOCAB, k=rng.randint(2, 400)))
+        rows.append((i, text))
+    sf_dir = str(tmp_path / f"chunk{seed}")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .coalesce(3)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    q = QUERIES["q_chunk"]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"q_chunk seed={seed}: " + "; ".join(problems)

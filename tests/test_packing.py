@@ -140,3 +140,53 @@ def test_tied_order_keys_do_not_overlap(spark):
     assert all(
         w - s in {r.n_tokens for r in rows} for s, w in zip(starts, widths)
     )
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Chunk windows must tile the token stream: window i starts at
+    i*stride, consecutive windows share exactly `overlap` tokens, the
+    tail is kept (short final window), and reassembling the stride
+    prefixes plus the last window reproduces the document."""
+    from web3_flight_rpc_server_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(23))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "solo"), (3, None)], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, max_tokens=8, overlap=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc, "null text must produce no chunks"
+    assert [r.n_tokens for r in by_doc[2]] == [1]
+    chunks = by_doc[1]
+    # stride 5 over 23 tokens -> m = ceil(20/5) = 4 windows
+    assert [r.chunk_idx for r in chunks] == [0, 1, 2, 3]
+    toks = text.split()
+    for r in chunks:
+        want = toks[r.chunk_idx * 5:r.chunk_idx * 5 + 8]
+        assert r.chunk_text.split() == want
+        assert r.n_tokens == len(want)
+    # overlap check: each window shares its first 3 tokens with the
+    # previous window's last 3
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert prev.chunk_text.split()[-3:] == cur.chunk_text.split()[:3]
+
+
+def test_chunking_validates_params(spark):
+    import pytest
+
+    from web3_flight_rpc_server_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=8, overlap=8)

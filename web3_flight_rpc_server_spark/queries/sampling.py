@@ -189,3 +189,34 @@ def _set_pack_oracle() -> None:
 
 
 _set_pack_oracle()
+
+
+@query(
+    "q_chunk",
+    oracle=None,  # set immediately below (needs the operator's helper)
+    declared=False,
+)
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token document chunking (128-token windows,
+    16-token overlap): the long-document complement of q_pack's
+    concatenate-and-cut (operators/chunking.py). Undeclared (the
+    driver window is full); parity-run against the window-arithmetic
+    DuckDB oracle in tests/test_oracle_parity.py and fuzzed on
+    generated corpora in tests/test_oracle_fuzz.py."""
+    from ..operators.chunking import chunk_documents
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=128, overlap=16)
+
+
+def _set_chunk_oracle() -> None:
+    from ..operators.chunking import chunk_oracle_sql
+    from ..registry import REGISTRY, Query
+
+    q = REGISTRY["q_chunk"]
+    REGISTRY["q_chunk"] = Query(
+        q.name, q.fn, chunk_oracle_sql(128, 16), q.doc, q.declared
+    )
+
+
+_set_chunk_oracle()
