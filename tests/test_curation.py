@@ -94,3 +94,48 @@ def test_lsh_and_exact_funnels_agree_on_kept_set(spark, sf_dir):
     assert any(reason == "near_dup" for _, reason in exact), (
         "parity is vacuous unless the near-dup gate fires at this sf"
     )
+
+
+def test_mixture_sample_epochs_and_determinism(spark):
+    """Weighted mixture invariants: every row of a rate-2.5 source
+    appears in exactly 2 or 3 epochs (never 0-or-5-by-chance), the
+    partial-epoch keep set is identical across partitionings/seeds
+    reruns, and rates are validated."""
+    import pytest
+
+    from web3_flight_rpc_server_spark.operators.mixture import (
+        mixture_sample,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    b = spark.createDataFrame([(i + 1000,) for i in range(200)], "doc_id long")
+
+    out = mixture_sample(
+        [("a", a), ("b", b)], {"a": 2.5, "b": 0.3}, seed=3
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault((r.source, r.doc_id), []).append(r.epoch)
+    for (src, _id), epochs in by_id.items():
+        if src == "a":
+            assert sorted(epochs) in ([0, 1], [0, 1, 2])
+        else:
+            assert epochs == [0]
+    n_a3 = sum(1 for k, v in by_id.items() if k[0] == "a" and len(v) == 3)
+    n_b = sum(1 for k in by_id if k[0] == "b")
+    # deterministic hash sampling lands near the rate on 200 rows
+    assert 60 <= n_a3 <= 140          # ~0.5 * 200
+    assert 30 <= n_b <= 90            # ~0.3 * 200
+
+    again = mixture_sample(
+        [("a", a.repartition(7)), ("b", b.repartition(3))],
+        {"a": 2.5, "b": 0.3}, seed=3,
+    ).collect()
+    assert {(r.source, r.doc_id, r.epoch) for r in again} == {
+        (r.source, r.doc_id, r.epoch) for r in out
+    }
+
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_sample([("a", a)], {"a": -1.0})
+    with pytest.raises(ValueError, match="at least one source"):
+        mixture_sample([("a", a)], {"a": 0.0})

@@ -220,3 +220,41 @@ def _set_chunk_oracle() -> None:
 
 
 _set_chunk_oracle()
+
+
+def _mixture_oracle() -> str:
+    from ..operators.mixture import uniform_sql
+
+    u_long = uniform_sql("doc_id", "long", 7)
+    u_short = uniform_sql("doc_id", "short", 7)
+    return f"""
+    WITH longd AS (SELECT doc_id FROM documents WHERE n_chars >= 300),
+         shortd AS (SELECT doc_id FROM documents WHERE n_chars < 300)
+    SELECT doc_id, 'long' AS source, CAST(0 AS INT) AS epoch FROM longd
+    UNION ALL
+    SELECT doc_id, 'long', CAST(1 AS INT) FROM longd
+    UNION ALL
+    SELECT doc_id, 'long', CAST(2 AS INT) FROM longd WHERE {u_long} < 0.5
+    UNION ALL
+    SELECT doc_id, 'short', CAST(0 AS INT) FROM shortd WHERE {u_short} < 0.4
+    """
+
+
+@query("q_mixture", oracle=_mixture_oracle(), declared=False)
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted mixture of two sub-corpora (long docs at
+    rate 2.5 = two full epochs + a hash-sampled half; short docs at
+    0.4): the data-mixture step of a pretraining pipeline
+    (operators/mixture.py). Undeclared (the driver window is full);
+    the DuckDB twin derives the identical keep set from the md5-bridge
+    uniform, so composition is engine-reproducible."""
+    from ..operators.mixture import mixture_sample
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    longd = docs.where(F.col("n_chars") >= 300).select("doc_id")
+    shortd = docs.where(F.col("n_chars") < 300).select("doc_id")
+    return mixture_sample(
+        [("long", longd), ("short", shortd)],
+        {"long": 2.5, "short": 0.4},
+        seed=7,
+    )
