@@ -1,0 +1,128 @@
+"""End-to-end pretraining dataset assembly: the composition that
+turns a raw document table into trainer-ready packed sequences —
+curate -> chunk the long tail -> weight sources -> pack -> shard.
+
+Stages (every one an already-verified operator; this module is the
+wiring plus the cross-stage invariants):
+
+    1. curate      pipelines/curation.py: gates -> dedup tiers ->
+                   decontamination -> blocklist; train split only.
+    2. chunk       operators/chunking.py on documents LONGER than
+                   ``max_tokens``; short documents pass through whole.
+                   Every sample gets a sortable string sample_id
+                   ``{doc_id}:{chunk_idx:05d}`` so downstream ordering
+                   is deterministic and chunk order follows document
+                   order.
+    3. mixture     operators/mixture.py (optional): rate-weight named
+                   sub-corpora; epoch tags become part of the
+                   sample_id so repeated epochs pack as distinct
+                   samples.
+    4. pack        operators/packing.py: concatenate-and-cut the
+                   sample stream at ``budget`` tokens via the
+                   two-phase distributed prefix sum.
+    5. shard       contiguous bins -> shard files: shard id =
+                   start_bin div bins_per_shard, so each shard holds a
+                   CONSECUTIVE slice of the packed token stream (what
+                   a dataloader wants: sequential reads, no cross-
+                   shard sample splits beyond the inherent bin
+                   spanning), written partitioned by shard.
+
+Invariants pinned in tests/test_pretraining.py: token conservation
+(packed token total == sum of sample tokens), gapless packing across
+the chunk/whole mix, deterministic replay (same inputs -> identical
+shard assignment), and shard contiguity.
+
+No counterpart in the reference — this is the north-star composition
+the individual C11/C13/C19 operators exist for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunking import chunk_documents
+from ..operators.packing import pack_sequences
+from ..pipelines.curation import CurationConfig, curate
+
+
+def samples_from_documents(docs: DataFrame, max_tokens: int = 512,
+                           overlap: int = 64,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """(sample_id, text) — long documents chunked into overlapping
+    windows, short ones passed through whole. sample_id is
+    ``{doc_id}:{chunk_idx:05d}`` (chunk 0 for whole docs), string-
+    sortable so sample order == (document order, chunk order)."""
+    from ..functions.text import tokens
+
+    n = F.size(tokens(text_col))
+    long_docs = docs.where(n > max_tokens)
+    short_docs = docs.where(n <= max_tokens)
+    chunked = chunk_documents(
+        long_docs, max_tokens, overlap, id_col, text_col
+    ).select(
+        F.col(id_col), F.col("chunk_idx"), F.col("chunk_text").alias("text")
+    )
+    whole = short_docs.select(
+        F.col(id_col), F.lit(0).alias("chunk_idx"), F.col(text_col).alias("text")
+    )
+    sid = F.concat_ws(
+        ":",
+        F.col(id_col).cast("string"),
+        F.lpad(F.col("chunk_idx").cast("string"), 5, "0"),
+    )
+    return chunked.unionByName(whole).select(sid.alias("sample_id"), "text")
+
+
+def build_pretraining_dataset(spark: SparkSession, sf_dir: str,
+                              out_dir: str | None = None,
+                              budget: int = 2048, max_tokens: int = 512,
+                              overlap: int = 64,
+                              bins_per_shard: int = 16,
+                              lang_rates: dict[str, float] | None = None,
+                              seed: int = 0,
+                              cfg: CurationConfig = CurationConfig(),
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Returns (packed, stats): ``packed`` is one row per sample —
+    (sample_id, n_tokens, start_bin, start_offset, shard) — the exact
+    write plan of the packed token stream; ``stats`` is the curation
+    funnel ledger. With ``out_dir`` the mapping is written partitioned
+    by shard (each shard = a contiguous slice of the stream).
+
+    ``lang_rates`` engages the mixture stage: the train split becomes
+    a weighted mixture over its language sub-corpora
+    (operators/mixture.py), and the per-source epoch index is folded
+    into the document key so repeated epochs pack as distinct
+    samples. Languages absent from the dict are dropped — a mixture
+    spec is a whitelist, matching trainer config convention."""
+    curated, stats = curate(spark, sf_dir, cfg=cfg)
+    train = curated.where(F.col("split") == "train")
+    if lang_rates:
+        from ..operators.mixture import mixture_sample
+
+        sources = [
+            (lang, train.where(F.col("lang") == lang))
+            for lang in sorted(lang_rates)
+        ]
+        mixed = mixture_sample(sources, lang_rates, seed=seed)
+        train = mixed.select(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"),
+                F.col("epoch").cast("string"),
+            ).alias("doc_id"),
+            "text",
+        )
+    samples = samples_from_documents(
+        train, max_tokens, overlap, text_col="text"
+    )
+    packed = pack_sequences(
+        samples, budget, id_col="sample_id", text_col="text"
+    )
+    sharded = packed.withColumn(
+        "shard",
+        F.floor(F.col("start_bin") / bins_per_shard).cast("int"),
+    )
+    if out_dir is not None:
+        sharded.write.partitionBy("shard").mode("overwrite").parquet(out_dir)
+    return sharded, stats
