@@ -218,3 +218,87 @@ def test_redaction_never_touches_bare_numbers(spark, ns):
             assert "<" not in out or not re.search(r"\d<|>\d", out), (t, out)
         else:
             assert out == t, (t, out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+             max_size=20),
+    st.integers(min_value=2, max_value=40),
+    st.data(),
+)
+def test_chunking_tiles_any_document(spark, lengths, max_tokens, data):
+    """For arbitrary doc lengths and window/overlap choices: window i
+    starts at i*stride, every token is covered, all windows are full
+    except possibly the last, and reassembly from stride prefixes
+    reproduces the document. (0-length means null text -> no chunks.)"""
+    from web3_flight_rpc_server_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    overlap = data.draw(st.integers(min_value=0, max_value=max_tokens - 1))
+    stride = max_tokens - overlap
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)) if n else None)
+        for i, n in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens, overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(lengths):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        toks = rows[i][1].split()
+        m = -(-max(n - overlap, 1) // stride)  # ceil
+        assert [c.chunk_idx for c in chunks] == list(range(m))
+        for c in chunks:
+            want = toks[c.chunk_idx * stride:c.chunk_idx * stride + max_tokens]
+            assert c.chunk_text.split() == want
+            assert c.n_tokens == len(want)
+        assert all(
+            c.n_tokens == max_tokens for c in chunks[:-1]
+        ) or n <= max_tokens
+        covered = [t for c in chunks for t in c.chunk_text.split()]
+        assert set(covered) == set(toks)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+             max_size=25),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=6),
+)
+def test_packing_gapless_for_any_corpus(spark, lengths, budget, parts):
+    """pack_sequences invariants for arbitrary corpora, budgets, and
+    partition counts: starts are the prefix sums in id order, offsets
+    stay inside the budget, totals conserve."""
+    from web3_flight_rpc_server_spark.operators.dedup import release_caches
+    from web3_flight_rpc_server_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)) if n else None)
+        for i, n in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        out = sorted(
+            pack_sequences(docs, budget, partitions=parts).collect(),
+            key=lambda r: r.doc_id,
+        )
+    finally:
+        release_caches()
+    pos = 0
+    for r in out:
+        assert r.start_bin * budget + r.start_offset == pos, r
+        assert 0 <= r.start_offset < budget
+        pos += r.n_tokens
+    # null text = 0 tokens, non-null n-token text = n (split counts
+    # [''] as 1 for the empty string, so lengths>=1 here)
+    assert pos == sum(n if n else 0 for n in lengths)
