@@ -193,3 +193,42 @@ def test_chunk_oracle_parity_on_generated_corpus(spark, tmp_path, seed):
     q = QUERIES["q_chunk"]
     problems = compare(q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, f"q_chunk seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [5, 97])
+def test_normalize_oracle_parity_on_dirty_corpus(spark, tmp_path, seed):
+    """Normalization parity on corpora salted with the noise classes
+    the clean fixture lacks: control bytes, tab/newline runs, leading
+    and trailing space, C1 range characters, and null text."""
+    rng = random.Random(seed * 7)
+    noise = ["\t", "\n", "\r\n", "\x00", "\x07", "\x0b", "\x7f",
+             "\x85", "\x9f", "  ", "   "]
+    rows = []
+    for i in range(100):
+        if rng.random() < 0.08:
+            rows.append((i, None))
+            continue
+        toks = rng.choices(_VOCAB, k=rng.randint(1, 25))
+        parts = []
+        for t in toks:
+            parts.append(t)
+            parts.append(rng.choice(noise) if rng.random() < 0.5 else " ")
+        text = "".join(parts)
+        if rng.random() < 0.3:
+            text = rng.choice(noise) + text
+        rows.append((i, text))
+    sf_dir = str(tmp_path / f"norm{seed}")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    q = QUERIES["q_normalize"]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"q_normalize seed={seed}: " + "; ".join(problems)

@@ -258,3 +258,28 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"long": 2.5, "short": 0.4},
         seed=7,
     )
+
+
+def _normalize_oracle() -> str:
+    from ..operators.normalize import normalize_sql
+
+    n = normalize_sql("text")
+    return f"""
+    SELECT doc_id, {n} AS text,
+           ({n} IS DISTINCT FROM text) AS was_dirty
+    FROM documents
+    """
+
+
+@query("q_normalize", oracle=_normalize_oracle(), declared=False)
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (control-char strip,
+    whitespace-run collapse, trim) with a per-row was_dirty flag
+    (operators/normalize.py). Undeclared (the driver window is full);
+    the fixture corpus is clean, so the operative verification is the
+    dirty-corpus fuzz in tests/test_oracle_fuzz.py — this entry pins
+    the clean-passthrough case cross-engine."""
+    from ..operators.normalize import normalize_documents
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return normalize_documents(docs.select("doc_id", "text"))
