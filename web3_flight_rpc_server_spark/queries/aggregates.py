@@ -209,3 +209,46 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").alias("min_value"),
         F.col("max_value").alias("max_value"),
     )
+
+
+@query(
+    "q_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    declared=False,
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct rollup (operators/sketches.py): build
+    per-(day, event_type) sketches in one raw pass, merge the sketch
+    rows up to event_type, and check the merged estimate against the
+    exact distinct under the sketch's accuracy contract (lg_k=12 ->
+    ~1.6% RSE; 5% gate like q_distinct_count's). The oracle computes
+    the exact side, so approx_ok fails the moment the daily-sketch
+    merge drifts from a direct distinct over the same rows — the
+    mergeability property itself is what's being checked cross-engine.
+    Undeclared (driver window is full); the roundtrip/associativity
+    contracts live in tests/test_sketches.py."""
+    from ..operators.sketches import build_distinct_sketches, rollup_distinct
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    daily = build_distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")),
+        ["day", "event_type"], "user_id",
+    )
+    rolled = rollup_distinct(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return exact.join(rolled, "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("n_distinct_est") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("approx_ok"),
+    )
