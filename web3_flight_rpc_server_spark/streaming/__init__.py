@@ -12,6 +12,10 @@ semantics the reference never had.
 
 from .backfill import HybridPlan, plan_hybrid, run_hybrid  # noqa: F401
 from .dedup import watermarked_dedup  # noqa: F401
+from .exactly_once import (  # noqa: F401
+    ExactlyOnceParquetSink,
+    read_committed,
+)
 from .lifecycle import QueryRegistry  # noqa: F401
 from .multiplex import multiplex, union_upstream_filter  # noqa: F401
 from .reorg import latest_log_state  # noqa: F401
