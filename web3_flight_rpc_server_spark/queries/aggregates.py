@@ -252,3 +252,35 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_users")
         ).alias("approx_ok"),
     )
+
+
+def _profile_oracle() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    legs = [
+        f"""
+    SELECT '{c}' AS column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM events"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(legs)
+
+
+@query("q_profile", oracle=_profile_oracle(), declared=False)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators/profile.py): per-column
+    nulls/cardinality over events in a single scan, checked exactly
+    against a per-column DuckDB recomputation. Uses the
+    exact-distinct tier so the oracle is equality, not a tolerance
+    band; the scale default (approx sketches, no Expand in the plan)
+    is pinned by plan shape in tests/test_profile.py. Undeclared —
+    the driver window is full."""
+    from ..operators.profile import profile_table
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    return profile_table(ev, exact_distinct=True).select(
+        "column", "n_rows", "n_nulls", "n_distinct"
+    )
