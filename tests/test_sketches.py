@@ -118,3 +118,78 @@ def test_build_is_single_shuffle_partial_agg(events):
     plan = daily._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial_hll_sketch_agg" in plan
+
+
+def test_duplicate_sketch_rows_do_not_corrupt_the_union(events):
+    """Register-wise max makes the union idempotent over REPEATED
+    SKETCH ROWS, not just repeated values — an at-least-once replay
+    that appends the same bucket sketch twice leaves every rollup
+    estimate unchanged. This is what lets sketch maintenance ride a
+    plain append pipeline without the exactly-once sink."""
+    daily = build_distinct_sketches(events, ["day", "event_type"], "user_id")
+    once = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in rollup_distinct(daily, ["event_type"]).collect()
+    }
+    doubled = daily.unionByName(daily)
+    twice = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in rollup_distinct(doubled, ["event_type"]).collect()
+    }
+    assert once == twice
+
+
+def test_streaming_maintenance_and_compaction(spark, tmp_path):
+    """readStream -> per-batch sketch appends -> rollup serves the
+    running distinct; a simulated replay (re-appending a batch's
+    sketches) changes nothing, and compaction folds the accumulated
+    rows to one per bucket with identical estimates."""
+    from web3_flight_rpc_server_spark.operators.sketches import (
+        compact_sketches,
+        streaming_sketch_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "sketches")
+    schema = "user_id long, event_type string"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    drop([(1, "a"), (2, "a"), (1, "b")])
+    q = streaming_sketch_maintenance(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        table,
+        ["event_type"],
+        "user_id",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        drop([(3, "a"), (1, "a")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def estimates():
+        return {
+            r["event_type"]: r["n_distinct_est"]
+            for r in rollup_distinct(
+                spark.read.parquet(table), ["event_type"]
+            ).collect()
+        }
+
+    want = {"a": 3, "b": 1}
+    assert estimates() == want
+    # simulated at-least-once replay: duplicate a batch's sketch rows
+    dup = spark.read.parquet(table).limit(1)
+    dup.write.mode("append").parquet(table)
+    assert estimates() == want, "replayed sketch rows moved an estimate"
+    compact_sketches(spark, table)
+    compacted = spark.read.parquet(table)
+    assert compacted.count() == 2  # one row per bucket
+    assert estimates() == want

@@ -96,3 +96,57 @@ def rollup_distinct(sketches: DataFrame, group_cols: list[str],
 def estimate(sketch: Column | str) -> Column:
     """Point estimate for a single sketch column."""
     return F.hll_sketch_estimate(sketch)
+
+
+def streaming_sketch_maintenance(stream_df: DataFrame, path: str,
+                                 bucket_cols: list[str], value_col: str,
+                                 lg_k: int = DEFAULT_LG_K,
+                                 checkpoint: str | None = None):
+    """Maintain a persisted sketch table from a stream: each
+    micro-batch appends its own bucket sketches (one tiny row per
+    touched bucket). foreachBatch is at-least-once, but here a PLAIN
+    append is already correct: the union is register-wise max, so a
+    replayed batch's duplicate sketch rows leave every rollup estimate
+    unchanged (pinned in tests/test_sketches.py) — idempotence comes
+    from the algebra, not from sink machinery. The exactly-once sink
+    (streaming/exactly_once.py) remains the tool for payloads whose
+    duplication DOES corrupt; for sketches the only cost of replay is
+    storage, which compact_sketches reclaims.
+
+    Returns the started StreamingQuery.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        build_distinct_sketches(
+            batch_df, bucket_cols, value_col, lg_k
+        ).write.mode("append").parquet(path)
+
+    writer = stream_df.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def compact_sketches(spark, path: str) -> None:
+    """Fold accumulated per-batch sketch rows back to one row per
+    bucket — pure storage hygiene: associativity + idempotence mean
+    every rollup estimate is unchanged by compaction. Writes the
+    compacted table beside the original and swaps directories via the
+    filesystem (atomic on HDFS/local; on S3-class stores the swap is
+    copy-based — run it inside the store's commit mechanism there)."""
+    df = spark.read.parquet(path)
+    bucket_cols = [c for c in df.columns if c not in (SKETCH_COL, "lg_k")]
+    merged = df.groupBy(*bucket_cols).agg(
+        F.hll_union_agg(SKETCH_COL, F.lit(False)).alias(SKETCH_COL),
+        F.min("lg_k").alias("lg_k"),
+    ).select(*bucket_cols, SKETCH_COL, "lg_k")
+    tmp = path.rstrip("/") + ".compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    fs.rename(src, dst)
