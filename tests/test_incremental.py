@@ -297,3 +297,43 @@ def test_bucketed_bands_tier_no_exchange_on_index_side(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_index_preserves_probes_and_shrinks_files(
+    spark, sf_dir, tmp_path
+):
+    """Compaction is layout hygiene only: after several small appends
+    (the streaming small-files shape), folding the datasets into few
+    large files must leave probe results bit-identical and the
+    manifest/layout guard intact."""
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        compact_index,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs.where(F.col("doc_id") < 10), path)
+    for lo, hi in [(10, 20), (20, 30), (30, 40)]:
+        write_minhash_index(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            path,
+            append=True,
+        )
+    probe = docs.where(F.col("doc_id") >= 40)
+
+    def snapshot():
+        return {
+            (r.new_id, r.idx_id, round(r.jaccard, 6))
+            for r in dedup_against_index(probe, path, threshold=0.3).collect()
+        }
+
+    before = snapshot()
+    stats = compact_index(spark, path)
+    assert set(stats) == {"bands", "shingles"}
+    for sub, (n_before, n_after) in stats.items():
+        assert n_after < n_before, f"{sub}: {n_before} -> {n_after}"
+        assert n_after == 1  # tiny fixture -> single file per dataset
+    assert snapshot() == before
+    # layout guard survives compaction (manifest untouched)
+    with pytest.raises(ValueError, match="rebanding"):
+        write_minhash_index(probe, path, num_hashes=64, append=True)

@@ -431,3 +431,60 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def compact_index(spark: SparkSession, path: str,
+                  target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Fold the small files a streaming ingest accumulates back into
+    few large ones — every micro-batch append adds a file per dataset
+    per partition, and a month of 30 s batches is ~90k files whose
+    open/footer cost eventually dominates probe scans (the classic
+    small-files problem).
+
+    Rewrites the portable-directory datasets (``bands``/``shingles``)
+    at ~``target_file_bytes`` per file and swaps directories via the
+    filesystem (atomic on HDFS/local; on S3-class stores run inside
+    the store's commit mechanism — same caveat as
+    operators/sketches.py:compact_sketches). Rows, schema and the
+    manifest are untouched: compaction is layout hygiene, not a
+    semantic operation, so probes before/after are identical
+    (pinned in tests/test_incremental.py). The bucketed metastore
+    tier needs no directory compaction here — its bands live in a
+    table whose bucket layout already bounds file count; compact that
+    tier with a bucket-preserving INSERT OVERWRITE through the
+    metastore instead.
+
+    Run it BETWEEN ingest cycles (stop the stream or schedule in its
+    trigger gaps): the swap is not coordinated with concurrent
+    appends. Returns {dataset: (files_before, files_after)}.
+    """
+    m = _read_manifest(spark, path)
+    if m.bands_table:
+        datasets = ["shingles"]  # bands live in the metastore table
+    else:
+        datasets = ["bands", "shingles"]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = {}
+    for sub in datasets:
+        live = _sub(path, sub)
+        src = jvm.org.apache.hadoop.fs.Path(live)
+        fs = src.getFileSystem(conf)
+        statuses = [
+            st for st in fs.listStatus(src)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        total_bytes = sum(st.getLen() for st in statuses)
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        df = spark.read.parquet(live)
+        tmp = live.rstrip("/") + ".compacting"
+        df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs.delete(src, True)
+        fs.rename(tmp_p, src)
+        after = len([
+            st for st in fs.listStatus(src)
+            if st.getPath().getName().endswith(".parquet")
+        ])
+        out[sub] = (len(statuses), after)
+    return out
