@@ -1,0 +1,127 @@
+"""Mergeable quantile histograms (operators/histograms.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.histograms import (
+    COUNTS_COL,
+    build_histograms,
+    merge_histograms,
+    percentile_estimate,
+)
+from web3_flight_rpc_server_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return tables.load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+
+
+def _bounds(events):
+    r = events.agg(F.min("value"), F.max("value")).collect()[0]
+    return float(r[0]), float(r[1]) + 1e-9
+
+
+def test_counts_exact_on_constructed_rows(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [0.0, 0.5, 1.0, 1.5, 3.9, -2.0, 99.0, None]],
+        "v double",
+    )
+    h = build_histograms(df, [], "v", lo=0.0, hi=4.0, bins=4).collect()[0]
+    assert h[COUNTS_COL] == [2, 2, 0, 1]  # [0,1):2  [1,2):2  [2,3):0  [3,4):1
+    assert (h.n_below, h.n_above) == (1, 1)
+
+
+def test_merge_is_exact_elementwise_addition(events):
+    lo, hi = _bounds(events)
+    daily = build_histograms(events, ["day", "event_type"], "value", lo, hi)
+    merged = {
+        r.event_type: (r[COUNTS_COL], r.n_below, r.n_above)
+        for r in merge_histograms(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: (r[COUNTS_COL], r.n_below, r.n_above)
+        for r in build_histograms(events, ["event_type"], "value", lo, hi).collect()
+    }
+    assert merged == direct  # exact equality — counts, not estimates
+
+
+def test_percentile_within_one_bin_width(events):
+    lo, hi = _bounds(events)
+    bins = 256
+    width = (hi - lo) / bins
+    daily = build_histograms(events, ["day"], "value", lo, hi, bins=bins)
+    est = (
+        merge_histograms(daily, [])
+        .select(
+            percentile_estimate(0.5).alias("p50"),
+            percentile_estimate(0.9).alias("p90"),
+        )
+        .collect()[0]
+    )
+    exact = events.agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    ).collect()[0]
+    assert abs(est.p50 - exact.p50) <= width
+    assert abs(est.p90 - exact.p90) <= width
+
+
+def test_persisted_roundtrip_range_query(events, tmp_path):
+    lo, hi = _bounds(events)
+    path = str(tmp_path / "hists")
+    build_histograms(events, ["day"], "value", lo, hi, bins=256).write.parquet(
+        path
+    )
+    spark = events.sparkSession
+    days = sorted(r.day for r in events.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    est = (
+        merge_histograms(
+            spark.read.parquet(path).where(F.col("day") <= cut), []
+        )
+        .select(percentile_estimate(0.5).alias("p50"))
+        .collect()[0]
+        .p50
+    )
+    exact = (
+        events.where(F.col("day") <= cut)
+        .agg(F.percentile("value", F.lit(0.5)).alias("p50"))
+        .collect()[0]
+        .p50
+    )
+    assert abs(est - exact) <= (hi - lo) / 256
+
+
+def test_mixed_configs_refused(events):
+    lo, hi = _bounds(events)
+    a = build_histograms(events, ["event_type"], "value", lo, hi, bins=64)
+    b = build_histograms(events, ["event_type"], "value", lo, hi, bins=128)
+    with pytest.raises(ValueError, match="mixed"):
+        merge_histograms(a.unionByName(b), ["event_type"])
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="lo < hi"):
+        build_histograms(None, [], "v", 1.0, 1.0)
+    with pytest.raises(ValueError, match="bins"):
+        build_histograms(None, [], "v", 0.0, 1.0, bins=0)
+    with pytest.raises(ValueError, match="q must be"):
+        percentile_estimate(1.5)
+
+
+def test_build_is_bounded_state_two_level_agg(events):
+    lo, hi = _bounds(events)
+    plan = (
+        build_histograms(events, ["day"], "value", lo, hi)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # (bucket, bin) count -> bucket assembly: two exchanges, and the
+    # only list aggregation is over <= bins+2 per-bin rows
+    assert plan.count("Exchange") <= 2

@@ -284,3 +284,57 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(ev, exact_distinct=True).select(
         "column", "n_rows", "n_nulls", "n_distinct"
     )
+
+
+@query(
+    "q_hist_quantile",
+    oracle="""
+    SELECT event_type,
+           floor((CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE)) * 10000 + 0.5) / 10000 AS p50,
+           true AS p50_hist_ok,
+           true AS p90_hist_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    declared=False,
+)
+def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram percentile serving
+    (operators/histograms.py): per-(day, event_type) exact-count
+    histograms merged up to event_type, with the interpolated p50/p90
+    estimates checked against the exact percentiles under the
+    histogram's error bound (one bin width). The daily->group merge is
+    the property being exercised cross-engine — the oracle recomputes
+    exact percentiles over raw rows, so the ok flags fail if merged
+    bins ever drift from a direct build. Undeclared — the driver
+    window is full; merge exactness and the roundtrip live in
+    tests/test_histograms.py."""
+    from ..operators.histograms import (
+        build_histograms,
+        merge_histograms,
+        percentile_estimate,
+    )
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    lo, hi, bins = float(b[0]), float(b[1]) + 1e-9, 256
+    width = (hi - lo) / bins
+    daily = build_histograms(
+        ev.withColumn("day", F.to_date("ts")),
+        ["day", "event_type"], "value", lo, hi, bins=bins,
+    )
+    merged = merge_histograms(daily, ["event_type"]).select(
+        "event_type",
+        percentile_estimate(0.5).alias("e50"),
+        percentile_estimate(0.9).alias("e90"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("x50"),
+        F.expr("percentile(value, 0.9)").alias("x90"),
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        round4(F.col("x50")).alias("p50"),
+        (F.abs(F.col("e50") - F.col("x50")) <= width).alias("p50_hist_ok"),
+        (F.abs(F.col("e90") - F.col("x90")) <= width).alias("p90_hist_ok"),
+    )
