@@ -338,3 +338,38 @@ def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("e50") - F.col("x50")) <= width).alias("p50_hist_ok"),
         (F.abs(F.col("e90") - F.col("x90")) <= width).alias("p90_hist_ok"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT user_id AS item, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, item ASC
+    LIMIT 10
+    """,
+    declared=False,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters off merged per-day summaries
+    (operators/heavy_hitters.py): top users by event count, answered
+    from the summary table rather than raw rows. K exceeds the
+    fixture's user cardinality, so no bucket truncates, every
+    err_bound is 0 and lb == exact count — the oracle's plain
+    GROUP BY therefore checks the day->total merge EXACTLY. The
+    truncated regime's bound honesty (lb <= true <= ub, guaranteed
+    surfacing above total_err) is pinned on engineered skew in
+    tests/test_heavy_hitters.py. Undeclared — driver window is full."""
+    from ..operators.heavy_hitters import build_topk_summaries, merge_topk
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    s = build_topk_summaries(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "user_id", k=100_000
+    )
+    return (
+        merge_topk(s, [], ["day"])
+        .select("item", F.col("lb").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("item"))
+        .limit(10)
+    )
