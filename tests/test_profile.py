@@ -79,3 +79,36 @@ def test_approx_close_to_exact_on_fixture(spark, sf_dir):
 def test_zero_columns_refused(spark):
     with pytest.raises(ValueError, match="zero-column"):
         profile_table(spark.createDataFrame([], "").select())
+
+
+def test_drift_report_flags_each_class(spark):
+    from web3_flight_rpc_server_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [
+            ("stable", "bigint", 100, 0, 0.0, 50, "1", "99"),
+            ("nully", "string", 100, 2, 0.02, 30, "a", "z"),
+            ("shrinks", "string", 100, 0, 0.0, 40, "a", "z"),
+            ("retyped", "bigint", 100, 0, 0.0, 10, "1", "9"),
+            ("gone", "string", 100, 0, 0.0, 5, "a", "b"),
+        ],
+        "column string, dtype string, n_rows long, n_nulls long, "
+        "null_frac double, n_distinct long, min_value string, max_value string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("stable", "bigint", 100, 1, 0.01, 52, "1", "99"),
+            ("nully", "string", 100, 40, 0.40, 30, "a", "z"),
+            ("shrinks", "string", 100, 0, 0.0, 4, "a", "z"),
+            ("retyped", "string", 100, 0, 0.0, 10, "1", "9"),
+            ("born", "double", 100, 0, 0.0, 7, "0.1", "2.2"),
+        ],
+        old.schema,
+    )
+    rep = {r.column: r for r in profile_drift(old, new).collect()}
+    assert not rep["stable"].drifted
+    assert rep["nully"].flags == ["null_spike"]
+    assert rep["shrinks"].flags == ["cardinality_shift"]
+    assert rep["retyped"].flags == ["type_changed"]
+    assert rep["gone"].flags == ["dropped"]
+    assert rep["born"].flags == ["added"]

@@ -80,3 +80,68 @@ def profile_table(df: DataFrame, exact_distinct: bool = False,
         "min_value",
         "max_value",
     )
+
+
+def profile_drift(old: DataFrame, new: DataFrame,
+                  null_frac_abs: float = 0.05,
+                  distinct_rel: float = 0.5) -> DataFrame:
+    """Diff two profile snapshots (profile_table outputs) into a
+    per-column drift report — the alerting half of source-health
+    monitoring: a scrape-format change shows up as a null spike or a
+    cardinality cliff in the NEXT snapshot, long before it poisons
+    dedup or training mixes downstream.
+
+    Flags per column: ``added``/``dropped`` (schema drift),
+    ``type_changed``, ``null_spike`` (null_frac moved more than
+    ``null_frac_abs`` absolutely), ``cardinality_shift`` (distinct
+    count changed more than ``distinct_rel`` relatively). A full outer
+    join of two tiny profile tables — the comparison never touches the
+    profiled data itself.
+    """
+    o = old.select(
+        F.col("column"),
+        F.col("dtype").alias("old_dtype"),
+        F.col("null_frac").alias("old_null_frac"),
+        F.col("n_distinct").alias("old_n_distinct"),
+    )
+    n = new.select(
+        F.col("column"),
+        F.col("dtype").alias("new_dtype"),
+        F.col("null_frac").alias("new_null_frac"),
+        F.col("n_distinct").alias("new_n_distinct"),
+    )
+    j = o.join(n, "column", "full_outer")
+    flags = F.array_compact(
+        F.array(
+            F.when(F.col("old_dtype").isNull(), F.lit("added")),
+            F.when(F.col("new_dtype").isNull(), F.lit("dropped")),
+            F.when(
+                F.col("old_dtype").isNotNull()
+                & F.col("new_dtype").isNotNull()
+                & (F.col("old_dtype") != F.col("new_dtype")),
+                F.lit("type_changed"),
+            ),
+            F.when(
+                F.abs(
+                    F.col("new_null_frac") - F.col("old_null_frac")
+                ) > null_frac_abs,
+                F.lit("null_spike"),
+            ),
+            F.when(
+                F.abs(F.col("new_n_distinct") - F.col("old_n_distinct"))
+                > distinct_rel * F.greatest(F.col("old_n_distinct"), F.lit(1)),
+                F.lit("cardinality_shift"),
+            ),
+        )
+    )
+    return j.select(
+        "column",
+        "old_dtype",
+        "new_dtype",
+        "old_null_frac",
+        "new_null_frac",
+        "old_n_distinct",
+        "new_n_distinct",
+        flags.alias("flags"),
+        (F.size(flags) > 0).alias("drifted"),
+    )
