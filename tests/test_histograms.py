@@ -125,3 +125,69 @@ def test_build_is_bounded_state_two_level_agg(events):
     # (bucket, bin) count -> bucket assembly: two exchanges, and the
     # only list aggregation is over <= bins+2 per-bin rows
     assert plan.count("Exchange") <= 2
+
+
+def test_streaming_maintenance_survives_engine_replay(spark, tmp_path):
+    """Count summaries double on replay, so the maintenance must ride
+    the exactly-once sink: force a genuine engine replay (checkpoint
+    restore) and assert the merged histogram still equals a direct
+    build over exactly the rows seen once."""
+    import shutil
+
+    from web3_flight_rpc_server_spark.operators.histograms import (
+        read_merged_histograms,
+        streaming_histogram_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "hists")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt_bak = str(tmp_path / "ckpt_bak")
+    schema = "g string, v double"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        return streaming_histogram_maintenance(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            out,
+            ["g"],
+            "v",
+            lo=0.0,
+            hi=10.0,
+            bins=10,
+            checkpoint=ckpt,
+        )
+
+    drop([("a", 1.5), ("a", 2.5), ("b", 1.5)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    shutil.copytree(ckpt, ckpt_bak)
+    drop([("a", 2.7), ("b", 9.1)])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # crash: restore the stale checkpoint -> engine replays the epoch
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_bak, ckpt)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    merged = {
+        r.g: r[COUNTS_COL]
+        for r in read_merged_histograms(spark, out, ["g"]).collect()
+    }
+    direct = {
+        r.g: r[COUNTS_COL]
+        for r in build_histograms(
+            spark.read.parquet(src), ["g"], "v", 0.0, 10.0, 10
+        ).collect()
+    }
+    assert merged == direct, "replayed epoch double-counted"

@@ -181,3 +181,44 @@ def percentile_estimate(q: float) -> Column:
         in_bin > 0, (target - cum_before.cast("double")) / in_bin.cast("double")
     ).otherwise(F.lit(0.0))
     return F.when(total > 0, F.col("lo") + width * ((idx - 1).cast("double") + frac))
+
+
+def streaming_histogram_maintenance(stream_df: DataFrame, out_dir: str,
+                                    bucket_cols: list[str], value_col: str,
+                                    lo: float, hi: float, bins: int = 128,
+                                    checkpoint: str | None = None):
+    """Maintain persisted histograms from a stream. Unlike the HLL
+    sketches (whose register-max union makes replayed rows harmless,
+    operators/sketches.py), histogram counts are ADDITIVE — a replayed
+    micro-batch would double-count — so this maintenance rides the
+    epoch-manifest exactly-once sink (streaming/exactly_once.py):
+    each epoch's bucket histograms land under their batch id, replays
+    are dropped whole, and the serving read
+    (read_merged_histograms) resolves committed epochs only. The same
+    division of labor applies to any count-based summary, e.g. the
+    heavy-hitter summaries. Returns the started StreamingQuery.
+    """
+    from ..streaming.exactly_once import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(
+        out_dir,
+        transform=lambda df: build_histograms(
+            df, bucket_cols, value_col, lo, hi, bins
+        ),
+    )
+    writer = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_merged_histograms(spark, out_dir: str,
+                           group_cols: list[str]) -> DataFrame:
+    """Serve from the maintained table: merge committed epochs' bucket
+    histograms up to ``group_cols`` — per-epoch partials of the same
+    bucket fold exactly by additivity."""
+    from ..streaming.exactly_once import read_committed
+
+    return merge_histograms(
+        read_committed(spark, out_dir).drop("epoch"), group_cols
+    )
