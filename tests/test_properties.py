@@ -302,3 +302,77 @@ def test_packing_gapless_for_any_corpus(spark, lengths, budget, parts):
     # null text = 0 tokens, non-null n-token text = n (split counts
     # [''] as 1 for the empty string, so lengths>=1 here)
     assert pos == sum(n if n else 0 for n in lengths)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # bucket
+            st.floats(min_value=-5, max_value=15,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=9),                # bins
+)
+def test_histogram_merge_equals_direct_build(spark, rows, bins):
+    """For arbitrary values (incl. out-of-range) and bin counts,
+    merging per-bucket histograms to the grand total must equal the
+    direct bucket-free build exactly — counts, overflow and all."""
+    from web3_flight_rpc_server_spark.operators.histograms import (
+        COUNTS_COL,
+        build_histograms,
+        merge_histograms,
+    )
+
+    df = spark.createDataFrame(rows, "b int, v double")
+    per_bucket = build_histograms(df, ["b"], "v", 0.0, 10.0, bins)
+    merged = merge_histograms(per_bucket, []).collect()[0]
+    direct = build_histograms(df, [], "v", 0.0, 10.0, bins).collect()[0]
+    assert merged[COUNTS_COL] == direct[COUNTS_COL]
+    assert (merged.n_below, merged.n_above) == (
+        direct.n_below, direct.n_above
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # bucket
+            st.integers(min_value=0, max_value=12),       # item id
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=1, max_value=5),                # k
+)
+def test_heavy_hitter_bounds_always_contain_truth(spark, rows, k):
+    """For arbitrary item distributions and any per-bucket K, every
+    reported item's [lb, ub] must contain its true count, and every
+    item with true count above the merged total error must surface."""
+    from collections import Counter
+
+    from web3_flight_rpc_server_spark.operators.heavy_hitters import (
+        build_topk_summaries,
+        merge_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(b, f"i{i}") for b, i in rows], "b int, item_id string"
+    )
+    merged = merge_topk(
+        build_topk_summaries(df, ["b"], "item_id", k=k), [], ["b"]
+    ).collect()
+    exact = Counter(f"i{i}" for _, i in rows)
+    reported = {r.item for r in merged}
+    for r in merged:
+        assert r.lb <= exact[r.item] <= r.ub, (
+            f"{r.item}: [{r.lb}, {r.ub}] vs {exact[r.item]}"
+        )
+    total_err = merged[0].total_err if merged else 0
+    for item, n in exact.items():
+        if n > total_err:
+            assert item in reported, f"{item} (true {n}) missing"

@@ -120,10 +120,13 @@ def merge_histograms(hists: DataFrame, group_cols: list[str]) -> DataFrame:
     )
     per_bin = exploded.groupBy(*group_cols, "lo", "hi", "bins", "__bin").agg(
         F.sum("__c").alias("__c"),
-        # overflow rows are replicated per bin by the explode; divide
-        # back by the bin count instead of carrying a second aggregate
-        (F.sum("n_below") / F.first("bins")).cast("long").alias("__nb"),
-        (F.sum("n_above") / F.first("bins")).cast("long").alias("__na"),
+        # each bucket contributes exactly one row per bin group, so the
+        # per-bin sum of overflow counts IS the group total; the
+        # cross-bin replication is collapsed by the first() below, not
+        # by division (a bucket whose rows are ALL overflow still has a
+        # full-length zero counts array, so no bucket escapes the sum)
+        F.sum("n_below").alias("__nb"),
+        F.sum("n_above").alias("__na"),
     )
     pairs = F.map_from_entries(
         F.collect_list(F.struct(F.col("__bin"), F.col("__c")))
