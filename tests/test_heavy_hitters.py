@@ -98,3 +98,57 @@ def test_null_items_ignored(spark):
 def test_k_validated(skewed):
     with pytest.raises(ValueError, match="k must be"):
         build_topk_summaries(skewed, ["bucket"], "item", k=0)
+
+
+def test_streaming_maintenance_epochs_as_buckets(spark, tmp_path):
+    """Count-based summaries double on replay, so streamed top-K
+    maintenance rides the exactly-once epoch sink — and needs no new
+    machinery: each committed epoch IS a bucket (its err_bound
+    algebra included), so serving is merge_topk over the committed
+    epochs with ``epoch`` as the bucket column."""
+    from web3_flight_rpc_server_spark.streaming.exactly_once import (
+        ExactlyOnceParquetSink,
+        read_committed,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "topk")
+    schema = "item string"
+    sink = ExactlyOnceParquetSink(
+        out,
+        transform=lambda df: build_topk_summaries(df, [], "item", k=2),
+    )
+
+    def drop(rows):
+        spark.createDataFrame([(r,) for r in rows], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    drop(["hot"] * 5 + ["warm"] * 3 + ["t1", "t2", "t3"])
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop(["hot"] * 4 + ["t4", "t5"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = {
+        r.item: r
+        for r in merge_topk(
+            read_committed(spark, out), [], ["epoch"]
+        ).collect()
+    }
+    exact = {"hot": 9, "warm": 3, "t1": 1, "t2": 1, "t3": 1, "t4": 1, "t5": 1}
+    # k=2 keeps hot+warm in epoch 0 and hot+one tail in epoch 1; every
+    # reported item's bounds must contain its true count
+    assert "hot" in merged
+    for item, r in merged.items():
+        assert r.lb <= exact[item] <= r.ub
+    assert merged["hot"].lb == 9  # hot made both epochs' top-2: exact
