@@ -376,3 +376,37 @@ def test_heavy_hitter_bounds_always_contain_truth(spark, rows, k):
     for item, n in exact.items():
         if n > total_err:
             assert item in reported, f"{item} (true {n}) missing"
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=9.999999,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([0.1, 0.5, 0.9]),
+    st.integers(min_value=2, max_value=20),
+)
+def test_histogram_percentile_error_bounded_by_bin_width(spark, xs, q, bins):
+    """For arbitrary in-range data, any quantile read off the
+    histogram CDF must land within one bin width of the exact
+    interpolated percentile."""
+    from web3_flight_rpc_server_spark.operators.histograms import (
+        build_histograms,
+        percentile_estimate,
+    )
+
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    width = 10.0 / bins
+    est = (
+        build_histograms(df, [], "v", 0.0, 10.0, bins)
+        .select(percentile_estimate(q).alias("e"))
+        .collect()[0]
+        .e
+    )
+    exact = df.agg(F.expr(f"percentile(v, {q})").alias("x")).collect()[0].x
+    assert abs(est - exact) <= width + 1e-9, (
+        f"q={q} bins={bins}: est {est} vs exact {exact}"
+    )
