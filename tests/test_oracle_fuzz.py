@@ -232,3 +232,60 @@ def test_normalize_oracle_parity_on_dirty_corpus(spark, tmp_path, seed):
     q = QUERIES["q_normalize"]
     problems = compare(q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, f"q_normalize seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [11, 211])
+def test_asof_oracle_parity_on_generated_events(spark, tmp_path, seed):
+    """As-of parity against DuckDB's native ASOF JOIN on generated
+    event streams with the classic edge shapes: exact ts ties between
+    purchase and click (>= includes equality), users with clicks only
+    or purchases only (left join NULLs), and interleaved histories.
+    Click (user, ts) pairs are kept unique — with duplicate right-side
+    keys at the winning timestamp BOTH engines tie-break arbitrarily
+    and parity would be testing luck, not semantics."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for user in range(1, 21):
+        kinds = rng.choice([("click", "purchase"), ("click",), ("purchase",)])
+        click_ts = sorted(
+            rng.sample(range(0, 50_000), rng.randint(1, 30))
+        ) if "click" in kinds else []
+        for t in click_ts:
+            rows.append(
+                (eid, base + dt.timedelta(seconds=t), user, "click",
+                 round(rng.uniform(0, 100), 3), "{}")
+            )
+            eid += 1
+        if "purchase" in kinds:
+            for _ in range(rng.randint(1, 15)):
+                if click_ts and rng.random() < 0.3:
+                    t = rng.choice(click_ts)  # exact tie with a click
+                else:
+                    t = rng.randrange(0, 55_000)
+                rows.append(
+                    (eid, base + dt.timedelta(seconds=t), user, "purchase",
+                     round(rng.uniform(0, 100), 3), "{}")
+                )
+                eid += 1
+    sf_dir = str(tmp_path / f"asof{seed}")
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    q = QUERIES["q_join_asof"]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"q_join_asof seed={seed}: " + "; ".join(problems)
