@@ -117,3 +117,63 @@ def test_asof_lookup_colliding_columns_prefixed_or_refused(spark):
     assert (row.key, row.fts, row.label, row.dim_label) == (
         "a", 20, "fact-label", "x"
     )
+
+
+@pytest.mark.parametrize("seed", [3, 41, 977])
+def test_merge_equals_rebuild_on_random_histories(spark, seed):
+    """The merge's core contract — applying change batches
+    incrementally must land on exactly the intervals a one-shot
+    rebuild over the full history produces — fuzzed over random
+    histories with no-op repeats and same-instant ties, delivered in
+    timestamp order (the CDC contract the merge documents; ties may
+    still split across batch boundaries)."""
+    import random
+
+    rng = random.Random(seed)
+    labels = ["x", "y", "z", "w"]
+    history = []
+    for key in "abcdefgh":
+        t = rng.randrange(0, 5)
+        for _ in range(rng.randint(1, 12)):
+            history.append((key, t, rng.choice(labels)))
+            if rng.random() < 0.2:  # same-instant tie
+                history.append((key, t, rng.choice(labels)))
+            t += rng.randint(1, 20)
+    history.sort(key=lambda r: (r[1], r[0], r[2]))  # in-order delivery
+    cuts = sorted(rng.sample(range(1, len(history)), 3))
+    batches = [
+        history[lo:hi]
+        for lo, hi in zip([0, *cuts], [*cuts, len(history)])
+        if history[lo:hi]
+    ]
+    scd = scd2_from_history(_hist(spark, batches[0]))
+    for batch in batches[1:]:
+        scd = scd2_merge(scd, _hist(spark, batch))
+    full = scd2_from_history(_hist(spark, history))
+    assert _rows(scd) == _rows(full), f"seed={seed}"
+
+
+def test_out_of_order_merge_caveat_worked_example(spark):
+    """The documented CDC caveat, pinned: a back-dated change landing
+    inside an already-collapsed span yields a VALID interval set, but
+    not necessarily the full-history rebuild — the build dropped the
+    (a, 20, x) repeat as a no-op, and the merge cannot resurrect it
+    once (a, 15, y) makes it a real change."""
+    scd = scd2_from_history(_hist(spark, [("a", 10, "x"), ("a", 20, "x")]))
+    merged = scd2_merge(scd, _hist(spark, [("a", 15, "y")]))
+    assert _rows(merged) == {
+        ("a", "x", 10, 15, False),
+        ("a", "y", 15, None, True),   # x@20 was dropped at build time
+    }
+    full = scd2_from_history(_hist(spark, [
+        ("a", 10, "x"), ("a", 20, "x"), ("a", 15, "y"),
+    ]))
+    assert _rows(full) == {
+        ("a", "x", 10, 15, False),
+        ("a", "y", 15, 20, False),
+        ("a", "x", 20, None, True),
+    }
+    # both are internally consistent: contiguous intervals, one current
+    for rows in (_rows(merged), _rows(full)):
+        cur = [r for r in rows if r[4]]
+        assert len(cur) == 1 and cur[0][3] is None

@@ -107,7 +107,17 @@ def scd2_merge(existing: DataFrame, changes: DataFrame,
     keys — no window work for them); changed keys are rebuilt from
     their existing versions plus the new changes, which also closes
     the previously-current interval. Equivalent to rebuilding from the
-    full concatenated history, at O(changed keys) window cost."""
+    full concatenated history, at O(changed keys) window cost — PER
+    THE CDC DELIVERY CONTRACT: batches arrive per key in
+    nondecreasing timestamp order (same-instant ties may split across
+    batches; the tie-break is replay-stable). A batch that
+    time-travels INTO an already-collapsed span still produces a valid
+    non-overlapping interval set, but equality with the full-history
+    rebuild is not guaranteed there: the build drops no-op changes, so
+    a repeat that was a no-op at build time (and was dropped) cannot
+    be resurrected when a back-dated change later lands before it and
+    would have made it a real change. Fuzzed in tests/test_scd2.py;
+    the out-of-order caveat is pinned there as a worked example."""
     attrs = _attr_cols(
         existing, key_col, "valid_from"
     )
