@@ -289,3 +289,111 @@ def test_asof_oracle_parity_on_generated_events(spark, tmp_path, seed):
     q = QUERIES["q_join_asof"]
     problems = compare(q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, f"q_join_asof seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [13, 307])
+def test_sessionize_oracle_parity_on_generated_events(spark, tmp_path, seed):
+    """Sessionization parity on generated event histories engineered
+    around the gap boundary: inter-event gaps drawn NEAR 30 minutes
+    (just under, exactly equal — a gap of exactly 30:00 does NOT
+    split, only strictly-greater does — and just over), plus same-ts
+    event bursts ordered by the event_id tie-break."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    gaps = [1799, 1800, 1801, 5, 60, 7200]  # seconds; 1800 = the edge
+    rows, eid = [], 0
+    for user in range(1, 16):
+        t = rng.randrange(0, 3600)
+        for _ in range(rng.randint(1, 40)):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=t), user, "click",
+                 round(rng.uniform(0, 10), 3), "{}")
+            )
+            eid += 1
+            if rng.random() < 0.15:  # same-ts burst: tie-break path
+                rows.append(
+                    (eid, base + dt.timedelta(seconds=t), user, "click",
+                     round(rng.uniform(0, 10), 3), "{}")
+                )
+                eid += 1
+            t += rng.choice(gaps)
+    sf_dir = str(tmp_path / f"sess{seed}")
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    q = QUERIES["q_sessionize"]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"q_sessionize seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [17, 401])
+def test_time_rollup_oracle_parity_across_calendar_boundaries(
+    spark, tmp_path, seed
+):
+    """Multi-granularity rollup parity on events engineered around the
+    calendar edges date_trunc must agree on cross-engine: year and
+    month boundaries, exact midnight/top-of-hour instants, and
+    sub-second (microsecond) timestamps."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    anchors = [
+        dt.datetime(2023, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 2, 29, 12, 30),       # leap day
+        dt.datetime(2024, 3, 31, 23, 0),
+        dt.datetime(2024, 4, 1, 0, 0, 0, 1),
+    ]
+    rows = []
+    for eid in range(300):
+        ts = rng.choice(anchors) + dt.timedelta(
+            seconds=rng.randint(-3600, 3600),
+            microseconds=rng.randint(0, 999999),
+        )
+        rows.append(
+            (eid, ts, rng.randrange(1, 20), "click",
+             round(rng.uniform(0, 50), 3), "{}")
+        )
+    sf_dir = str(tmp_path / f"cal{seed}")
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/events.parquet")
+    )
+    # q_time_rollup registers ALL fixture views; satisfy the other
+    # tables with symlinks to the real fixture dir
+    import os
+
+    from .conftest import SF_DIR
+
+    for name in os.listdir(SF_DIR):
+        dst = os.path.join(sf_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_DIR, name), dst)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    q = QUERIES["q_time_rollup"]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"q_time_rollup seed={seed}: " + "; ".join(problems)
