@@ -220,7 +220,6 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    declared=False,
 )
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct rollup (operators/sketches.py): build

@@ -102,12 +102,20 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
+    declared=False,
 )
 def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3's two grouping-set specializations, tagged in one result:
     hierarchical ROLLUP over lineitem (per (flag, status), per flag,
     grand total) and full CUBE over orders. Each leg is one scan and
-    one expand+shuffle; the union is free (no exchange of its own)."""
+    one expand+shuffle; the union is free (no exchange of its own).
+
+    Undeclared since round 4: C3 stays driver-attested through
+    q_grouping_sets (the general form rollup/cube specialize) and
+    q_time_rollup's grouping sets, so this slot was ceded to
+    q_sketch_rollup — rollup/cube semantics remain oracle-checked here
+    via tests/test_oracle_parity.py and plan-asserted in
+    tests/test_plans.py."""
     li = tables.load_table(spark, sf_dir, "lineitem")
     orders = tables.load_table(spark, sf_dir, "orders")
     rollup_leg = (
