@@ -1,0 +1,100 @@
+"""Distributed vocabulary building (C13 adjunct): the token-frequency
+table every tokenizer training / frequency-filter step starts from.
+
+One explode + one hash count over the corpus, then a deterministic
+top-``max_size`` truncation (count desc, token asc — replays and
+engine versions produce the identical vocabulary) annotated with the
+running COVERAGE fraction: vocab[i].coverage = fraction of all token
+occurrences covered by ranks 1..i. Coverage is what practitioners
+actually size vocabularies by ("smallest V covering 99.5%"), and
+computing it inside the same plan costs one extra window over the
+already-tiny truncated table.
+
+Scale shape: the explode produces corpus-token rows but aggregates
+map-side into per-partition (token, count) partials before the single
+shuffle; the top-K is TakeOrdered (per-partition heaps, driver merge
+of K), never a global sort of the frequency table. For corpora whose
+TAIL must also be bounded (the frequency table itself too large to
+sort), cap it first with operators/heavy_hitters.py summaries — same
+counts, explicit error bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def build_vocabulary(docs: DataFrame, max_size: int,
+                     text_col: str = "text") -> DataFrame:
+    """(rank, token, n, coverage) — the ``max_size`` most frequent
+    tokens with cumulative occurrence coverage in [0, 1]."""
+    if max_size < 1:
+        raise ValueError(f"max_size must be >= 1, got {max_size}")
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(max_size)
+    total = counts.agg(F.sum("n").alias("__t"))
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the window runs over <= max_size rows (post-truncation), so the
+    # single-partition sort it implies is bounded by design
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("token")))
+            .alias("rank"),
+            "token",
+            "n",
+            (F.sum("n").over(w) / F.col("__t")).alias("coverage"),
+        )
+    )
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame,
+             text_col: str = "text") -> DataFrame:
+    """Per-document out-of-vocabulary token fraction — the acceptance
+    check for a candidate vocabulary against a held-out corpus. One
+    explode + one broadcast semi-probe (the vocab is small by
+    construction); null/empty documents report 0 tokens, OOV 0.0."""
+    toks = docs.select(
+        "doc_id", F.explode_outer(tokens(text_col)).alias("token")
+    )
+    hit = toks.join(
+        F.broadcast(vocab.select("token").withColumn("__in", F.lit(1))),
+        "token",
+        "left",
+    )
+    return hit.groupBy("doc_id").agg(
+        F.count(F.when(F.col("token").isNotNull()
+                       & (F.col("token") != ""), 1)).alias("n_tokens"),
+        F.coalesce(
+            F.count(
+                F.when(
+                    F.col("token").isNotNull()
+                    & (F.col("token") != "")
+                    & F.col("__in").isNull(),
+                    1,
+                )
+            ).cast("double")
+            / F.nullif(
+                F.count(
+                    F.when(
+                        F.col("token").isNotNull() & (F.col("token") != ""),
+                        1,
+                    )
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+            F.lit(0.0),
+        ).alias("oov_frac"),
+    )

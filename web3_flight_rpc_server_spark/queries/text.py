@@ -418,3 +418,47 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4(clean.cast("double") / F.count("*")).alias("clean_frac"),
         )
     )
+
+
+@query(
+    "q_vocab",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM toks WHERE token <> '' GROUP BY token
+    ),
+    total AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+    top AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS rank,
+           token, n,
+           floor((CAST(sum(n) OVER (ORDER BY n DESC, token ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / (SELECT t FROM total)) * 10000 + 0.5) / 10000
+               AS coverage
+    FROM top
+    """,
+    declared=False,
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vocabulary build (operators/vocab.py): top-20
+    corpus tokens with deterministic (count desc, token asc)
+    truncation and running occurrence coverage — the frequency table
+    tokenizer training starts from, checked value-for-value against a
+    DuckDB recomputation. Undeclared — the driver window is full;
+    oov_rate's acceptance check is pytest-pinned in
+    tests/test_vocab.py."""
+    from ..operators.vocab import build_vocabulary
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    v = build_vocabulary(docs, max_size=20)
+    return v.select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        "n",
+        round4(F.col("coverage")).alias("coverage"),
+    )
