@@ -58,3 +58,28 @@ def test_oov_rate_against_truncated_vocab(docs, spark):
 def test_max_size_validated(docs):
     with pytest.raises(ValueError, match="max_size"):
         build_vocabulary(docs, 0)
+
+
+def test_unigram_scoring_orders_common_above_rare(docs, spark):
+    from web3_flight_rpc_server_spark.operators.vocab import (
+        unigram_logprob_score,
+    )
+
+    v = build_vocabulary(docs, max_size=100)  # untruncated model
+    probe = spark.createDataFrame(
+        [
+            (10, "the cat"),          # common tokens -> high score
+            (11, "mat on"),           # rare tokens -> lower
+            (12, "zzz qqq"),          # OOV -> floor
+            (13, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_score(probe, v).collect()}
+    assert rows[10].mean_logprob > rows[11].mean_logprob > rows[12].mean_logprob
+    assert rows[12].mean_logprob == -20.0
+    assert rows[13].mean_logprob is None and rows[13].n_tokens == 0
+    # exact value: p(the)=3/12, p(cat)=3/12 -> mean log = log(1/4)
+    import math
+
+    assert abs(rows[10].mean_logprob - math.log(0.25)) < 1e-9

@@ -98,3 +98,46 @@ def oov_rate(docs: DataFrame, vocab: DataFrame,
             F.lit(0.0),
         ).alias("oov_frac"),
     )
+
+
+def unigram_logprob_score(docs: DataFrame, vocab: DataFrame,
+                          text_col: str = "text",
+                          oov_logprob: float = -20.0) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap tier of
+    the LM-perplexity quality filter (CCNet-style pipelines bucket
+    documents by LM score; a unigram model needs only the vocabulary
+    table, no trained model). Gibberish, boilerplate-free noise and
+    wrong-language text all score low because their tokens are rare or
+    absent in the corpus-wide vocabulary.
+
+    p(token) = n / total over the FULL vocabulary table (pass an
+    untruncated build_vocabulary output; a truncated one makes the
+    tail OOV, which the score then punishes at ``oov_logprob`` — the
+    standard floor for unseen tokens). One explode + broadcast join +
+    mean; null/empty documents score NULL (no tokens to judge)."""
+    total = vocab.agg(F.sum("n").alias("__t"))
+    model = F.broadcast(
+        vocab.crossJoin(F.broadcast(total)).select(
+            "token",
+            F.log(F.col("n").cast("double") / F.col("__t")).alias("__lp"),
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    scored = toks.join(model, "token", "left").select(
+        "doc_id", F.coalesce(F.col("__lp"), F.lit(oov_logprob)).alias("__lp")
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.avg("__lp").alias("mean_logprob"),
+        F.count("*").alias("n_tokens"),
+    )
+    # keep every input document: token-free ones surface with NULL
+    # score instead of vanishing from the report
+    return docs.select("doc_id").join(out, "doc_id", "left").select(
+        "doc_id",
+        "mean_logprob",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
