@@ -262,3 +262,29 @@ def test_bm25_stats_fold_to_broadcasts(spark, sf_dir):
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 2
+
+
+def test_vocab_truncation_is_take_ordered(spark, sf_dir):
+    """The top-V cut must be TakeOrdered (per-partition heaps, driver
+    merge of V rows), never a global Sort of the frequency table; the
+    token count aggregates partially before its single exchange."""
+    plan = plan_of(spark, "q_vocab", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(plan, "Exchange") <= 3  # count agg + total agg + 1-row window
+
+
+def test_unigram_scoring_joins_broadcast_only(spark, sf_dir):
+    """The log-prob model and the doc-id completion join must both be
+    broadcast — the corpus side (exploded tokens) never shuffles for a
+    join."""
+    from web3_flight_rpc_server_spark.operators.vocab import (
+        build_vocabulary,
+        unigram_logprob_score,
+    )
+    from web3_flight_rpc_server_spark.sources import tables
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_score(docs, build_vocabulary(docs, 500))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -113,8 +113,14 @@ def unigram_logprob_score(docs: DataFrame, vocab: DataFrame,
     p(token) = n / total over the FULL vocabulary table (pass an
     untruncated build_vocabulary output; a truncated one makes the
     tail OOV, which the score then punishes at ``oov_logprob`` — the
-    standard floor for unseen tokens). One explode + broadcast join +
-    mean; null/empty documents score NULL (no tokens to judge)."""
+    standard floor for unseen tokens). One explode_outer + one
+    broadcast model join + one doc_id aggregation — token-free
+    (null/empty) documents ride the same pass via their null token row
+    and surface with a NULL score and 0 tokens, with no completion
+    join back to the doc list (an earlier draft joined scores back to
+    docs on doc_id: both sides are O(docs), so that join shuffles
+    twice and cannot broadcast — the conditional aggregate gets the
+    same semantics for one shuffle)."""
     total = vocab.agg(F.sum("n").alias("__t"))
     model = F.broadcast(
         vocab.crossJoin(F.broadcast(total)).select(
@@ -123,21 +129,13 @@ def unigram_logprob_score(docs: DataFrame, vocab: DataFrame,
         )
     )
     toks = docs.select(
-        "doc_id", F.explode(tokens(text_col)).alias("token")
-    ).where(F.col("token") != "")
-    scored = toks.join(model, "token", "left").select(
-        "doc_id", F.coalesce(F.col("__lp"), F.lit(oov_logprob)).alias("__lp")
+        "doc_id", F.explode_outer(tokens(text_col)).alias("token")
     )
-    out = scored.groupBy("doc_id").agg(
-        F.avg("__lp").alias("mean_logprob"),
-        F.count("*").alias("n_tokens"),
-    )
-    # keep every input document: token-free ones surface with NULL
-    # score instead of vanishing from the report
-    return docs.select("doc_id").join(out, "doc_id", "left").select(
-        "doc_id",
-        "mean_logprob",
-        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
-            "n_tokens"
-        ),
+    scored = toks.join(model, "token", "left")
+    real = F.col("token").isNotNull() & (F.col("token") != "")
+    return scored.groupBy("doc_id").agg(
+        F.avg(
+            F.when(real, F.coalesce(F.col("__lp"), F.lit(oov_logprob)))
+        ).alias("mean_logprob"),
+        F.count(F.when(real, 1)).alias("n_tokens"),
     )
