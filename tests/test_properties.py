@@ -410,3 +410,35 @@ def test_histogram_percentile_error_bounded_by_bin_width(spark, xs, q, bins):
     assert abs(est - exact) <= width + 1e-9, (
         f"q={q} bins={bins}: est {est} vs exact {exact}"
     )
+
+
+def test_mixture_recipe_arithmetic(spark):
+    """Recipe math: shares sum to 1, contributed tokens = rate x
+    inventory, and effective epochs = (share x budget) / own tokens —
+    the up-weighted small source trains many epochs."""
+    from web3_flight_rpc_server_spark.operators.mixture import (
+        mixture_recipe,
+    )
+
+    small = spark.createDataFrame(
+        [(i, "a b c d") for i in range(10)], "doc_id long, text string"
+    )  # 40 tokens
+    big = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(100)],
+        "doc_id long, text string",
+    )  # 800 tokens
+    rep = {
+        r.source: r
+        for r in mixture_recipe(
+            [("small", small), ("big", big)],
+            {"small": 4.0, "big": 1.0},
+            token_budget=9600,
+        ).collect()
+    }
+    assert rep["small"].n_tokens == 40 and rep["big"].n_tokens == 800
+    assert rep["small"].contributed_tokens == 160
+    assert abs(rep["small"].mix_share - 160 / 960) < 1e-9
+    assert abs(rep["small"].mix_share + rep["big"].mix_share - 1.0) < 1e-9
+    # budget 9600 = 10x the mix: small sees 10 x 4 = 40 epochs
+    assert abs(rep["small"].effective_epochs - 40.0) < 1e-9
+    assert abs(rep["big"].effective_epochs - 10.0) < 1e-9

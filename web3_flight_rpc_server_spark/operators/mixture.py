@@ -91,3 +91,62 @@ def mixture_sample(sources: list[tuple[str, DataFrame]],
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def mixture_recipe(sources: list[tuple[str, DataFrame]],
+                   rates: dict[str, float],
+                   token_budget: int | None = None,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The "data recipe" report a pretraining run starts from: per
+    source — document/token inventory, sampling rate, expected tokens
+    CONTRIBUTED at that rate, the resulting share of the mix, and (when
+    ``token_budget`` is given) the effective epochs each source's data
+    sees if the mixed stream is consumed until the budget is spent.
+    Effective epochs is the overfit/memorization dial practitioners
+    actually watch — a 4x up-weighted small source at a 10x-data budget
+    trains ~40 epochs over that source.
+
+    One token-count aggregate per source (a scan each, no shuffle
+    beyond the 1-row aggregates); the arithmetic is driver-side over
+    S rows."""
+    from ..functions.text import tokens
+
+    spark = sources[0][1].sparkSession
+    rows = []
+    for name, df in sources:
+        r = float(rates.get(name, 0.0))
+        if r < 0:
+            raise ValueError(f"rate for {name!r} must be >= 0, got {r}")
+        agg = df.agg(
+            F.count("*").alias("docs"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(text_col).isNull(), 0).otherwise(
+                        F.size(tokens(text_col))
+                    )
+                ),
+                F.lit(0),
+            ).alias("toks"),
+        ).collect()[0]
+        rows.append((name, int(agg["docs"]), int(agg["toks"]), r,
+                     agg["toks"] * r))
+    total_contrib = sum(c for *_, c in rows) or 1.0
+    out = []
+    for name, docs, toks, r, contrib in rows:
+        share = contrib / total_contrib
+        if token_budget is None:
+            epochs = None
+        else:
+            # consuming the mix to the budget replays each source's
+            # own data share/source_tokens times
+            epochs = (
+                (share * token_budget) / toks if toks else None
+            )
+        out.append((name, docs, toks, r, int(contrib), share, epochs))
+    return spark.createDataFrame(
+        out,
+        "source string, n_docs long, n_tokens long, rate double, "
+        "contributed_tokens long, mix_share double, "
+        "effective_epochs double",
+    )
