@@ -442,3 +442,70 @@ def test_mixture_recipe_arithmetic(spark):
     # budget 9600 = 10x the mix: small sees 10 x 4 = 40 epochs
     assert abs(rep["small"].effective_epochs - 40.0) < 1e-9
     assert abs(rep["big"].effective_epochs - 10.0) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0, max_codepoint=0x2FF
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_normalize_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary text
+    including control bytes and exotic whitespace — a second pass
+    through the pipeline must never change already-clean data."""
+    from web3_flight_rpc_server_spark.operators.normalize import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    rows = df.select(
+        normalize_text("t").alias("once"),
+        normalize_text(normalize_text("t")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=1, max_size=12,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=9),
+)
+def test_vocabulary_invariant_under_partitioning(spark, doclists, parts):
+    """The vocabulary (ranks, counts, coverage) must be identical no
+    matter how the corpus is partitioned — the determinism claim that
+    lets replays and different cluster sizes produce the same model."""
+    from web3_flight_rpc_server_spark.operators.vocab import (
+        build_vocabulary,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doclists)],
+        "doc_id long, text string",
+    )
+    one = [
+        (r.rank, r.token, r.n, round(r.coverage, 9))
+        for r in build_vocabulary(df.coalesce(1), 4).collect()
+    ]
+    many = [
+        (r.rank, r.token, r.n, round(r.coverage, 9))
+        for r in build_vocabulary(df.repartition(parts), 4).collect()
+    ]
+    assert one == many
