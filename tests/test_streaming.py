@@ -279,3 +279,51 @@ def test_reorg_retraction_and_reinstate(spark, workdir):
         ]
     finally:
         q.stop()
+
+
+def test_session_window_parity_with_batch_sessionize(spark):
+    """The two sessionization formulations — streaming
+    session_window(ts, gap) and the batch lag/cumsum query — must
+    agree session-for-session on data engineered around the gap edge:
+    a gap of exactly 30:00 MERGES in both (session_window treats an
+    event landing exactly on the window end as part of it; the batch
+    twin splits only on strictly-greater gaps), 30:01 splits, and
+    same-timestamp bursts stay one session. session_window's end is
+    last_ts + gap, so the mapping subtracts the gap."""
+    import datetime as dt
+    import random
+
+    from web3_flight_rpc_server_spark.registry import all_queries
+
+    rng = random.Random(29)
+    base = dt.datetime(2024, 5, 1)
+    gaps = [1799, 1800, 1801, 1, 300, 7200]
+    rows, eid = [], 0
+    for user in range(1, 13):
+        t = rng.randrange(0, 1000)
+        for _ in range(rng.randint(1, 25)):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=t), user, "click",
+                 round(rng.uniform(0, 5), 3), "{}")
+            )
+            eid += 1
+            t += rng.choice(gaps)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    stream_form = {
+        (r.user_id, r.session_start, r.session_end - dt.timedelta(minutes=30), r.n)
+        for r in session_agg(df, gap="30 minutes").collect()
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(d + "/events.parquet")
+        batch = all_queries()["q_sessionize"].fn(spark, d)
+        batch_form = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in batch.collect()
+        }
+    assert stream_form == batch_form
