@@ -26,3 +26,8 @@ from .sketches import (  # noqa: F401
     compact_sketches,
     rollup_distinct,
 )
+from .vocab import (  # noqa: F401
+    build_vocabulary,
+    oov_rate,
+    unigram_logprob_score,
+)
