@@ -177,3 +177,70 @@ def test_out_of_order_merge_caveat_worked_example(spark):
     for rows in (_rows(merged), _rows(full)):
         cur = [r for r in rows if r[4]]
         assert len(cur) == 1 and cur[0][3] is None
+
+
+def test_streaming_maintenance_replay_republishes_identical(spark, tmp_path):
+    """Dimension maintenance from a CDC stream: in-order change
+    batches fold in via scd2_merge and publish pointer-flipped
+    versions. A forced engine replay (checkpoint restore) re-merges an
+    already-applied batch — idempotent under the CDC contract, so the
+    final dimension still equals the one-shot rebuild, and pruning
+    keeps the version directory bounded."""
+    import os
+    import shutil
+
+    from web3_flight_rpc_server_spark.operators.scd2 import (
+        read_scd2,
+        streaming_scd2_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt_bak = str(tmp_path / "ckpt_bak")
+    os.makedirs(src)
+    schema = "key string, ts long, label string"
+    batches = [
+        [("a", 10, "x"), ("b", 10, "p")],
+        [("a", 20, "y"), ("c", 25, "q")],
+        [("b", 30, "r"), ("a", 30, "y")],  # a@30 is a no-op repeat
+    ]
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        return streaming_scd2_maintenance(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            dim,
+            checkpoint=ckpt,
+            keep_versions=2,
+        )
+
+    drop(batches[0])
+    drop(batches[1])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    shutil.copytree(ckpt, ckpt_bak)
+    drop(batches[2])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    want = _rows(
+        scd2_from_history(_hist(spark, [r for b in batches for r in b]))
+    )
+    assert _rows(read_scd2(spark, dim)) == want
+    # crash: restore stale checkpoint -> engine replays the last batch
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_bak, ckpt)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert _rows(read_scd2(spark, dim)) == want, "replay changed the dim"
+    versions = [d for d in os.listdir(dim) if d.startswith("v=")]
+    assert len(versions) <= 2  # pruned to keep_versions

@@ -173,3 +173,94 @@ def asof_lookup(facts: DataFrame, scd2: DataFrame, key_col: str,
         )
     )
     return facts.join(dim, cond, "left").drop(dim[key_col])
+
+
+def _latest_pointer(spark, dim_dir: str):
+    jvm = spark._jvm
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/_LATEST")
+    fs = ptr.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm, ptr
+
+
+def read_scd2(spark, dim_dir: str) -> DataFrame:
+    """Current dimension state: the version the _LATEST pointer names.
+    Readers never list version directories — a half-written version
+    (crash between data write and pointer update) is invisible."""
+    fs, jvm, ptr = _latest_pointer(spark, dim_dir)
+    if not fs.exists(ptr):
+        raise ValueError(f"no published SCD2 version under {dim_dir}")
+    stream = fs.open(ptr)
+    try:
+        version = stream.readUTF()
+    finally:
+        stream.close()
+    return spark.read.parquet(f"{dim_dir}/v={version}")
+
+
+def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
+                               key_col: str = "key", ts_col: str = "ts",
+                               checkpoint: str | None = None,
+                               keep_versions: int = 3):
+    """Maintain an SCD2 dimension from a CDC change stream: each
+    micro-batch folds into the current dimension via scd2_merge and
+    publishes a NEW version directory (v=<batchId>), then flips the
+    _LATEST pointer (create-then-rename, atomic on HDFS/local — the
+    same commit idiom as streaming/exactly_once.py). Readers follow
+    the pointer, so they always see a complete version; concurrent
+    as-of joins keep reading the old version until the flip.
+
+    Replay safety needs no epoch manifest here: under in-order CDC
+    delivery (the contract scd2_merge documents) re-merging an
+    already-applied batch is IDEMPOTENT — the replayed (key, ts)
+    change rows collide with their first copies and the tie-dedup
+    keeps one, so the republished version is byte-identical
+    (pinned in tests/test_scd2.py with a forced engine replay).
+
+    Old versions beyond ``keep_versions`` are pruned after each flip;
+    keep more for long-running readers. Returns the StreamingQuery.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        changes = batch_df.select(key_col, ts_col, *[
+            c for c in batch_df.columns if c not in (key_col, ts_col)
+        ])
+        try:
+            current = read_scd2(spark, dim_dir)
+            merged = scd2_merge(current, changes, key_col, ts_col)
+        except ValueError:
+            merged = scd2_from_history(changes, key_col, ts_col)
+        # materialize BEFORE writing: on an engine replay the latest
+        # pointer names v=<batch_id> itself (published by the replayed
+        # batch's first run), so an un-cut plan would read the very
+        # directory the overwrite below is deleting
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(f"{dim_dir}/v={batch_id}")
+        fs, jvm, ptr = _latest_pointer(spark, dim_dir)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{dim_dir}/._LATEST.{batch_id}.tmp"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.writeUTF(str(batch_id))
+        finally:
+            out.close()
+        fs.delete(ptr, False)
+        if not fs.rename(tmp, ptr):
+            fs.delete(tmp, False)
+        # prune old versions, keeping the newest keep_versions
+        base = jvm.org.apache.hadoop.fs.Path(dim_dir)
+        versions = sorted(
+            int(st.getPath().getName()[2:])
+            for st in fs.listStatus(base)
+            if st.getPath().getName().startswith("v=")
+        )
+        for v in versions[:-keep_versions]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/v={v}"), True)
+
+    writer = change_stream.writeStream.foreachBatch(_process)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
