@@ -193,3 +193,32 @@ def test_streaming_maintenance_and_compaction(spark, tmp_path):
     compacted = spark.read.parquet(table)
     assert compacted.count() == 2  # one row per bucket
     assert estimates() == want
+
+
+def test_intersection_estimate_by_inclusion_exclusion(events):
+    """|A ∩ B| from sketches alone, within the compounded error of
+    three estimates at comparable magnitudes: split events into two
+    overlapping day ranges and compare to the exact overlap."""
+    from web3_flight_rpc_server_spark.operators.sketches import (
+        intersect_distinct_estimate,
+    )
+
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    a_hi = days[2 * len(days) // 3]
+    b_lo = days[len(days) // 3]
+    ev_a = events.where(F.col("day") <= a_hi)
+    ev_b = events.where(F.col("day") >= b_lo)
+    est = intersect_distinct_estimate(
+        build_distinct_sketches(ev_a, ["day"], "user_id"),
+        build_distinct_sketches(ev_b, ["day"], "user_id"),
+    ).collect()[0]
+    exact = (
+        ev_a.select("user_id")
+        .intersect(ev_b.select("user_id"))
+        .count()
+    )
+    # three compounded estimates: allow 3x the single-sketch gate
+    assert abs(est.n_intersect_est - exact) <= max(6, 0.15 * exact), (
+        f"est {est.n_intersect_est} vs exact {exact}"
+    )
+    assert est.n_intersect_est >= 0

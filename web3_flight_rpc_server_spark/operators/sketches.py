@@ -150,3 +150,46 @@ def compact_sketches(spark, path: str) -> None:
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(dst, True)
     fs.rename(src, dst)
+
+
+def intersect_distinct_estimate(sketches_a: DataFrame,
+                                sketches_b: DataFrame) -> DataFrame:
+    """Estimated distinct count of the INTERSECTION of two sketch
+    sets' value populations (e.g. "users active in BOTH ranges") via
+    inclusion-exclusion: |A ∩ B| = |A| + |B| - |A ∪ B|, each term an
+    HLL estimate — the union term merges the two sketch sets directly,
+    so the raw rows are never revisited.
+
+    Honesty note: each term carries the sketch's relative error on ITS
+    OWN magnitude, so the absolute error of the difference is governed
+    by the LARGER of |A| and |B| — when the true intersection is small
+    relative to either side, the relative error blows up and the
+    estimate can even go negative (clamped to 0 here). Use it for
+    overlap dashboards at comparable magnitudes; for guaranteed-small
+    intersections compute exactly over the raw rows instead. Returns a
+    1-row DataFrame (n_a, n_b, n_union, n_intersect_est).
+    """
+    a = rollup_distinct(sketches_a, [], estimate_col="n_a").select(
+        F.col(SKETCH_COL).alias("__sa"), "n_a"
+    )
+    b = rollup_distinct(sketches_b, [], estimate_col="n_b").select(
+        F.col(SKETCH_COL).alias("__sb"), "n_b"
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            "n_a",
+            "n_b",
+            F.hll_sketch_estimate(
+                F.hll_union("__sa", "__sb", False)
+            ).alias("n_union"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            F.greatest(
+                F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0)
+            ).alias("n_intersect_est"),
+        )
+    )
