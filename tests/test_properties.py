@@ -390,9 +390,17 @@ def test_heavy_hitter_bounds_always_contain_truth(spark, rows, k):
     st.integers(min_value=2, max_value=20),
 )
 def test_histogram_percentile_error_bounded_by_bin_width(spark, xs, q, bins):
-    """For arbitrary in-range data, any quantile read off the
-    histogram CDF must land within one bin width of the exact
-    interpolated percentile."""
+    """For arbitrary in-range data, the quantile read off the
+    histogram CDF must land within one bin width of the inverse-CDF
+    quantile it targets — the ceil(q*n)-th order statistic, which by
+    construction lies inside the bin the estimator selects. (Against
+    the INTERPOLATED percentile definition the bound picks up one
+    rank of slack, which at toy n can span an arbitrary value gap —
+    hypothesis found exactly that: ten 0.0s then [8.0, 9.0] puts
+    type-7 p90 at 7.2 while every nearby datum is 8.0; the histogram
+    answered 8.5 and was the saner of the two.)"""
+    import math
+
     from web3_flight_rpc_server_spark.operators.histograms import (
         build_histograms,
         percentile_estimate,
@@ -406,9 +414,10 @@ def test_histogram_percentile_error_bounded_by_bin_width(spark, xs, q, bins):
         .collect()[0]
         .e
     )
-    exact = df.agg(F.expr(f"percentile(v, {q})").alias("x")).collect()[0].x
-    assert abs(est - exact) <= width + 1e-9, (
-        f"q={q} bins={bins}: est {est} vs exact {exact}"
+    k = max(1, math.ceil(q * len(xs)))
+    order_stat = sorted(xs)[k - 1]
+    assert abs(est - order_stat) <= width + 1e-9, (
+        f"q={q} bins={bins}: est {est} vs x_({k}) {order_stat}"
     )
 
 

@@ -155,9 +155,19 @@ def merge_histograms(hists: DataFrame, group_cols: list[str]) -> DataFrame:
 
 def percentile_estimate(q: float) -> Column:
     """Estimate the q-quantile from a histogram row's columns —
-    linear interpolation within the containing bin, error <= one bin
-    width for in-range data. Usable in a select over
-    build_histograms/merge_histograms output."""
+    linear interpolation within the containing bin. Usable in a select
+    over build_histograms/merge_histograms output.
+
+    Definition and bound: this inverts the CDF at mass q*n (the
+    inverse-CDF / "type 1" quantile), so the estimate provably lands
+    within one bin width of the ceil(q*n)-th order statistic — that
+    order statistic sits inside the selected bin (pinned as a
+    hypothesis property in tests/test_properties.py). Against the
+    INTERPOLATED definition (SQL percentile / numpy type 7) add one
+    rank of slack: negligible at any real n, but at toy n a rank can
+    span an arbitrary value gap, so cross-checks against interpolated
+    percentiles (q_hist_quantile) are meaningful only when bins are
+    dense relative to the data's jumps."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
     counts = F.col(COUNTS_COL)
