@@ -23,9 +23,17 @@ have err_bound 0 and the merge is exact — the cross-engine check in
 queries/aggregates.py:q_heavy_hitters runs that regime; the truncated
 regime's bound correctness is pinned in tests/test_heavy_hitters.py.
 
-All built-in expressions: one (bucket, item) count shuffle, a bounded
-window top-K, and the merge aggregates item rows — per-key state is
-O(1), no arrays of unbounded length anywhere.
+All built-in expressions: one (bucket, item) count shuffle, then a
+per-bucket window sort of the counted items — distributed across
+buckets, the standard exact-top-K shape (the sort is over the COUNTED
+table, items x buckets, already far smaller than the raw rows). With
+``bucket_cols=[]`` the window degenerates to a single partition: fine
+for per-micro-batch summaries (the epochs-as-buckets pattern in
+tests/test_heavy_hitters.py), but for a one-shot GLOBAL top-K over a
+huge item space use an orderBy().limit() TakeOrdered instead
+(operators/vocab.py:build_vocabulary is that shape). The merge
+aggregates item rows — per-key state is O(1), no arrays of unbounded
+length anywhere.
 """
 
 from __future__ import annotations
