@@ -1,0 +1,83 @@
+"""Ordered event-sequence funnels (notebook-analytics depth, §2B/C15
+adjunct): "how many users did A, then B after it, then C after that"
+— the conversion-funnel question every product-analytics engine
+answers (the reference's notebook slices single event types; ordered
+multi-step sequences are its natural extension).
+
+Semantics: stage i is reached at the EARLIEST event of the stage's
+type at-or-after the previous stage's reach time (>= — a same-instant
+follow-up counts, matching the sessionize/as-of boundary convention).
+Events before the previous stage do not count (a click that precedes
+the first view is not a conversion), and reach times are monotone by
+construction, so stage counts are non-increasing.
+
+Plan shape: chained conditional minima over ONE user-partitioned
+window — each stage's min references the previous stage's column, so
+Catalyst plans N Window passes over a single Exchange on the user
+key; no self-joins, no per-stage scans (the classic SQL formulation
+joins the events table once per stage). Asserted in
+tests/test_sequencing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_reach_times(events: DataFrame, stages: list[str],
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts") -> DataFrame:
+    """Per user: ``reach_<i>_<stage>`` timestamps (null = never
+    reached), stage i conditional on reaching stage i-1 first."""
+    if not stages:
+        raise ValueError("need at least one stage")
+    w = Window.partitionBy(user_col)
+    df = events
+    prev = None
+    out_cols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (
+                F.col(ts_col) >= F.col(prev)
+            )
+        name = f"reach_{i + 1}_{stage}"
+        df = df.withColumn(
+            name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = name
+        out_cols.append(name)
+    return df.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in out_cols]
+    )
+
+
+def sequence_funnel(events: DataFrame, stages: list[str],
+                    user_col: str = "user_id",
+                    type_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Funnel report: one row per stage —
+    ``(stage, n_users, conversion)`` where conversion is the fraction
+    of stage-1 reachers who made it this far (1.0 for stage 1;
+    null if nobody entered)."""
+    reach = funnel_reach_times(events, stages, user_col, type_col, ts_col)
+    cols = [c for c in reach.columns if c != user_col]
+    counts = reach.agg(
+        *[F.count(c).alias(f"__n{i}") for i, c in enumerate(cols)]
+    )
+    rows = [
+        F.struct(
+            F.lit(f"{i + 1}_{stage}").alias("stage"),
+            F.col(f"__n{i}").alias("n_users"),
+            (
+                F.col(f"__n{i}").cast("double")
+                / F.nullif(F.col("__n0").cast("double"), F.lit(0.0))
+            ).alias("conversion"),
+        )
+        for i, stage in enumerate(stages)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.stage", "r.n_users", "r.conversion"
+    )

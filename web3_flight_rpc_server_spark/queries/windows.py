@@ -230,3 +230,56 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         round4(F.sum("value")).alias("session_value"),
     )
+
+
+@query(
+    "q_user_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS r1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS r2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.r1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS r3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.r2
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users,
+           floor((CAST((SELECT count(*) FROM s1) AS DOUBLE)
+                  / (SELECT count(*) FROM s1)) * 10000 + 0.5) / 10000 AS conversion
+    UNION ALL
+    SELECT '2_click', CAST((SELECT count(*) FROM s2) AS BIGINT),
+           floor((CAST((SELECT count(*) FROM s2) AS DOUBLE)
+                  / (SELECT count(*) FROM s1)) * 10000 + 0.5) / 10000
+    UNION ALL
+    SELECT '3_purchase', CAST((SELECT count(*) FROM s3) AS BIGINT),
+           floor((CAST((SELECT count(*) FROM s3) AS DOUBLE)
+                  / (SELECT count(*) FROM s1)) * 10000 + 0.5) / 10000
+    """,
+    declared=False,
+)
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/sequencing.py): per-stage user counts where each stage
+    must follow the previous one in event time. The Spark plan is N
+    chained window minima over ONE user-key exchange; the oracle is
+    the classic SQL formulation that re-joins the events table per
+    stage — same numbers, structurally different plans, which is
+    exactly what makes the cross-engine check meaningful. Undeclared —
+    the driver window is full; boundary/ordering semantics pinned in
+    tests/test_sequencing.py."""
+    from ..functions import round4
+    from ..operators.sequencing import sequence_funnel
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    out = sequence_funnel(ev, ["view", "click", "purchase"])
+    return out.select(
+        "stage", "n_users", round4(F.col("conversion")).alias("conversion")
+    )
