@@ -31,3 +31,4 @@ from .vocab import (  # noqa: F401
     oov_rate,
     unigram_logprob_score,
 )
+from .sequencing import funnel_reach_times, sequence_funnel  # noqa: F401
