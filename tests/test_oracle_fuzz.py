@@ -397,3 +397,49 @@ def test_time_rollup_oracle_parity_across_calendar_boundaries(
     q = QUERIES["q_time_rollup"]
     problems = compare(q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, f"q_time_rollup seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [19, 503])
+def test_user_funnel_oracle_parity_on_generated_sequences(
+    spark, tmp_path, seed
+):
+    """Funnel parity on generated per-user event orderings engineered
+    around the sequence rules: precursors BEFORE stage entry (must not
+    count), same-instant follow-ups (must count), stage re-entries,
+    and users stopping at every depth."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 6, 1)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows, eid = [], 0
+    for user in range(1, 40):
+        t = rng.randrange(0, 500)
+        for _ in range(rng.randint(1, 20)):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=t), user,
+                 rng.choice(types), round(rng.uniform(0, 5), 3), "{}")
+            )
+            eid += 1
+            # 20%: same-instant next event (boundary), else advance
+            if rng.random() >= 0.2:
+                t += rng.randrange(1, 400)
+    sf_dir = str(tmp_path / f"funnel{seed}")
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    q = QUERIES["q_user_funnel"]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"q_user_funnel seed={seed}: " + "; ".join(problems)
