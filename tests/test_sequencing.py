@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from web3_flight_rpc_server_spark.operators.sequencing import (
     funnel_reach_times,
@@ -68,3 +69,42 @@ def test_single_exchange_plan(events):
 def test_empty_stages_refused(events):
     with pytest.raises(ValueError, match="stage"):
         funnel_reach_times(events, [])
+
+
+def test_retention_matrix_cohorts_and_offsets(spark):
+    from web3_flight_rpc_server_spark.operators.sequencing import (
+        retention_matrix,
+    )
+
+    # week granularity; 2024-01-01 is a Monday
+    rows = [
+        # u1: cohort W0, active W0 and W2 (twice in W2 -> still 1 user)
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-15 10:00:00"),
+        (1, "2024-01-16 10:00:00"),
+        # u2: cohort W0, active W0 only
+        (2, "2024-01-03 09:00:00"),
+        # u3: cohort W1, active W1 and W2
+        (3, "2024-01-08 09:00:00"), (3, "2024-01-18 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (r.cohort.date().isoformat(), r.period_offset): r.n_users
+        for r in retention_matrix(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_retention_granularity_validated(spark):
+    from web3_flight_rpc_server_spark.operators.sequencing import (
+        retention_matrix,
+    )
+
+    with pytest.raises(ValueError, match="granularity"):
+        retention_matrix(spark.range(1), granularity="month")

@@ -81,3 +81,44 @@ def sequence_funnel(events: DataFrame, stages: list[str],
     return counts.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.stage", "r.n_users", "r.conversion"
     )
+
+
+_PERIOD_DAYS = {"day": 1, "week": 7}
+
+
+def retention_matrix(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     granularity: str = "week") -> DataFrame:
+    """The classic retention triangle: cohort = the user's
+    first-activity period (day/week), and cell
+    ``(cohort, period_offset)`` counts that cohort's distinct users
+    still active ``offset`` periods later. Offset 0 is the cohort size
+    itself, so each row divides by its cohort's offset-0 count to give
+    the retention curve.
+
+    Plan: one user-partitioned window min for the cohort (1 exchange
+    on the user key) feeding one distinct-count aggregate on
+    (cohort, offset) (1 exchange) — no self-joins, no per-period
+    scans."""
+    if granularity not in _PERIOD_DAYS:
+        raise ValueError(
+            f"granularity must be one of {sorted(_PERIOD_DAYS)}, "
+            f"got {granularity!r}"
+        )
+    days = _PERIOD_DAYS[granularity]
+    period = F.date_trunc(granularity, F.col(ts_col))
+    w = Window.partitionBy(user_col)
+    df = events.select(
+        user_col,
+        period.alias("__p"),
+    ).withColumn("__c", F.min("__p").over(w))
+    offset = (
+        F.datediff(F.col("__p"), F.col("__c")) / days
+    ).cast("int")
+    return (
+        df.select(user_col, F.col("__c").alias("cohort"), offset.alias(
+            "period_offset"
+        ))
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

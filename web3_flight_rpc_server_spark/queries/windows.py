@@ -283,3 +283,33 @@ def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "stage", "n_users", round4(F.col("conversion")).alias("conversion")
     )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH per AS (
+        SELECT user_id,
+               date_trunc('week', ts) AS p,
+               min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS c
+        FROM events
+    )
+    SELECT c AS cohort,
+           CAST(date_diff('day', c, p) / 7 AS INTEGER) AS period_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM per
+    GROUP BY 1, 2
+    """,
+    declared=False,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle (operators/sequencing.py): cohort =
+    first-activity week, cells = distinct users active N weeks later —
+    the notebook-analytics staple the reference's per-slice
+    value_counts can't express. One window pass + one distinct-count
+    aggregate; the oracle recomputes both cross-engine. Undeclared —
+    the driver window is full."""
+    from ..operators.sequencing import retention_matrix
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    return retention_matrix(ev, granularity="week")
