@@ -108,3 +108,32 @@ def test_retention_granularity_validated(spark):
 
     with pytest.raises(ValueError, match="granularity"):
         retention_matrix(spark.range(1), granularity="month")
+
+
+def test_transition_matrix_counts_and_probabilities(spark):
+    from web3_flight_rpc_server_spark.operators.sequencing import (
+        transition_matrix,
+    )
+
+    rows = [
+        (1, "view", 1), (1, "click", 2), (1, "view", 3), (1, "click", 4),
+        (2, "view", 1), (2, "error", 2),
+        (3, "click", 9),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r.from_type, r.to_type): (r.n, round(r.p, 6))
+        for r in transition_matrix(df).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, round(2 / 3, 6)),
+        ("view", "error"): (1, round(1 / 3, 6)),
+        ("click", "view"): (1, 1.0),
+    }
+    # probabilities sum to 1 per from-state
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        sums[f] += p
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values())

@@ -122,3 +122,40 @@ def retention_matrix(events: DataFrame, user_col: str = "user_id",
         .groupBy("cohort", "period_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      order_cols: list[str] | None = None) -> DataFrame:
+    """Markov-style transition counts: for each user's event stream in
+    time order, count (from_type, to_type) adjacent pairs and the
+    per-from probability — "what do users do right after X", the path
+    question between single-event value_counts and full funnels.
+
+    One lag over the user-partitioned window (deterministic tie-break
+    via ``order_cols``, default event_id if present) and one count
+    aggregate — linear, no collect of per-user sequences."""
+    order = [F.asc(ts_col)] + [
+        F.asc(c) for c in (
+            order_cols
+            if order_cols is not None
+            else (["event_id"] if "event_id" in events.columns else [])
+        )
+    ]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__from", F.lag(type_col).over(w))
+        .where(F.col("__from").isNotNull())
+        .groupBy(
+            F.col("__from").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(w_from)).alias("p"),
+    )

@@ -313,3 +313,41 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load_table(spark, sf_dir, "events")
     return retention_matrix(ev, granularity="week")
+
+
+@query(
+    "q_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS from_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           floor((CAST(n AS DOUBLE)
+                  / sum(n) OVER (PARTITION BY from_type)) * 10000 + 0.5)
+               / 10000 AS p
+    FROM pairs
+    """,
+    declared=False,
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event transition matrix (operators/sequencing.py): per-user
+    time-ordered adjacent (from, to) event-type pairs with
+    per-from-state probabilities — linear lag+count, no sequence
+    collection. Undeclared — the driver window is full."""
+    from ..operators.sequencing import transition_matrix
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    out = transition_matrix(ev)
+    return out.select(
+        "from_type", "to_type", "n", round4(F.col("p")).alias("p")
+    )
