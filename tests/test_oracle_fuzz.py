@@ -443,3 +443,87 @@ def test_user_funnel_oracle_parity_on_generated_sequences(
     q = QUERIES["q_user_funnel"]
     problems = compare(q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, f"q_user_funnel seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("seed", [37, 709])
+def test_vocab_oracle_parity_on_generated_corpus(spark, tmp_path, seed):
+    """Vocabulary parity on random corpora with engineered count ties
+    (token-ascending tie-break is the determinism claim) and null/empty
+    documents."""
+    rng = random.Random(seed * 11)
+    rows = []
+    for i in range(100):
+        kind = rng.random()
+        if kind < 0.08:
+            rows.append((i, None))
+        elif kind < 0.16:
+            rows.append((i, ""))
+        else:
+            rows.append(
+                (i, " ".join(rng.choices(_VOCAB[:12], k=rng.randint(1, 30))))
+            )
+    sf_dir = str(tmp_path / f"vocab{seed}")
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    q = QUERIES["q_vocab"]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"q_vocab seed={seed}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ["q_retention", "q_transitions"])
+@pytest.mark.parametrize("seed", [43, 811])
+def test_behavior_analytics_parity_on_generated_events(
+    spark, tmp_path, seed, name
+):
+    """Retention and transition parity on generated activity streams:
+    users spanning week boundaries, single-event users, same-timestamp
+    bursts (event_id tie-break), and multi-week dormancy gaps."""
+    import datetime as dt
+
+    rng = random.Random(seed * 7 + hash(name) % 97)
+    base = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error", "signup"]
+    rows, eid = [], 0
+    for user in range(1, 30):
+        t = rng.randrange(0, 14 * 86400)
+        for _ in range(rng.randint(1, 15)):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=t), user,
+                 rng.choice(types), 1.0, "{}")
+            )
+            eid += 1
+            if rng.random() < 0.2:  # same-instant burst
+                rows.append(
+                    (eid, base + dt.timedelta(seconds=t), user,
+                     rng.choice(types), 1.0, "{}")
+                )
+                eid += 1
+            t += rng.choice([60, 3600, 86400, 7 * 86400, 20 * 86400])
+    sf_dir = str(tmp_path / f"beh{seed}{name}")
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        )
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(sf_dir + "/events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    q = QUERIES[name]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"{name} seed={seed}: " + "; ".join(problems)
