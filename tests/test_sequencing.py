@@ -137,3 +137,45 @@ def test_transition_matrix_counts_and_probabilities(spark):
     for (f, _), (_, p) in got.items():
         sums[f] += p
     assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+
+def test_rolling_zscore_flags_spike_not_baseline(spark):
+    from web3_flight_rpc_server_spark.operators.sequencing import (
+        rolling_zscore,
+    )
+
+    # steady 10s with one 100 spike; key 'b' is constant (zero
+    # variance -> no verdict, never a flag)
+    rows = [("a", t, 10.0) for t in range(1, 9)] + [
+        ("a", 9, 100.0), ("a", 10, 10.0)
+    ] + [("b", t, 5.0) for t in range(1, 6)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {
+        (r.k, r.ts): r
+        for r in rolling_zscore(
+            df, "v", ["k"], lookback=5, threshold=3.0
+        ).collect()
+    }
+    # the spike deviates from a ZERO-VARIANCE steady baseline: z is
+    # undefined but the verdict is the clearest possible anomaly
+    assert out[("a", 9)].zscore is None
+    assert out[("a", 9)].is_anomaly is True
+    # earlier steady rows match their steady baseline exactly: normal
+    assert out[("a", 5)].zscore is None
+    assert out[("a", 5)].is_anomaly is False
+    # the row AFTER the spike is judged against a baseline that now
+    # contains the spike -> inflated stddev, real z, no flag
+    assert out[("a", 10)].zscore is not None
+    assert out[("a", 10)].is_anomaly is False
+    # first rows lack >= 2 priors: no verdict
+    assert out[("a", 1)].zscore is None and out[("a", 1)].is_anomaly is None
+    assert all(out[("b", t)].is_anomaly in (False, None) for t in range(1, 6))
+
+
+def test_rolling_zscore_lookback_validated(spark):
+    from web3_flight_rpc_server_spark.operators.sequencing import (
+        rolling_zscore,
+    )
+
+    with pytest.raises(ValueError, match="lookback"):
+        rolling_zscore(spark.range(1), "id", [], lookback=1)

@@ -159,3 +159,49 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
         "n",
         (F.col("n") / F.sum("n").over(w_from)).alias("p"),
     )
+
+
+def rolling_zscore(df: DataFrame, value_col: str, key_cols: list[str],
+                   ts_col: str = "ts", lookback: int = 24,
+                   threshold: float = 3.0,
+                   order_cols: list[str] | None = None) -> DataFrame:
+    """Rolling z-score anomaly flags on a metric stream: each row's
+    value against the mean/stddev of the PREVIOUS ``lookback`` rows of
+    its key (the row itself excluded — a spike must not mask itself by
+    inflating its own baseline). Rows with fewer than 2 prior points
+    carry a null verdict. A zero-variance baseline is handled
+    explicitly: any deviation from a perfectly steady history IS the
+    clearest anomaly (z undefined, flag true); matching it exactly is
+    normal. The monitoring companion to profile_drift: drift compares
+    snapshots, this watches a metric series in time order.
+
+    One ROWS-framed window per key — a single exchange on the key
+    columns; lookback bounds the frame so per-row state is O(1)."""
+    if lookback < 2:
+        raise ValueError(f"lookback must be >= 2, got {lookback}")
+    order = [F.asc(ts_col)] + [F.asc(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    # sample stddev of the baseline window
+    std = F.stddev(value_col).over(w)
+    n_prior = F.count(value_col).over(w)
+    z = F.when(
+        (n_prior >= 2) & (std > 0),
+        (F.col(value_col) - mean) / std,
+    )
+    anomaly = (
+        F.when((n_prior >= 2) & (std > 0), F.abs(z) > threshold)
+        .when(
+            (n_prior >= 2) & (std == 0),
+            ~F.col(value_col).eqNullSafe(mean),
+        )
+    )
+    return df.select(
+        "*",
+        z.alias("zscore"),
+        anomaly.alias("is_anomaly"),
+    )

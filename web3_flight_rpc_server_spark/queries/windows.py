@@ -351,3 +351,50 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "from_type", "to_type", "n", round4(F.col("p")).alias("p")
     )
+
+
+@query(
+    "q_zscore",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, value,
+               avg(value)         OVER win AS m,
+               stddev_samp(value) OVER win AS s,
+               count(value)       OVER win AS np
+        FROM events
+        WINDOW win AS (
+            PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_id,
+           CASE WHEN np >= 2 AND s > 0
+                THEN floor(((value - m) / s) * 10000 + 0.5) / 10000
+           END AS zscore,
+           CAST(CASE WHEN np >= 2 AND s > 0 THEN abs((value - m) / s) > 3.0
+                     WHEN np >= 2 AND s = 0 THEN value IS DISTINCT FROM m
+                END AS BIGINT) AS is_anomaly
+    FROM w
+    """,
+    declared=False,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags (operators/sequencing.py) on the
+    event value stream per type: each value against the mean/stddev of
+    its previous 24 same-type values (self-excluded), zero-variance
+    deviations flagged explicitly. Undeclared — the driver window is
+    full; spike/baseline semantics pinned in tests/test_sequencing.py."""
+    from ..operators.sequencing import rolling_zscore
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev, "value", ["event_type"], lookback=24, threshold=3.0,
+        order_cols=["event_id"],
+    )
+    # nullable booleans normalize differently across the engines'
+    # pandas bridges (None vs NaN); a nullable BIGINT does not
+    return out.select(
+        "event_id",
+        round4(F.col("zscore")).alias("zscore"),
+        F.col("is_anomaly").cast("long").alias("is_anomaly"),
+    )
