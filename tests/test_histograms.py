@@ -191,3 +191,37 @@ def test_streaming_maintenance_survives_engine_replay(spark, tmp_path):
         ).collect()
     }
     assert merged == direct, "replayed epoch double-counted"
+
+
+def test_histogram_distance_detects_shift(spark):
+    from web3_flight_rpc_server_spark.operators.histograms import (
+        histogram_distance,
+    )
+
+    def h(rows):
+        return build_histograms(
+            spark.createDataFrame(rows, "g string, v double"),
+            ["g"], "v", 0.0, 10.0, bins=5,
+        )
+
+    old = h([("a", 1.0)] * 8 + [("a", 9.0)] * 2 + [("b", 5.0)] * 4)
+    # 'a' shifts mass to the top bin; 'b' unchanged; 'c' is new
+    new = h([("a", 1.0)] * 2 + [("a", 9.0)] * 8 + [("b", 5.0)] * 4
+            + [("c", 3.0)] * 3)
+    d = {r.g: r for r in histogram_distance(old, new, ["g"]).collect()}
+    assert d["b"].total_variation == 0.0
+    assert abs(d["a"].total_variation - 0.6) < 1e-9  # 0.8->0.2 swap
+    assert d["c"].l1_distance is None  # no basis: missing on one side
+    assert (d["c"].n_a, d["c"].n_b) == (None, 3)
+
+
+def test_histogram_distance_refuses_mixed_configs(spark):
+    from web3_flight_rpc_server_spark.operators.histograms import (
+        histogram_distance,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    a = build_histograms(df, ["g"], "v", 0.0, 10.0, bins=5)
+    b = build_histograms(df, ["g"], "v", 0.0, 10.0, bins=6)
+    with pytest.raises(ValueError, match="configs differ"):
+        histogram_distance(a, b, ["g"])

@@ -32,3 +32,8 @@ from .vocab import (  # noqa: F401
     unigram_logprob_score,
 )
 from .sequencing import funnel_reach_times, sequence_funnel  # noqa: F401
+from .sequencing import (  # noqa: F401
+    retention_matrix,
+    rolling_zscore,
+    transition_matrix,
+)

@@ -235,3 +235,63 @@ def read_merged_histograms(spark, out_dir: str,
     return merge_histograms(
         read_committed(spark, out_dir).drop("epoch"), group_cols
     )
+
+
+def histogram_distance(a: DataFrame, b: DataFrame,
+                       join_cols: list[str]) -> DataFrame:
+    """Distribution drift between two histogram tables (same binning
+    config, e.g. last week's vs this week's build): per joined bucket,
+    the L1 (total-variation x2) distance between the NORMALIZED bin
+    distributions plus both sides' totals — the "did the value
+    distribution move" monitor that pairs with profile_drift's
+    null/cardinality flags and the per-build overflow counts.
+
+    Pure zip_with arithmetic over the two count arrays after an
+    equi-join on ``join_cols`` — histograms are tiny, so the join
+    broadcasts; raw rows are never touched. Buckets missing on either
+    side report a null distance (no basis for comparison), and a side
+    with zero in-range rows likewise."""
+    cfg = (
+        a.select("lo", "hi", "bins")
+        .unionByName(b.select("lo", "hi", "bins"))
+        .distinct()
+        .count()
+    )
+    if cfg > 1:
+        raise ValueError(
+            "histogram configs differ between the two sides; rebuild "
+            "with one (lo, hi, bins) before comparing"
+        )
+    left = a.select(
+        *join_cols, F.col(COUNTS_COL).alias("__ca")
+    )
+    right = b.select(
+        *join_cols, F.col(COUNTS_COL).alias("__cb")
+    )
+    j = left.join(F.broadcast(right), join_cols, "full_outer")
+    ta = F.aggregate(F.col("__ca"), F.lit(0).cast("long"), lambda x, c: x + c)
+    tb = F.aggregate(F.col("__cb"), F.lit(0).cast("long"), lambda x, c: x + c)
+    l1 = F.aggregate(
+        F.zip_with(
+            F.col("__ca"),
+            F.col("__cb"),
+            lambda ca, cb: F.abs(
+                ca.cast("double") / ta - cb.cast("double") / tb
+            ),
+        ),
+        F.lit(0.0),
+        lambda x, d: x + d,
+    )
+    defined = (
+        F.col("__ca").isNotNull()
+        & F.col("__cb").isNotNull()
+        & (ta > 0)
+        & (tb > 0)
+    )
+    return j.select(
+        *join_cols,
+        ta.alias("n_a"),
+        tb.alias("n_b"),
+        F.when(defined, l1).alias("l1_distance"),
+        F.when(defined, l1 / 2).alias("total_variation"),
+    )
