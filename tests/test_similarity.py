@@ -10,6 +10,7 @@ the statistical behavior with floors far below expectation.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from web3_flight_rpc_server_spark.operators.similarity import (
@@ -71,3 +72,32 @@ def test_cosine_topk_arrow_matches_hof(spark, sf_dir):
     assert set(hof) == set(arrow)
     for vid, cos in hof.items():
         assert abs(cos - arrow[vid]) < 1e-9
+
+
+def test_centroid_and_drift(spark):
+    from web3_flight_rpc_server_spark.operators.similarity import (
+        centroid,
+        embedding_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [2.0, 2.0])],
+        "id long, embedding array<double>",
+    )
+    c = centroid(a).collect()[0]
+    assert c.centroid == [2.0, pytest.approx(2 / 3)]
+    assert c.n_vectors == 3
+    # identical populations: cosine 1; orthogonal shift: cosine ~0
+    same = embedding_drift(a, a).collect()[0]
+    assert same.centroid_cosine == pytest.approx(1.0)
+    b = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, 2.0])],
+        "id long, embedding array<double>",
+    )
+    a_axis = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    cross = embedding_drift(a_axis, b).collect()[0]
+    assert cross.centroid_cosine == pytest.approx(0.0)
+    assert (cross.n_a, cross.n_b) == (2, 2)

@@ -223,3 +223,72 @@ def rp_lsh_neardup_pairs(embeddings: DataFrame, threshold: float,
         cands.select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def centroid(embeddings: DataFrame, vec_col: str = "embedding",
+             group_cols: list[str] | None = None) -> DataFrame:
+    """Element-wise mean vector per group (empty = whole table) plus
+    the row count — the summary a vector corpus is monitored by.
+    posexplode to (dim, component) rows then sum/count per (group,
+    dim): linear, exact, bounded per-key aggregation state; the dense
+    mean is reassembled from at most `dim` rows per group, the same
+    assembly shape as operators/histograms.py."""
+    group_cols = group_cols or []
+    exploded = embeddings.select(
+        *group_cols,
+        F.posexplode(vec_col).alias("__d", "__x"),
+    )
+    per_dim = exploded.groupBy(*group_cols, "__d").agg(
+        F.sum("__x").alias("__s"),
+        F.count("*").alias("__n"),
+    )
+    pairs = F.map_from_entries(
+        F.collect_list(
+            F.struct(F.col("__d"), (F.col("__s") / F.col("__n")).alias("m"))
+        )
+    )
+    gb = per_dim.groupBy(*group_cols) if group_cols else per_dim.groupBy()
+    assembled = gb.agg(
+        pairs.alias("__m"), F.max("__n").alias("n_vectors"),
+        F.max("__d").alias("__maxd"),
+    )
+    mean = F.transform(
+        F.sequence(F.lit(0), F.col("__maxd")),
+        lambda i: F.element_at(F.col("__m"), i.cast("int")),
+    )
+    return assembled.select(
+        *group_cols, mean.alias("centroid"), "n_vectors"
+    )
+
+
+def embedding_drift(a: DataFrame, b: DataFrame,
+                    vec_col: str = "embedding",
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Centroid drift between two embedding table versions: cosine of
+    the group centroids plus both counts — near-1 cosine means the
+    populations point the same way; a drop is the cheap tripwire for a
+    changed encoder, a corrupted ingest, or a population shift, before
+    any expensive pairwise audit. Two linear centroid passes and a
+    tiny broadcast join; raw pairs are never formed."""
+    group_cols = group_cols or []
+    ca = centroid(a, vec_col, group_cols).select(
+        *group_cols,
+        F.col("centroid").alias("__ca"),
+        F.col("n_vectors").alias("n_a"),
+    )
+    cb = centroid(b, vec_col, group_cols).select(
+        *group_cols,
+        F.col("centroid").alias("__cb"),
+        F.col("n_vectors").alias("n_b"),
+    )
+    j = (
+        ca.join(F.broadcast(cb), group_cols, "full_outer")
+        if group_cols
+        else ca.crossJoin(F.broadcast(cb))
+    )
+    return j.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        cosine(F.col("__ca"), F.col("__cb")).alias("centroid_cosine"),
+    )
