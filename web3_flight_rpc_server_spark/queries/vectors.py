@@ -182,3 +182,37 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") == 0).alias("precision_ok")
     )
     return recall.crossJoin(precision)
+
+
+@query(
+    "q_centroid",
+    oracle="""
+    WITH comp AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    )
+    SELECT label, dim,
+           floor((avg(x)) * 10000 + 0.5) / 10000 AS mean_component,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM comp
+    GROUP BY label, dim
+    """,
+    declared=False,
+)
+def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format
+    (operators/similarity.py:centroid math, emitted per-dimension so
+    DuckDB can recompute it value-for-value): the vector-corpus
+    summary that embedding_drift compares across builds. Undeclared —
+    the driver window is full."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        round4(F.avg(F.col("x").cast("double"))).alias("mean_component"),
+        F.count("*").alias("n_vectors"),
+    )
