@@ -268,7 +268,13 @@ def histogram_distance(a: DataFrame, b: DataFrame,
     right = b.select(
         *join_cols, F.col(COUNTS_COL).alias("__cb")
     )
-    j = left.join(F.broadcast(right), join_cols, "full_outer")
+    j = (
+        left.join(F.broadcast(right), join_cols, "full_outer")
+        if join_cols
+        # group-less comparison: both sides are a single global
+        # histogram row — a cross of two 1-row relations
+        else left.crossJoin(F.broadcast(right))
+    )
     ta = F.aggregate(F.col("__ca"), F.lit(0).cast("long"), lambda x, c: x + c)
     tb = F.aggregate(F.col("__cb"), F.lit(0).cast("long"), lambda x, c: x + c)
     l1 = F.aggregate(
