@@ -21,8 +21,11 @@ exact verification of the (tiny) candidate set. Banding keeps recall:
 with k=32 hashes in b=8 bands of r=4, a pair at Jaccard 0.8 collides
 in >=1 band with p = 1-(1-0.8^4)^8 ~ 0.98; at 0.3, p ~ 0.06. Stop-
 shingle skew (a shingle shared by millions of docs) is the LSH
-equivalent of join skew — cap group size or drop top-frequency
-shingles, mirroring what AQE skew-split does for joins.
+equivalent of join skew — the blocked pair joins take ``max_bucket``
+to quarantine over-populated buckets before the self-join (ledgers:
+lsh_hot_buckets / simhash_hot_buckets), mirroring winnowing's
+``max_df`` stop-fingerprint drop and what AQE skew-split does for
+joins.
 """
 
 from __future__ import annotations
@@ -253,12 +256,74 @@ def banded_signatures(signatures: DataFrame, bands: int = 8,
     )
 
 
+def hot_buckets(keyed: DataFrame, key_cols: list[str],
+                max_bucket: int) -> DataFrame:
+    """Quarantine ledger: one row per blocking-key bucket holding more
+    than ``max_bucket`` members, with its population (``n_docs``).
+    A bucket of m docs contributes m^2/2 candidate pairs to the
+    blocked self-joins below, so buckets past the cap are exactly the
+    quadratic skew that must be excluded at scale — this is the
+    shingle-tier mirror of winnowing's ``max_df`` stop-fingerprint
+    drop (operators/winnowing.py). The ledger is what you audit: a
+    template-heavy corpus shows up here as a few enormous buckets, and
+    the honest follow-up is an exact-dedup or template-strip pass over
+    their members, not a silent drop."""
+    return keyed.groupBy(*key_cols).agg(
+        F.count("*").alias("n_docs")
+    ).where(F.col("n_docs") > max_bucket)
+
+
+def _drop_hot_buckets(keyed: DataFrame, key_cols: list[str],
+                      max_bucket: int | None) -> DataFrame:
+    """Exclude rows in over-cap buckets before a blocked self-join.
+    One extra aggregation on the SAME key as the join (so the exchange
+    is shared work, not a new shuffle shape) and an anti-join against
+    the (tiny — it only holds pathological buckets) hot-bucket set,
+    which AQE broadcasts."""
+    if max_bucket is None:
+        return keyed
+    if max_bucket < 2:
+        raise ValueError(
+            f"max_bucket < 2 would quarantine every colliding bucket "
+            f"and emit zero pairs, got {max_bucket}"
+        )
+    hot = hot_buckets(keyed, key_cols, max_bucket)
+    return keyed.join(hot.select(*key_cols), key_cols, "left_anti")
+
+
+def lsh_hot_buckets(signatures: DataFrame, bands: int = 8,
+                    id_col: str = "doc_id",
+                    max_bucket: int = 1000) -> DataFrame:
+    """(band, bucket, n_docs) for every LSH band bucket whose
+    population exceeds ``max_bucket`` — the ledger of what
+    ``lsh_candidate_pairs(max_bucket=...)`` quarantined, derived from
+    the same banding so the two always agree."""
+    return hot_buckets(
+        banded_signatures(signatures, bands, id_col),
+        ["band", "bucket"], max_bucket,
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature (rows_per_band = len/bands), hash each band,
     and emit candidate pairs sharing any (band, band_hash) bucket.
-    Output (d1, d2) distinct, d1 < d2."""
-    banded = banded_signatures(signatures, bands, id_col)
+    Output (d1, d2) distinct, d1 < d2.
+
+    ``max_bucket`` caps in-bucket population BEFORE the self-join:
+    a band bucket shared by m docs yields m^2/2 candidates, and a
+    template-heavy corpus (boilerplate pages differing by one token)
+    concentrates thousands of docs in single buckets — the quadratic
+    skew that kills this join at 100 TB even after exact-dedup.
+    Over-cap buckets are quarantined wholesale (audit them with
+    :func:`lsh_hot_buckets`); a pair can still surface via any OTHER
+    band it collides in, so recall degrades gracefully rather than
+    cliffing. None (default) keeps the exact uncapped semantics."""
+    banded = _drop_hot_buckets(
+        banded_signatures(signatures, bands, id_col),
+        ["band", "bucket"], max_bucket,
+    )
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -278,7 +343,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                             num_hashes: int = 32, bands: int = 8,
                             id_col: str = "doc_id", text_col: str = "text",
-                            n: int = 3,
+                            n: int = 3, max_bucket: int | None = None,
                             _sets: DataFrame | None = None) -> DataFrame:
     """Full LSH near-dup pipeline: candidates from banded MinHash, then
     EXACT Jaccard verification of candidates only. Output
@@ -289,7 +354,11 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     materialize-the-shingle-table step of a multi-job pipeline).
     Verification joins the (tiny) candidate pairs back to the shingle
     ARRAYS and intersects in-row (_verify_pairs) rather than
-    re-shuffling the exploded shingle table."""
+    re-shuffling the exploded shingle table.
+
+    ``max_bucket`` (see :func:`lsh_candidate_pairs`) is the hot-bucket
+    cap production pipelines should set — pipelines/curation.py passes
+    its configured cap through here."""
     # Signature shape choice: the banding step posexplodes the
     # signature, and Generate re-evaluates its generator once per
     # output element — an UNMATERIALIZED in-row signature (_sig_expr)
@@ -310,7 +379,7 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
         shingle_sets(docs, id_col, text_col, n)
     )
     sigs = agg_signatures(sets, num_hashes, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, max_bucket)
     return _verify_pairs(cands, sets, threshold, id_col)
 
 
@@ -380,9 +449,65 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return sums.select(id_col, fingerprint.alias("simhash"))
 
 
+def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
+    """(lo_bit, width) per chunk: disjoint, covering all 64 bits — the
+    last chunk absorbs the 64 % n_chunks remainder (an uncovered bit
+    would break the pigeonhole guarantee)."""
+    width = 64 // n_chunks
+    return [
+        (c * width, width if c < n_chunks - 1 else 64 - c * width)
+        for c in range(n_chunks)
+    ]
+
+
+def _chunk_expr(lo: int, w: int) -> Column:
+    if w >= 64:  # the whole fingerprint is the key
+        return F.col("simhash")
+    # arithmetic shiftright sign-fills the high bits; the mask
+    # strips them, so the top chunk is still exact
+    return F.call_function(
+        "shiftright", F.col("simhash"), F.lit(lo)
+    ).bitwiseAND(F.lit((1 << w) - 1))
+
+
+def simhash_chunks(docs: DataFrame, max_hamming: int = 3,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   hash_fn: Callable[[Column], Column] | None = None
+                   ) -> DataFrame:
+    """(id, simhash, chunk_idx, chunk) blocking rows — the shared
+    derivation of :func:`simhash_pairs`' join and
+    :func:`simhash_hot_buckets`' ledger, so cap and join always agree
+    on bucket membership."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    bounds = _chunk_bounds(max_hamming + 1)
+    sh = simhash64(docs, id_col, text_col, hash_fn)
+    return sh.select(
+        id_col, "simhash",
+        F.posexplode(
+            F.array(*[_chunk_expr(lo, w) for lo, w in bounds])
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
+def simhash_hot_buckets(docs: DataFrame, max_hamming: int = 3,
+                        max_bucket: int = 1000,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_fn: Callable[[Column], Column] | None = None
+                        ) -> DataFrame:
+    """(chunk_idx, chunk, n_docs) for every SimHash blocking bucket
+    past ``max_bucket`` — the quarantine ledger twin of
+    ``simhash_pairs(max_bucket=...)``."""
+    return hot_buckets(
+        simhash_chunks(docs, max_hamming, id_col, text_col, hash_fn),
+        ["chunk_idx", "chunk"], max_bucket,
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  hash_fn: Callable[[Column], Column] | None = None) -> DataFrame:
+                  hash_fn: Callable[[Column], Column] | None = None,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, BLOCKED on
     signature chunks: the 64 bits split into ``max_hamming + 1``
     disjoint chunks, so a pair within the radius must agree EXACTLY on
@@ -397,37 +522,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     expected candidate volume is ~(max_hamming+1) N^2 / 2^w —
     negligible to ~10^6-10^7 docs at w=16, after which switch to
     :func:`simhash_pairs_hmsearch` (pair-of-chunks keys, still
-    pigeonhole-exact, ~2^w fewer candidates) and df-cap
-    pathologically dense buckets the way the shingle tiers cap
+    pigeonhole-exact, ~2^w fewer candidates) and set ``max_bucket``
+    to cap pathologically dense buckets the way the shingle tiers cap
     stop-shingles (template-heavy corpora concentrate mass on few
-    chunk values)."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    # chunk c covers bits [c*width, (c+1)*width) — the last chunk also
-    # takes the 64 % n_chunks remainder bits so every bit is covered
-    # (uncovered bits would break the pigeonhole guarantee)
-    bounds = [
-        (c * width, width if c < n_chunks - 1 else 64 - c * width)
-        for c in range(n_chunks)
-    ]
-
-    def chunk_expr(lo: int, w: int) -> Column:
-        if w >= 64:  # max_hamming=0: the whole fingerprint is the key
-            return F.col("simhash")
-        # arithmetic shiftright sign-fills the high bits; the mask
-        # strips them, so the top chunk is still exact
-        return F.call_function(
-            "shiftright", F.col("simhash"), F.lit(lo)
-        ).bitwiseAND(F.lit((1 << w) - 1))
-
-    sh = simhash64(docs, id_col, text_col, hash_fn)
-    chunks = sh.select(
-        id_col, "simhash",
-        F.posexplode(
-            F.array(*[chunk_expr(lo, w) for lo, w in bounds])
-        ).alias("chunk_idx", "chunk"),
+    chunk values): over-cap (chunk_idx, chunk) buckets are quarantined
+    wholesale before the join (ledger: :func:`simhash_hot_buckets`);
+    in-radius pairs can still surface through any other chunk they
+    agree on, so the exactness loss is bounded to pairs ALL of whose
+    agreeing chunks are hot. None keeps the exact pigeonhole
+    semantics."""
+    chunks = _drop_hot_buckets(
+        simhash_chunks(docs, max_hamming, id_col, text_col, hash_fn),
+        ["chunk_idx", "chunk"], max_bucket,
     )
     l = chunks.alias("l")
     r = chunks.alias("r")
@@ -458,8 +564,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
                            n_chunks: int | None = None,
                            id_col: str = "doc_id", text_col: str = "text",
-                           hash_fn: Callable[[Column], Column] | None = None
-                           ) -> DataFrame:
+                           hash_fn: Callable[[Column], Column] | None = None,
+                           max_bucket: int | None = None) -> DataFrame:
     """:func:`simhash_pairs` with HmSearch-style WIDENED blocking keys
     for >10^7-doc corpora — same output, ~2^w fewer candidates.
 
@@ -478,7 +584,12 @@ def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
     C(m,2) key rows per doc instead of m (10 vs 4 at the defaults).
 
     Defaults: n_chunks = max_hamming + 2 (the minimum m that admits
-    pair keys, which maximizes chunk width and thus selectivity)."""
+    pair keys, which maximizes chunk width and thus selectivity).
+
+    ``max_bucket`` quarantines over-populated (pair_idx, chunk_i,
+    chunk_j) buckets exactly as in :func:`simhash_pairs` — the wider
+    keys make hot buckets rarer, but a template corpus can still
+    saturate one."""
     if n_chunks is None:
         n_chunks = max_hamming + 2
     if not 0 <= max_hamming <= 62:
@@ -490,22 +601,11 @@ def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
         )
     if n_chunks > 64:
         raise ValueError(f"n_chunks must be <= 64, got {n_chunks}")
-    width = 64 // n_chunks
-    bounds = [
-        (c * width, width if c < n_chunks - 1 else 64 - c * width)
-        for c in range(n_chunks)
-    ]
-
-    def chunk_expr(lo: int, w: int) -> Column:
-        if w >= 64:
-            return F.col("simhash")
-        return F.call_function(
-            "shiftright", F.col("simhash"), F.lit(lo)
-        ).bitwiseAND(F.lit((1 << w) - 1))
+    bounds = _chunk_bounds(n_chunks)
 
     from itertools import combinations
 
-    chunk_cols = [chunk_expr(lo, w) for lo, w in bounds]
+    chunk_cols = [_chunk_expr(lo, w) for lo, w in bounds]
     pair_keys = F.array(
         *[
             F.struct(
@@ -518,6 +618,7 @@ def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
     keyed = sh.select(
         id_col, "simhash", F.explode(pair_keys).alias("key")
     ).select(id_col, "simhash", "key.pk", "key.k1", "key.k2")
+    keyed = _drop_hot_buckets(keyed, ["pk", "k1", "k2"], max_bucket)
     l = keyed.alias("l")
     r = keyed.alias("r")
     cands = (

@@ -61,6 +61,17 @@ class CurationConfig:
     # bigram metrics are the batch q_repetition query; this bound is
     # the per-row approximation a stream can evaluate without state.
     max_dup_bigram_frac: float = 1.0
+    # Hot-bucket cap for the LSH tier's band-bucket join
+    # (operators/dedup.py:lsh_candidate_pairs): a band bucket holding
+    # m docs contributes m^2/2 candidates, and template-heavy corpora
+    # concentrate thousands of near-identical-but-not-exact-equal docs
+    # in single buckets even AFTER the exact-dup gate — the quadratic
+    # skew of the flagship path at 100 TB. Buckets past the cap are
+    # quarantined wholesale (audit via lsh_hot_buckets). 5000 is far
+    # above any bucket a healthy corpus produces (it bounds the
+    # in-bucket verify at ~12.5M candidate rows per hot bucket) while
+    # still guarding the pathological template case; None disables.
+    lsh_max_bucket: int | None = 5000
 
 
 def _lang_pred(toks) -> Column:
@@ -162,7 +173,8 @@ def curation_rejects(docs: DataFrame,
     if pairs_fn is None:
         sets3 = _persisted(shingle_sets(s3))
         pairs = minhash_lsh_dedup_pairs(
-            s3, threshold=cfg.neardup_threshold, _sets=sets3
+            s3, threshold=cfg.neardup_threshold,
+            max_bucket=cfg.lsh_max_bucket, _sets=sets3,
         )
     else:
         sets3 = None
