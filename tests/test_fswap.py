@@ -1,0 +1,211 @@
+"""Crash-safe directory promotion (operators/fswap.py) — VERDICT r4
+"what's wrong" #1 / ADVICE r4.
+
+The old compaction swap was delete(live) -> rename(tmp, live): a crash
+between the two left NO readable dataset at the live path. The
+three-step promote (live -> .old, tmp -> live, delete .old) must leave
+a complete dataset recoverable at EVERY intermediate state, and the
+consumers (sketch compaction, index compaction, index probes/appends)
+must self-heal through recover_directory without manual repair.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.fswap import (
+    OLD_SUFFIX,
+    TMP_SUFFIX,
+    promote_directory,
+    recover_directory,
+)
+
+
+def _write(spark, path: str, rows, schema="id long, v string"):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _rows(spark, path: str):
+    return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+
+@pytest.fixture()
+def staged(spark, tmp_path):
+    """A live dataset plus a complete compacted tmp beside it."""
+    live = str(tmp_path / "data")
+    _write(spark, live, [(1, "a"), (2, "b")])
+    _write(spark, live + TMP_SUFFIX, [(1, "a"), (2, "b"), (3, "c")])
+    return live
+
+
+def test_promote_happy_path(spark, staged):
+    promote_directory(spark, staged)
+    assert _rows(spark, staged) == {(1, "a"), (2, "b"), (3, "c")}
+    assert not os.path.exists(staged + TMP_SUFFIX)
+    assert not os.path.exists(staged + OLD_SUFFIX)
+
+
+def test_promote_refuses_uncommitted_tmp(spark, staged):
+    os.remove(os.path.join(staged + TMP_SUFFIX, "_SUCCESS"))
+    with pytest.raises(IOError, match="_SUCCESS"):
+        promote_directory(spark, staged)
+    # live untouched by the refusal
+    assert _rows(spark, staged) == {(1, "a"), (2, "b")}
+
+
+def test_recover_every_intermediate_state(spark, staged):
+    """Simulate a kill between each pair of steps by constructing the
+    on-disk state each crash would leave, then assert recovery yields
+    a readable dataset every time."""
+    live, tmp, old = staged, staged + TMP_SUFFIX, staged + OLD_SUFFIX
+    pre = _rows(spark, live)
+    post = _rows(spark, tmp)
+
+    # crash BEFORE step 1 (tmp written, swap not started): live wins,
+    # the stale tmp is discarded (re-compacting is cheap)
+    assert recover_directory(spark, live) == "live"
+    assert _rows(spark, live) == pre
+    assert not os.path.exists(tmp)
+
+    # crash BETWEEN steps 1 and 2: live missing, old + complete tmp.
+    # Recovery completes the swap forward.
+    _write(spark, tmp, [(1, "a"), (2, "b"), (3, "c")])
+    os.rename(live, old)
+    assert recover_directory(spark, live) == "promoted"
+    assert _rows(spark, live) == post
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+    # crash BETWEEN steps 2 and 3: live (new) + old leftover.
+    _write(spark, old, [(1, "a"), (2, "b")])
+    assert recover_directory(spark, live) == "live"
+    assert _rows(spark, live) == post
+    assert not os.path.exists(old)
+
+    # crash between steps 1 and 2 where tmp is INCOMPLETE (no
+    # _SUCCESS): roll back to the pre-swap data, never promote it.
+    os.rename(live, old)
+    _write(spark, tmp, [(9, "junk")])
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    assert recover_directory(spark, live) == "rolled_back"
+    assert _rows(spark, live) == post  # the data old held
+    assert not os.path.exists(tmp)
+
+    # nothing anywhere
+    shutil.rmtree(live)
+    assert recover_directory(spark, live) == "missing"
+
+
+def test_compact_sketches_self_heals_mid_swap_crash(spark, tmp_path):
+    """A sketch table stranded mid-swap (live gone, data under .old)
+    must come back with identical estimates via the next compaction
+    call — no manual repair."""
+    from web3_flight_rpc_server_spark.operators.sketches import (
+        build_distinct_sketches,
+        compact_sketches,
+        rollup_distinct,
+    )
+
+    table = str(tmp_path / "sk")
+    events = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(100)],
+        "user_id long, event_type string",
+    )
+    for _ in range(2):  # two appends -> compactable
+        build_distinct_sketches(
+            events, ["event_type"], "user_id"
+        ).write.mode("append").parquet(table)
+
+    def estimates():
+        return {
+            r["event_type"]: r["n_distinct_est"]
+            for r in rollup_distinct(
+                spark.read.parquet(table), ["event_type"]
+            ).collect()
+        }
+
+    want = estimates()
+    # strand the table exactly where the old delete-then-rename idiom
+    # crashed: live gone, complete data under a sibling name
+    os.rename(table, table + OLD_SUFFIX)
+    compact_sketches(spark, table)
+    assert estimates() == want
+    assert not os.path.exists(table + OLD_SUFFIX)
+
+
+def test_index_probe_self_heals_mid_swap_crash(spark, tmp_path):
+    """A probe against an index whose shingles dir is stranded
+    mid-swap must recover in-line and return bit-identical results."""
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "far away into the deep dark woods tonight"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"{text} variant {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, path)
+    probe = spark.createDataFrame(
+        [(1000, f"{text} variant 3")], "doc_id long, text string"
+    )
+
+    def snapshot():
+        return {
+            (r.new_id, r.idx_id, round(r.jaccard, 6))
+            for r in dedup_against_index(probe, path, threshold=0.5).collect()
+        }
+
+    before = snapshot()
+    assert before  # the planted near-identical doc must hit
+    shingles = os.path.join(path, "shingles")
+    os.rename(shingles, shingles + OLD_SUFFIX)
+    assert snapshot() == before
+    assert os.path.exists(shingles)
+    assert not os.path.exists(shingles + OLD_SUFFIX)
+
+
+def test_compact_index_recovers_then_compacts(spark, tmp_path):
+    """compact_index called on an index stranded mid-swap finishes the
+    recovery first; probes before/after identical."""
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        compact_index,
+        dedup_against_index,
+        write_minhash_index,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, f"{text} doc {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs.where(F.col("doc_id") < 5), path)
+    write_minhash_index(
+        docs.where(F.col("doc_id") >= 5), path, append=True
+    )
+    probe = spark.createDataFrame(
+        [(99, f"{text} doc 7")], "doc_id long, text string"
+    )
+
+    def snapshot():
+        return {
+            (r.new_id, r.idx_id, round(r.jaccard, 6))
+            for r in dedup_against_index(probe, path, threshold=0.5).collect()
+        }
+
+    before = snapshot()
+    bands = os.path.join(path, "bands")
+    os.rename(bands, bands + OLD_SUFFIX)
+    compact_index(spark, path)
+    assert snapshot() == before

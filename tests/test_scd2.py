@@ -244,3 +244,84 @@ def test_streaming_maintenance_replay_republishes_identical(spark, tmp_path):
     assert _rows(read_scd2(spark, dim)) == want, "replay changed the dim"
     versions = [d for d in os.listdir(dim) if d.startswith("v=")]
     assert len(versions) <= 2  # pruned to keep_versions
+
+
+def test_pointer_resolution_and_loud_failure(spark, tmp_path):
+    """The versioned-pointer publish (ADVICE r4): readers resolve max
+    over _LATEST.<v> files (no single-file delete-then-rename window);
+    an unpointed version directory is invisible; a dimension with
+    version data but NO pointer fails loudly instead of silently
+    rebuilding from one micro-batch; legacy single-file _LATEST is
+    still honored."""
+    import os
+
+    from web3_flight_rpc_server_spark.operators.scd2 import (
+        read_scd2,
+        streaming_scd2_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    os.makedirs(src)
+    schema = "key string, ts long, label string"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start(ckpt):
+        return streaming_scd2_maintenance(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            dim,
+            checkpoint=str(tmp_path / ckpt),
+        )
+
+    drop([("a", 10, "x")])
+    drop([("a", 20, "y")])
+    q = start("ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    # versioned pointers exist, the legacy single file does not
+    names = sorted(os.listdir(dim))
+    assert any(n.startswith("_LATEST.") for n in names)
+    assert "_LATEST" not in names
+    want = _rows(read_scd2(spark, dim))
+    assert {r[:2] for r in want} >= {("a", "y")}
+
+    # an unpointed (half-published) version directory is invisible
+    newest = max(
+        int(n[len("_LATEST."):]) for n in names if n.startswith("_LATEST.")
+    )
+    spark.createDataFrame(
+        [("zz", "junk", 0, None, True)],
+        "key string, label string, valid_from long, valid_to long, "
+        "is_current boolean",
+    ).write.mode("overwrite").parquet(f"{dim}/v={newest + 50}")
+    assert _rows(read_scd2(spark, dim)) == want
+
+    # legacy layout: only a single _LATEST file naming a version
+    for n in os.listdir(dim):
+        if n.startswith("_LATEST."):
+            os.remove(os.path.join(dim, n))
+    import struct
+
+    payload = str(newest).encode()
+    with open(os.path.join(dim, "_LATEST"), "wb") as fh:
+        fh.write(struct.pack(">H", len(payload)) + payload)  # writeUTF
+    assert _rows(read_scd2(spark, dim)) == want
+
+    # pointer lost entirely but version dirs remain: the maintenance
+    # loop must refuse to rebuild from one micro-batch
+    os.remove(os.path.join(dim, "_LATEST"))
+    with pytest.raises(ValueError, match="no published"):
+        read_scd2(spark, dim)
+    drop([("b", 30, "z")])
+    q = start("ckpt2")
+    with pytest.raises(Exception, match="refusing to rebuild"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    q.stop()

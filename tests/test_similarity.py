@@ -101,3 +101,31 @@ def test_centroid_and_drift(spark):
     cross = embedding_drift(a_axis, b).collect()[0]
     assert cross.centroid_cosine == pytest.approx(0.0)
     assert (cross.n_a, cross.n_b) == (2, 2)
+
+
+def test_drift_grouped_plan_has_no_dead_broadcast_hint(spark):
+    """Grouped drift is a full_outer join, which BroadcastHashJoin
+    cannot build — the r4 plan carried a broadcast hint Spark silently
+    ignored. Pin the honest shape: a full-outer SortMergeJoin over the
+    tiny centroid tables, no nested-loop fallback."""
+    from web3_flight_rpc_server_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("y", [3.0, 0.0])],
+        "g string, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [("x", [0.0, 1.0]), ("z", [0.0, 2.0])],
+        "g string, embedding array<double>",
+    )
+    drift = embedding_drift(a, b, group_cols=["g"])
+    plan = drift._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # outer-only groups surface with a null cosine, not a dropped row
+    rows = {r.g: r for r in drift.collect()}
+    assert set(rows) == {"x", "y", "z"}
+    assert rows["y"].centroid_cosine is None
+    assert rows["z"].centroid_cosine is None

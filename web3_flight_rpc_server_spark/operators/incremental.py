@@ -93,6 +93,21 @@ class IndexManifest:
         return (self.num_hashes, self.bands, self.n)
 
 
+def _read_recovering(spark: SparkSession, live: str) -> DataFrame:
+    """Read a compactable dataset directory, self-healing a half-done
+    compaction swap (operators/fswap.py) if the live dir is missing —
+    probes keep working across a compaction crash instead of failing
+    until manual repair."""
+    try:
+        return spark.read.parquet(live)
+    except AnalysisException:
+        from .fswap import recover_directory
+
+        if recover_directory(spark, live) in ("promoted", "rolled_back"):
+            return spark.read.parquet(live)
+        raise
+
+
 def _read_manifest(spark: SparkSession, path: str) -> IndexManifest:
     """Layout of the index at ``path``; raises FileNotFoundError if
     there is no index there. Pre-bucketed-tier manifests (no
@@ -191,6 +206,13 @@ def write_minhash_index(docs: DataFrame, path: str,
         # is localCheckpointed so the exclusion anti-join below does
         # NOT keep a live plan over the very path being appended to.
         batch_ids = F.broadcast(sets.select(id_col).distinct())
+        # self-heal any half-done compaction swap BEFORE appending: an
+        # append recreating a missing live dir would strand the real
+        # history under the swap's .old name (operators/fswap.py)
+        from .fswap import recover_directory
+
+        for sub in (["shingles"] if bands_table else ["bands", "shingles"]):
+            recover_directory(spark, _sub(path, sub))
         for sub, df_out in (("bands", banded), ("shingles", sets)):
             try:
                 existing = (
@@ -257,7 +279,7 @@ def dedup_against_index(new_docs: DataFrame, path: str,
     # tests/test_incremental.py
     idx_bands = (
         spark.table(m.bands_table) if m.bands_table
-        else spark.read.parquet(_sub(path, "bands"))
+        else _read_recovering(spark, _sub(path, "bands"))
     )
     probe = new_banded.select(
         F.col(id_col).alias("new_id"), "band", "bucket"
@@ -273,7 +295,7 @@ def dedup_against_index(new_docs: DataFrame, path: str,
         .distinct()
     )
 
-    idx_sets = spark.read.parquet(_sub(path, "shingles")).select(
+    idx_sets = _read_recovering(spark, _sub(path, "shingles")).select(
         F.col(id_col).alias("idx_id"),
         F.col("shs").alias("shs_i"),
         F.col("sz").alias("sz_i"),
@@ -442,10 +464,14 @@ def compact_index(spark: SparkSession, path: str,
     small-files problem).
 
     Rewrites the portable-directory datasets (``bands``/``shingles``)
-    at ~``target_file_bytes`` per file and swaps directories via the
-    filesystem (atomic on HDFS/local; on S3-class stores run inside
-    the store's commit mechanism — same caveat as
-    operators/sketches.py:compact_sketches). Rows, schema and the
+    at ~``target_file_bytes`` per file and promotes each with the
+    crash-safe three-step swap (operators/fswap.py): a crash at any
+    point leaves a complete dataset under a known name, and the swap
+    self-heals on the next compaction/probe/append — no
+    delete-then-rename window with the bands/shingles missing. On
+    S3-class stores the renames are copy-based — run inside the
+    store's commit mechanism, same caveat as
+    operators/sketches.py:compact_sketches. Rows, schema and the
     manifest are untouched: compaction is layout hygiene, not a
     semantic operation, so probes before/after are identical
     (pinned in tests/test_incremental.py). The bucketed metastore
@@ -458,6 +484,8 @@ def compact_index(spark: SparkSession, path: str,
     trigger gaps): the swap is not coordinated with concurrent
     appends. Returns {dataset: (files_before, files_after)}.
     """
+    from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+
     m = _read_manifest(spark, path)
     if m.bands_table:
         datasets = ["shingles"]  # bands live in the metastore table
@@ -468,6 +496,7 @@ def compact_index(spark: SparkSession, path: str,
     out = {}
     for sub in datasets:
         live = _sub(path, sub)
+        recover_directory(spark, live)  # finish any half-done swap
         src = jvm.org.apache.hadoop.fs.Path(live)
         fs = src.getFileSystem(conf)
         statuses = [
@@ -477,11 +506,9 @@ def compact_index(spark: SparkSession, path: str,
         total_bytes = sum(st.getLen() for st in statuses)
         n_files = max(1, -(-total_bytes // target_file_bytes))
         df = spark.read.parquet(live)
-        tmp = live.rstrip("/") + ".compacting"
+        tmp = live.rstrip("/") + TMP_SUFFIX
         df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
-        tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs.delete(src, True)
-        fs.rename(tmp_p, src)
+        promote_directory(spark, live, tmp)
         after = len([
             st for st in fs.listStatus(src)
             if st.getPath().getName().endswith(".parquet")

@@ -182,19 +182,68 @@ def _latest_pointer(spark, dim_dir: str):
     return fs, jvm, ptr
 
 
+def _pointer_versions(spark, dim_dir: str) -> list[int]:
+    """Published versions, from the per-version pointer files
+    ``_LATEST.<version>``. A pointer file is only created AFTER its
+    version directory is fully written, and pruning deletes the
+    pointer before the directory, so every listed version is readable."""
+    fs, jvm, _ = _latest_pointer(spark, dim_dir)
+    base = jvm.org.apache.hadoop.fs.Path(dim_dir)
+    if not fs.exists(base):
+        return []
+    versions = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if name.startswith("_LATEST."):
+            try:
+                versions.append(int(name[len("_LATEST."):]))
+            except ValueError:
+                continue
+    return sorted(versions)
+
+
+def _version_dirs(spark, dim_dir: str) -> list[int]:
+    fs, jvm, _ = _latest_pointer(spark, dim_dir)
+    base = jvm.org.apache.hadoop.fs.Path(dim_dir)
+    if not fs.exists(base):
+        return []
+    out = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def read_scd2(spark, dim_dir: str) -> DataFrame:
-    """Current dimension state: the version the _LATEST pointer names.
-    Readers never list version directories — a half-written version
-    (crash between data write and pointer update) is invisible."""
+    """Current dimension state: the HIGHEST published version.
+
+    Publication is a set of per-version pointer files
+    (``_LATEST.<version>``), each created atomically (write-tmp +
+    rename) AFTER its version directory is complete; the reader
+    resolves max over them, so there is no single pointer file whose
+    replacement could crash half-done — the delete-then-rename window
+    the old single ``_LATEST`` file had (a crash between the two left
+    NO pointer, and the maintenance loop then silently rebuilt the
+    dimension from one micro-batch). Readers never see a half-written
+    version: an unpointed ``v=`` directory is simply invisible.
+    Legacy single-file ``_LATEST`` pointers are still honored when no
+    versioned pointer exists."""
+    versions = _pointer_versions(spark, dim_dir)
+    if versions:
+        return spark.read.parquet(f"{dim_dir}/v={versions[-1]}")
     fs, jvm, ptr = _latest_pointer(spark, dim_dir)
-    if not fs.exists(ptr):
-        raise ValueError(f"no published SCD2 version under {dim_dir}")
-    stream = fs.open(ptr)
-    try:
-        version = stream.readUTF()
-    finally:
-        stream.close()
-    return spark.read.parquet(f"{dim_dir}/v={version}")
+    if fs.exists(ptr):  # legacy layout
+        stream = fs.open(ptr)
+        try:
+            version = stream.readUTF()
+        finally:
+            stream.close()
+        return spark.read.parquet(f"{dim_dir}/v={version}")
+    raise ValueError(f"no published SCD2 version under {dim_dir}")
 
 
 def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
@@ -203,11 +252,14 @@ def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
                                keep_versions: int = 3):
     """Maintain an SCD2 dimension from a CDC change stream: each
     micro-batch folds into the current dimension via scd2_merge and
-    publishes a NEW version directory (v=<batchId>), then flips the
-    _LATEST pointer (create-then-rename, atomic on HDFS/local — the
-    same commit idiom as streaming/exactly_once.py). Readers follow
-    the pointer, so they always see a complete version; concurrent
-    as-of joins keep reading the old version until the flip.
+    publishes a NEW version directory (v=<batchId>), then creates a
+    per-version pointer file _LATEST.<batchId> (write-tmp + rename,
+    atomic on HDFS/local — the same commit idiom as
+    streaming/exactly_once.py). Readers resolve max over the pointer
+    files, so they always see a complete version and there is never a
+    pointer-less instant (the old single-_LATEST flip had a
+    delete-then-rename crash window); concurrent as-of joins keep
+    reading the previous version until the new pointer lands.
 
     Replay safety needs no epoch manifest here: under in-order CDC
     delivery (the contract scd2_merge documents) re-merging an
@@ -227,10 +279,27 @@ def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
         changes = batch_df.select(key_col, ts_col, *[
             c for c in batch_df.columns if c not in (key_col, ts_col)
         ])
+        # The from-scratch fallback is legitimate ONLY when this is
+        # genuinely the dimension's first batch. A lost/corrupt pointer
+        # with version data still on disk must fail loudly — silently
+        # rebuilding from one micro-batch would discard all prior
+        # history (and a broad except here used to also mask
+        # scd2_merge's own ValueErrors).
+        current = None
         try:
             current = read_scd2(spark, dim_dir)
-            merged = scd2_merge(current, changes, key_col, ts_col)
         except ValueError:
+            if _version_dirs(spark, dim_dir):
+                raise RuntimeError(
+                    f"SCD2 dim at {dim_dir!r} has version directories "
+                    "but no readable pointer — refusing to rebuild "
+                    "from a single micro-batch; restore a "
+                    "_LATEST.<version> pointer to the newest complete "
+                    "version"
+                )
+        if current is not None:
+            merged = scd2_merge(current, changes, key_col, ts_col)
+        else:
             merged = scd2_from_history(changes, key_col, ts_col)
         # materialize BEFORE writing: on an engine replay the latest
         # pointer names v=<batch_id> itself (published by the replayed
@@ -238,7 +307,11 @@ def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
         # directory the overwrite below is deleting
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(f"{dim_dir}/v={batch_id}")
-        fs, jvm, ptr = _latest_pointer(spark, dim_dir)
+        # publish: create the per-version pointer atomically (tmp +
+        # rename). Versioned pointer names never collide across
+        # batches, so there is no delete-then-rename window; a replay
+        # finds its pointer already present (rename fails -> drop tmp).
+        fs, jvm, legacy = _latest_pointer(spark, dim_dir)
         tmp = jvm.org.apache.hadoop.fs.Path(
             f"{dim_dir}/._LATEST.{batch_id}.tmp"
         )
@@ -247,17 +320,24 @@ def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
             out.writeUTF(str(batch_id))
         finally:
             out.close()
-        fs.delete(ptr, False)
+        ptr = jvm.org.apache.hadoop.fs.Path(
+            f"{dim_dir}/_LATEST.{batch_id}"
+        )
         if not fs.rename(tmp, ptr):
             fs.delete(tmp, False)
-        # prune old versions, keeping the newest keep_versions
-        base = jvm.org.apache.hadoop.fs.Path(dim_dir)
-        versions = sorted(
-            int(st.getPath().getName()[2:])
-            for st in fs.listStatus(base)
-            if st.getPath().getName().startswith("v=")
-        )
-        for v in versions[:-keep_versions]:
+        # a legacy single-file pointer is superseded the moment a
+        # versioned pointer exists (readers prefer versioned); drop it
+        # so it can't name a version pruning is about to delete
+        if fs.exists(legacy):
+            fs.delete(legacy, False)
+        # prune old versions, keeping the newest keep_versions;
+        # pointer file FIRST, then the directory, so no pointer ever
+        # names a missing version
+        for v in _version_dirs(spark, dim_dir)[:-keep_versions]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/_LATEST.{v}"),
+                False,
+            )
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/v={v}"), True)
 
     writer = change_stream.writeStream.foreachBatch(_process)

@@ -119,6 +119,12 @@ def streaming_sketch_maintenance(stream_df: DataFrame, path: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # self-heal a half-done compaction swap BEFORE appending: an
+        # append that recreates a missing live dir would strand the
+        # real history under the swap's .old name (operators/fswap.py)
+        from .fswap import recover_directory
+
+        recover_directory(batch_df.sparkSession, path)
         build_distinct_sketches(
             batch_df, bucket_cols, value_col, lg_k
         ).write.mode("append").parquet(path)
@@ -133,23 +139,25 @@ def compact_sketches(spark, path: str) -> None:
     """Fold accumulated per-batch sketch rows back to one row per
     bucket — pure storage hygiene: associativity + idempotence mean
     every rollup estimate is unchanged by compaction. Writes the
-    compacted table beside the original and swaps directories via the
-    filesystem (atomic on HDFS/local; on S3-class stores the swap is
-    copy-based — run it inside the store's commit mechanism there)."""
+    compacted table beside the original and promotes it with the
+    crash-safe three-step swap (operators/fswap.py): every
+    intermediate state keeps a complete dataset under a known name,
+    and a crashed swap self-heals on the next maintenance/compaction
+    call — no delete-then-rename no-live-data window. On S3-class
+    stores the renames are copy-based — run inside the store's commit
+    mechanism there."""
+    from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+
+    recover_directory(spark, path)  # finish any half-done prior swap
     df = spark.read.parquet(path)
     bucket_cols = [c for c in df.columns if c not in (SKETCH_COL, "lg_k")]
     merged = df.groupBy(*bucket_cols).agg(
         F.hll_union_agg(SKETCH_COL, F.lit(False)).alias(SKETCH_COL),
         F.min("lg_k").alias("lg_k"),
     ).select(*bucket_cols, SKETCH_COL, "lg_k")
-    tmp = path.rstrip("/") + ".compacting"
+    tmp = path.rstrip("/") + TMP_SUFFIX
     merged.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(dst, True)
-    fs.rename(src, dst)
+    promote_directory(spark, path, tmp)
 
 
 def intersect_distinct_estimate(sketches_a: DataFrame,

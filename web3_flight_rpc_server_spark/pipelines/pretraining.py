@@ -67,10 +67,16 @@ def samples_from_documents(docs: DataFrame, max_tokens: int = 512,
     whole = short_docs.select(
         F.col(id_col), F.lit(0).alias("chunk_idx"), F.col(text_col).alias("text")
     )
+    # format_string pads WITHOUT truncating: lpad(x, 5) silently cuts
+    # chunk_idx >= 100000 to its first five digits, colliding distinct
+    # chunks of very long documents into one sample_id. Past 5 digits
+    # the id remains unique but its string sort order diverges from
+    # numeric chunk order — callers needing order at that scale should
+    # sort on (doc_id, chunk_idx), not the id.
     sid = F.concat_ws(
         ":",
         F.col(id_col).cast("string"),
-        F.lpad(F.col("chunk_idx").cast("string"), 5, "0"),
+        F.format_string("%05d", F.col("chunk_idx")),
     )
     return chunked.unionByName(whole).select(sid.alias("sample_id"), "text")
 
