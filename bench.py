@@ -71,6 +71,16 @@ HEADLINE = [
     "q_scalar_subquery",       # subquery planning
 ]
 
+# Queries whose fn() runs EAGER Spark jobs at plan-build time (the
+# funnel's component iterations and checkpoints): the timer starts
+# BEFORE fn() so the number is build+execute and can't be moved by
+# shifting work across the build/write boundary (round-4 verdict #5).
+# q_ivf_topk stays build-exempt BY DESIGN: its fn() builds the
+# partitioned index before the timer because the timed artifact is
+# query-against-built-index, the amortized deployment shape (see the
+# HEADLINE comment above).
+EAGER_BUILD = {"q_curation_funnel"}
+
 
 def run_single_pass(sf_dir: str, dump_plans: bool) -> int:
     """One cold+warm measurement pass in THIS process; prints a JSON
@@ -95,12 +105,14 @@ def run_single_pass(sf_dir: str, dump_plans: bool) -> int:
     plans: list[str] = []
     for name in HEADLINE:
         q = registry[name]
+        t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
+        if name not in EAGER_BUILD:
+            t0 = time.perf_counter()
         if dump_plans:
             plans.append(f"==== {name} ====\n" + df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             ))
-        t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # Release the dedup tiers' persisted intermediates after each
@@ -117,8 +129,10 @@ def run_single_pass(sf_dir: str, dump_plans: bool) -> int:
     # so real-work regressions aren't masked by floor noise.
     warm: dict[str, float] = {}
     for name in HEADLINE:
-        df = registry[name].fn(spark, sf_dir)
         t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        if name not in EAGER_BUILD:
+            t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
         release_caches()

@@ -268,15 +268,15 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(legs)
 
 
-@query("q_profile", oracle=_profile_oracle(), declared=False)
+@query("q_profile", oracle=_profile_oracle())
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile (operators/profile.py): per-column
     nulls/cardinality over events in a single scan, checked exactly
     against a per-column DuckDB recomputation. Uses the
     exact-distinct tier so the oracle is equality, not a tolerance
     band; the scale default (approx sketches, no Expand in the plan)
-    is pinned by plan shape in tests/test_profile.py. Undeclared —
-    the driver window is full."""
+    is pinned by plan shape in tests/test_profile.py. Declared in r5
+    (rotated in for the ops layer)."""
     from ..operators.profile import profile_table
 
     ev = tables.load_table(spark, sf_dir, "events")

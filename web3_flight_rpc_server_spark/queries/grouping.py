@@ -109,6 +109,10 @@ def q_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts < win_start + INTERVAL '6 hours' AND ts >= win_start
     GROUP BY 1, 2
     """,
+    # ceded from the declared window in r5 (C14 stays attested by
+    # q_tumbling_window); still oracle-checked by
+    # tests/test_oracle_parity.py's whole-registry parametrize
+    declared=False,
 )
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (6h width, 2h slide): every event lands in 3

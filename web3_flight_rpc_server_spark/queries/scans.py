@@ -197,6 +197,10 @@ def q_blocks_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1
     """,
+    # ceded from the declared window in r5 (A12 paging is also attested
+    # by the live-source partition tests); still oracle-checked by
+    # tests/test_oracle_parity.py's whole-registry parametrize
+    declared=False,
 )
 def q_batch_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked pagination: inclusive fixed-size pages, the reference's

@@ -442,15 +442,14 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS coverage
     FROM top
     """,
-    declared=False,
 )
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed vocabulary build (operators/vocab.py): top-20
     corpus tokens with deterministic (count desc, token asc)
     truncation and running occurrence coverage — the frequency table
     tokenizer training starts from, checked value-for-value against a
-    DuckDB recomputation. Undeclared — the driver window is full;
-    oov_rate's acceptance check is pytest-pinned in
+    DuckDB recomputation. Declared in r5 (rotated in for the ops
+    layer); oov_rate's acceptance check is pytest-pinned in
     tests/test_vocab.py."""
     from ..operators.vocab import build_vocabulary
 

@@ -151,6 +151,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           >= 0.3
     """,
+    # ceded from the declared window in r5 (C12 stays attested by
+    # q_cosine_topk + q_ivf_topk's pruning oracle); still oracle-checked
+    # by tests/test_oracle_parity.py's whole-registry parametrize
+    declared=False,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH near-dup with exact verification at

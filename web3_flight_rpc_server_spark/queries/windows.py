@@ -263,7 +263,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((CAST((SELECT count(*) FROM s3) AS DOUBLE)
                   / (SELECT count(*) FROM s1)) * 10000 + 0.5) / 10000
     """,
-    declared=False,
 )
 def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase
@@ -272,9 +271,9 @@ def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained window minima over ONE user-key exchange; the oracle is
     the classic SQL formulation that re-joins the events table per
     stage — same numbers, structurally different plans, which is
-    exactly what makes the cross-engine check meaningful. Undeclared —
-    the driver window is full; boundary/ordering semantics pinned in
-    tests/test_sequencing.py."""
+    exactly what makes the cross-engine check meaningful. Declared in
+    r5 (rotated in for the behavior-analytics layer);
+    boundary/ordering semantics pinned in tests/test_sequencing.py."""
     from ..functions import round4
     from ..operators.sequencing import sequence_funnel
 
