@@ -1,0 +1,163 @@
+"""Persistent hot-bucket quarantine for the incremental MinHash index.
+
+The one-shot tier's max_bucket (tests/test_hot_buckets.py) protects a
+single job; the INDEX is where the hazard compounds — an indexed
+template bucket of m docs costs every future probe O(m) candidates
+forever. The index maintains per-append (band, bucket) population
+deltas, probes exclude over-cap buckets via a broadcast anti-join, and
+the ledger is exact and replay-proof.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.incremental import (
+    _read_manifest,
+    dedup_against_index,
+    index_bucket_populations,
+    index_hot_buckets,
+    write_minhash_index,
+)
+
+TEMPLATE = (
+    "terms of service boilerplate page all rights reserved contact "
+    "us privacy policy cookie notice copyright two thousand twenty"
+)
+UNIQUE = (
+    "a genuinely distinct document about columnar engines and "
+    "vectorized execution with adaptive shuffle planning at runtime"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_probe_excludes_hot_buckets_and_ledger_is_exact(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    corpus = [(i, f"{TEMPLATE} serial {i % 2}") for i in range(50)]
+    corpus += [(1000, UNIQUE)]
+    write_minhash_index(_docs(spark, corpus), path, max_bucket=20)
+
+    # ledger: template docs (two variants x ~25 docs) concentrate in
+    # few buckets; every listed bucket's population exceeds the cap
+    # and matches an exact recount of the bands dataset
+    hot = index_hot_buckets(spark, path)
+    assert hot.count() > 0
+    assert hot.where(F.col("n_docs") <= 20).count() == 0
+    import os
+
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    recount = {
+        (r.band, r.bucket): r.n
+        for r in bands.groupBy("band", "bucket").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for r in index_bucket_populations(spark, path).collect():
+        assert recount[(r.band, r.bucket)] == r.n_docs
+
+    # a probe near-identical to the distinct doc still hits...
+    hit = dedup_against_index(
+        _docs(spark, [(2000, UNIQUE + " extra")]), path, threshold=0.5
+    ).collect()
+    assert any(r.idx_id == 1000 for r in hit)
+    # ...while a template probe is quarantined out (documented recall
+    # trade: the operator audits the ledger instead of paying O(m)
+    # candidates per probe forever)
+    tmpl_hits = dedup_against_index(
+        _docs(spark, [(3000, f"{TEMPLATE} serial 0")]), path, threshold=0.5
+    ).collect()
+    assert tmpl_hits == []
+
+
+def test_populations_accumulate_across_appends_and_cap_kicks_in(
+    spark, tmp_path
+):
+    path = str(tmp_path / "idx")
+    first = [(i, f"{TEMPLATE} serial x") for i in range(15)]
+    write_minhash_index(_docs(spark, first), path, max_bucket=20)
+    # under the cap: a template probe matches
+    assert dedup_against_index(
+        _docs(spark, [(900, f"{TEMPLATE} serial x")]), path, threshold=0.9
+    ).count() > 0
+    assert index_hot_buckets(spark, path).count() == 0
+
+    second = [(100 + i, f"{TEMPLATE} serial x") for i in range(15)]
+    write_minhash_index(_docs(spark, second), path, append=True)
+    # 30 identical docs now share every band bucket: over the cap
+    assert index_hot_buckets(spark, path).count() > 0
+    assert dedup_against_index(
+        _docs(spark, [(901, f"{TEMPLATE} serial x")]), path, threshold=0.9
+    ).count() == 0
+
+
+def test_replayed_append_does_not_inflate_populations(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    docs = [(i, f"{UNIQUE} variant {i}") for i in range(10)]
+    write_minhash_index(_docs(spark, docs), path, max_bucket=100)
+    batch = [(100 + i, f"{TEMPLATE} copy {i}") for i in range(5)]
+    write_minhash_index(_docs(spark, batch), path, append=True)
+
+    def pops():
+        return {
+            (r.band, r.bucket): r.n_docs
+            for r in index_bucket_populations(spark, path).collect()
+        }
+
+    before = pops()
+    # crash-replay: the same batch appends again; the idempotent-
+    # append exclusion drops every row, so the deltas must be empty
+    write_minhash_index(_docs(spark, batch), path, append=True)
+    assert pops() == before
+
+
+def test_cap_is_manifest_pinned_and_compaction_preserves_it(
+    spark, tmp_path
+):
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        compact_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_minhash_index(
+        _docs(spark, [(i, f"{TEMPLATE} v{i % 3}") for i in range(30)]),
+        path, max_bucket=8,
+    )
+    # append cannot loosen the cap: the manifest wins
+    write_minhash_index(
+        _docs(spark, [(500, UNIQUE)]), path, append=True, max_bucket=10_000
+    )
+    assert _read_manifest(spark, path).max_bucket == 8
+
+    before = {
+        (r.band, r.bucket, r.n_docs)
+        for r in index_hot_buckets(spark, path).collect()
+    }
+    assert before
+    compact_index(spark, path)
+    after = {
+        (r.band, r.bucket, r.n_docs)
+        for r in index_hot_buckets(spark, path).collect()
+    }
+    assert after == before
+    # folded to one row per bucket
+    stats = spark.read.parquet(str(tmp_path / "idx" / "bucket_stats"))
+    assert stats.groupBy("band", "bucket").count().where(
+        F.col("count") > 1
+    ).count() == 0
+
+
+def test_uncapped_index_has_no_stats_surface(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_minhash_index(
+        _docs(spark, [(1, UNIQUE), (2, TEMPLATE)]), path
+    )
+    with pytest.raises(ValueError, match="without max_bucket"):
+        index_hot_buckets(spark, path)
+    # probes on an uncapped index run the r4 path untouched
+    assert dedup_against_index(
+        _docs(spark, [(9, UNIQUE + " tail")]), path, threshold=0.5
+    ).count() > 0

@@ -24,6 +24,19 @@ that incremental:
                 layout is recorded with the data, not re-guessed per
                 call; appends validate against it and refuse a
                 mismatch.
+- ``bucket_stats/`` (band, bucket, n) per-append population deltas —
+                maintained when the manifest records a ``max_bucket``
+                cap. Folding them (sum per bucket) gives the exact
+                population of every band bucket WITHOUT rescanning the
+                bands dataset; buckets past the cap are quarantined
+                out of the probe join (the operators/dedup.py
+                hot-bucket cap applied to the persistent tier: an
+                indexed template bucket of m docs costs every future
+                probe O(m) candidates forever, so the index is where
+                the cap matters most). Deltas are computed AFTER the
+                idempotent-append exclusion, so crash-replayed appends
+                do not inflate counts. Audit with
+                :func:`index_hot_buckets`.
 
 All three are written and read through Spark, so the index path may
 live on any Hadoop-visible filesystem (local, HDFS, s3a), not just the
@@ -87,6 +100,11 @@ class IndexManifest:
     # ONLY the probe side; the index side reads co-located buckets
     bands_table: str | None = None
     buckets: int = 0
+    # hot-bucket quarantine cap: band buckets whose indexed population
+    # exceeds this are excluded from probe joins (None = uncapped).
+    # Recorded with the layout because the cap is a recall contract:
+    # probes against the same index must agree on what is quarantined.
+    max_bucket: int | None = None
 
     @property
     def layout(self) -> tuple[int, int, int]:
@@ -120,9 +138,11 @@ def _read_manifest(spark: SparkSession, path: str) -> IndexManifest:
             "snapshot with write_minhash_index() before probing it"
         ) from exc
     d = row.asDict()
+    mb = d.get("max_bucket")
     return IndexManifest(
         int(row.num_hashes), int(row.bands), int(row.n),
         d.get("bands_table"), int(d.get("buckets") or 0),
+        int(mb) if mb is not None else None,
     )
 
 
@@ -133,6 +153,7 @@ def write_minhash_index(docs: DataFrame, path: str,
                         n: int = DEFAULT_SHINGLE_N, append: bool = False,
                         bands_table: str | None = None,
                         buckets: int = 64,
+                        max_bucket: int | None = None,
                         _sets: DataFrame | None = None) -> None:
     """Write (or append a new batch to) the MinHash index at ``path``.
 
@@ -154,7 +175,17 @@ def write_minhash_index(docs: DataFrame, path: str,
     indexed corpus grows. The plain-parquet default keeps the index a
     portable directory (no metastore needed); the layout choice is
     recorded in the manifest and appends/probes follow it
-    automatically."""
+    automatically.
+
+    ``max_bucket`` engages the persistent hot-bucket quarantine:
+    per-append (band, bucket) population deltas are maintained under
+    ``bucket_stats/`` (computed AFTER the idempotent-append exclusion,
+    so replays don't inflate them), and probes exclude buckets whose
+    folded population exceeds the cap — bounding probe cost against a
+    template-heavy indexed corpus the same way the one-shot tier's
+    ``max_bucket`` bounds its self-join (operators/dedup.py). Like the
+    banding layout, the cap is manifest-recorded: appends inherit it
+    and cannot change it mid-index."""
     spark = docs.sparkSession
     if append:
         m = _read_manifest(spark, path)
@@ -165,9 +196,12 @@ def write_minhash_index(docs: DataFrame, path: str,
                 f"{(num_hashes, bands, n)} — rebanding an existing index "
                 "silently breaks collisions, rebuild instead"
             )
-        # layout (incl. the bands storage tier) comes from the
-        # manifest on append — a caller cannot switch tiers mid-index
-        bands_table, buckets = m.bands_table, m.buckets
+        # layout (incl. the bands storage tier and the quarantine cap)
+        # comes from the manifest on append — a caller cannot switch
+        # tiers or caps mid-index
+        bands_table, buckets, max_bucket = (
+            m.bands_table, m.buckets, m.max_bucket
+        )
     mode = "append" if append else "overwrite"
 
     def _write_bands(df: DataFrame, write_mode: str) -> None:
@@ -191,6 +225,20 @@ def write_minhash_index(docs: DataFrame, path: str,
     )
     sigs = agg_signatures(sets, num_hashes, id_col)
     banded = banded_signatures(sigs, bands, id_col)
+    if max_bucket is not None:
+        # the banded rows feed BOTH the dataset write and the
+        # bucket_stats delta; cut the lineage so the stats aggregation
+        # doesn't re-run the signature job (and, on append, doesn't
+        # hold a plan over the path being appended to)
+        banded = banded.localCheckpoint(eager=True)
+
+    def _write_stats(banded_written: DataFrame, write_mode: str) -> None:
+        if max_bucket is None:
+            return
+        banded_written.groupBy("band", "bucket").agg(
+            F.count("*").alias("n")
+        ).write.mode(write_mode).parquet(_sub(path, "bucket_stats"))
+
     if append:
         # Idempotent append: the two dataset writes are not atomic, so
         # a crash between them leaves a doc half-indexed and the
@@ -211,7 +259,10 @@ def write_minhash_index(docs: DataFrame, path: str,
         # history under the swap's .old name (operators/fswap.py)
         from .fswap import recover_directory
 
-        for sub in (["shingles"] if bands_table else ["bands", "shingles"]):
+        subs = ["shingles"] if bands_table else ["bands", "shingles"]
+        if max_bucket is not None:
+            subs.append("bucket_stats")
+        for sub in subs:
             recover_directory(spark, _sub(path, sub))
         for sub, df_out in (("bands", banded), ("shingles", sets)):
             try:
@@ -233,18 +284,47 @@ def write_minhash_index(docs: DataFrame, path: str,
                 )
             if sub == "bands":
                 _write_bands(df_out, mode)
+                _write_stats(df_out, "append")
             else:
                 df_out.write.mode(mode).parquet(_sub(path, sub))
     else:
         _write_bands(banded, mode)
+        _write_stats(banded, "overwrite")
         sets.write.mode(mode).parquet(_sub(path, "shingles"))
     if not append:
         spark.createDataFrame(
             [(num_hashes, bands, n, bands_table,
-              buckets if bands_table else 0)],
+              buckets if bands_table else 0, max_bucket)],
             "num_hashes int, bands int, n int, "
-            "bands_table string, buckets int",
+            "bands_table string, buckets int, max_bucket int",
         ).write.mode("overwrite").parquet(_sub(path, "manifest"))
+
+
+def index_bucket_populations(spark: SparkSession, path: str) -> DataFrame:
+    """Exact (band, bucket, n_docs) population of every indexed band
+    bucket, folded from the per-append deltas — no scan of the bands
+    dataset. Only available when the index was built with
+    ``max_bucket``."""
+    stats = _read_recovering(spark, _sub(path, "bucket_stats"))
+    return stats.groupBy("band", "bucket").agg(
+        F.sum("n").alias("n_docs")
+    )
+
+
+def index_hot_buckets(spark: SparkSession, path: str) -> DataFrame:
+    """The quarantine ledger of the persistent index: buckets whose
+    population exceeds the manifest's ``max_bucket``. These are
+    excluded from every probe join — auditing them is how an operator
+    decides whether the corpus needs a template-strip pass."""
+    m = _read_manifest(spark, path)
+    if m.max_bucket is None:
+        raise ValueError(
+            f"index at {path!r} was built without max_bucket; no "
+            "bucket_stats are maintained"
+        )
+    return index_bucket_populations(spark, path).where(
+        F.col("n_docs") > m.max_bucket
+    )
 
 
 def dedup_against_index(new_docs: DataFrame, path: str,
@@ -284,6 +364,16 @@ def dedup_against_index(new_docs: DataFrame, path: str,
     probe = new_banded.select(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
+    if m.max_bucket is not None:
+        # quarantine: drop probe rows landing in over-cap index
+        # buckets BEFORE the join — a template bucket of m docs costs
+        # O(m) candidates per colliding probe doc forever. The hot set
+        # holds only pathological buckets, so it broadcasts. A probe
+        # doc can still match through any non-hot band (graceful
+        # recall, same contract as the one-shot tier); audit what is
+        # excluded with index_hot_buckets().
+        hot = index_hot_buckets(spark, path).select("band", "bucket")
+        probe = probe.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     cands = (
         probe.join(
             idx_bands.select(
@@ -332,7 +422,8 @@ def ingest_batch(new_docs: DataFrame, path: str,
     index probe, the batch-internal self-check, and (filtered to the
     survivors) the index append — no re-tokenization per stage."""
     spark = new_docs.sparkSession
-    num_hashes, bands, n = _read_manifest(spark, path).layout
+    m = _read_manifest(spark, path)
+    num_hashes, bands, n = m.layout
     new_sets = _persisted(shingle_sets(new_docs, id_col, text_col, n))
     # persisted: the banded signatures feed BOTH the index probe and
     # the batch-internal self-join — without the persist each consumer
@@ -350,8 +441,15 @@ def ingest_batch(new_docs: DataFrame, path: str,
 
     # batch-internal near-dups from the SAME banded signatures: the
     # self-join bucket collision + exact verify is exactly the
-    # one-shot pipeline restricted to this batch
-    l, r = new_banded.alias("l"), new_banded.alias("r")
+    # one-shot pipeline restricted to this batch — including the
+    # manifest's hot-bucket cap (a template-heavy BATCH is the same
+    # quadratic hazard in miniature)
+    from .dedup import _drop_hot_buckets
+
+    internal_banded = _drop_hot_buckets(
+        new_banded, ["band", "bucket"], m.max_bucket
+    )
+    l, r = internal_banded.alias("l"), internal_banded.alias("r")
     internal_cands = (
         l.join(
             r,
@@ -397,7 +495,7 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
                      n: int = DEFAULT_SHINGLE_N,
                      id_col: str = "doc_id", text_col: str = "text",
                      on_kept=None, bands_table: str | None = None,
-                     buckets: int = 64):
+                     buckets: int = 64, max_bucket: int | None = None):
     """Continuous ingestion: every micro-batch of the document stream
     is deduped against the index (and against itself) and its
     survivors appended — ``readStream -> foreachBatch(ingest_batch)``.
@@ -426,6 +524,7 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
         write_minhash_index(
             empty, path, num_hashes, bands, id_col, text_col, n,
             bands_table=bands_table, buckets=buckets,
+            max_bucket=max_bucket,
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -514,4 +613,18 @@ def compact_index(spark: SparkSession, path: str,
             if st.getPath().getName().endswith(".parquet")
         ])
         out[sub] = (len(statuses), after)
+    if m.max_bucket is not None:
+        # bucket_stats compaction is SEMANTIC but estimate-preserving:
+        # folding the per-append deltas to one row per bucket (sum is
+        # associative) leaves every population — and therefore the
+        # quarantine set — unchanged, the same algebra-backed move as
+        # compact_sketches' hll_union fold.
+        live = _sub(path, "bucket_stats")
+        recover_directory(spark, live)
+        folded = spark.read.parquet(live).groupBy("band", "bucket").agg(
+            F.sum("n").alias("n")
+        )
+        tmp = live.rstrip("/") + TMP_SUFFIX
+        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+        promote_directory(spark, live, tmp)
     return out
