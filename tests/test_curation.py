@@ -139,3 +139,55 @@ def test_mixture_sample_epochs_and_determinism(spark):
         mixture_sample([("a", a)], {"a": -1.0})
     with pytest.raises(ValueError, match="at least one source"):
         mixture_sample([("a", a)], {"a": 0.0})
+
+
+def test_funnel_quarantine_ledger(spark):
+    """A template-heavy corpus (near-identical but not exact-equal
+    docs, so the exact gate can't collapse them) must surface in the
+    funnel's quarantine ledger when the cap bites — and the
+    quarantined docs are ADMITTED, the documented recall trade the
+    ledger exists to report."""
+    from web3_flight_rpc_server_spark.pipelines.curation import (
+        CurationConfig,
+        curation_rejects,
+    )
+
+    template = (
+        "the service terms boilerplate page with all rights reserved "
+        "and a cookie notice plus privacy policy text for everyone "
+        "visiting this very standard website footer region today"
+    )
+    rows = [(i, f"{template} serial {i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap above population: normal dedup, empty ledger
+    loose = CurationConfig(min_quality=0.0, lsh_max_bucket=1000)
+    rejects, quarantine = curation_rejects(
+        docs, loose, with_quarantine=True
+    )
+    near = {r.doc_id for r in rejects.collect()
+            if r.reject_reason == "near_dup"}
+    assert len(near) == 59  # one canonical survives
+    assert quarantine.count() == 0
+
+    # cap below population: buckets quarantined, docs admitted
+    tight = CurationConfig(min_quality=0.0, lsh_max_bucket=20)
+    rejects, quarantine = curation_rejects(
+        docs, tight, with_quarantine=True
+    )
+    ledger = quarantine.collect()
+    assert ledger and all(r.n_docs > 20 for r in ledger)
+    near = {r.doc_id for r in rejects.collect()
+            if r.reject_reason == "near_dup"}
+    assert len(near) < 59  # the quarantined buckets' dups went unseen
+
+    # exact tier: no ledger by construction
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    _, q2 = curation_rejects(
+        docs, loose, with_quarantine=True,
+        pairs_fn=lambda d: ngram_jaccard_pairs(d, threshold=0.3),
+    )
+    assert q2 is None

@@ -100,7 +100,7 @@ def _quality(text_col, toks) -> Column:
 
 def curation_rejects(docs: DataFrame,
                      cfg: CurationConfig = CurationConfig(),
-                     pairs_fn=None) -> DataFrame:
+                     pairs_fn=None, with_quarantine: bool = False):
     """(doc_id, reject_reason) for every rejected doc — the funnel's
     loss ledger. Docs absent from the result survive every gate.
 
@@ -109,7 +109,17 @@ def curation_rejects(docs: DataFrame,
     q_curation_funnel passes the exact-Jaccard tier so the whole
     funnel admits a SQL oracle. The quality gate compares the
     4-decimal-rounded score, keeping the threshold decision identical
-    across engines."""
+    across engines.
+
+    ``with_quarantine=True`` returns ``(rejects, quarantine)`` where
+    quarantine is the LSH hot-bucket ledger (band, bucket, n_docs) the
+    near-dup stage excluded under ``cfg.lsh_max_bucket`` — derived
+    from the SAME persisted shingle sets and default banding the pair
+    join used, so the ledger and the join always agree. Quarantined
+    docs are ADMITTED (their near-dups go undetected in those
+    buckets): an honest funnel reports that recall loss instead of
+    hiding it in a silent drop. None when the exact tier (pairs_fn)
+    runs or the cap is disabled."""
     toks = tokens("text")
     # The funnel's stage branches all derive from this projection; at
     # 100 TB each branch would otherwise re-scan the corpus (14 scans
@@ -170,12 +180,19 @@ def curation_rejects(docs: DataFrame,
     # materialized-shingle-table shape a warehouse pipeline uses.
     from ..operators.dedup import shingle_sets
 
+    quarantine = None
     if pairs_fn is None:
         sets3 = _persisted(shingle_sets(s3))
         pairs = minhash_lsh_dedup_pairs(
             s3, threshold=cfg.neardup_threshold,
             max_bucket=cfg.lsh_max_bucket, _sets=sets3,
         )
+        if with_quarantine and cfg.lsh_max_bucket is not None:
+            from ..operators.dedup import agg_signatures, lsh_hot_buckets
+
+            quarantine = lsh_hot_buckets(
+                agg_signatures(sets3), max_bucket=cfg.lsh_max_bucket
+            )
     else:
         sets3 = None
         pairs = pairs_fn(s3)
@@ -216,13 +233,14 @@ def curation_rejects(docs: DataFrame,
         .select("doc_id", F.lit("blocklist").alias("reject_reason"))
     )
 
-    return (
+    rejects = (
         lang_bad.unionByName(qual_bad)
         .unionByName(exact_losers)
         .unionByName(near_losers)
         .unionByName(contam)
         .unionByName(block_bad)
     )
+    return (rejects, quarantine) if with_quarantine else rejects
 
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
