@@ -325,3 +325,48 @@ def test_pointer_resolution_and_loud_failure(spark, tmp_path):
         q.processAllAvailable()
         q.awaitTermination()
     q.stop()
+
+
+def test_first_batch_replay_after_crash_before_pointer_publish(
+    spark, tmp_path
+):
+    """A crash between the FIRST batch's version write and its pointer
+    publish leaves v=0 unpointed. The replay (same batch id, fresh
+    engine) overwrites that very directory, so the from-scratch
+    fallback is safe there — and must not trip the loud
+    stranded-versions guard."""
+    import os
+
+    from web3_flight_rpc_server_spark.operators.scd2 import (
+        read_scd2,
+        streaming_scd2_maintenance,
+    )
+
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    os.makedirs(src)
+    schema = "key string, ts long, label string"
+    spark.createDataFrame(
+        [("a", 10, "x")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    # simulate the crash artifact: a complete but unpointed v=0
+    spark.createDataFrame(
+        [("zz", "stale", 0, None, True)],
+        "key string, label string, valid_from long, valid_to long, "
+        "is_current boolean",
+    ).write.mode("overwrite").parquet(f"{dim}/v=0")
+
+    q = streaming_scd2_maintenance(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        dim,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = _rows(read_scd2(spark, dim))
+    assert {r[:2] for r in rows} == {("a", "x")}  # stale v=0 replaced

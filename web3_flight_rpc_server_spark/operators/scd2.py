@@ -284,16 +284,23 @@ def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
         # with version data still on disk must fail loudly — silently
         # rebuilding from one micro-batch would discard all prior
         # history (and a broad except here used to also mask
-        # scd2_merge's own ValueErrors).
+        # scd2_merge's own ValueErrors). One exception: a replay of the
+        # first batch after a crash BETWEEN its version write and its
+        # pointer publish leaves exactly v=<batch_id> unpointed — this
+        # replay is about to overwrite that very directory, so
+        # rebuilding loses nothing.
         current = None
         try:
             current = read_scd2(spark, dim_dir)
         except ValueError:
-            if _version_dirs(spark, dim_dir):
+            stranded = [
+                v for v in _version_dirs(spark, dim_dir) if v != batch_id
+            ]
+            if stranded:
                 raise RuntimeError(
                     f"SCD2 dim at {dim_dir!r} has version directories "
-                    "but no readable pointer — refusing to rebuild "
-                    "from a single micro-batch; restore a "
+                    f"{stranded} but no readable pointer — refusing to "
+                    "rebuild from a single micro-batch; restore a "
                     "_LATEST.<version> pointer to the newest complete "
                     "version"
                 )
