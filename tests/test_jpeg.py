@@ -1,0 +1,164 @@
+"""Baseline JPEG codec conformance (multimodal/jpeg.py).
+
+Three independent evidence lines, none circular:
+
+1. Third-party files shipped by this environment (CPython test data,
+   Spark's bundled MLlib images, requests' docs) decode to within
+   RMSE ~1 of an INDEPENDENT reference decoder — Java ImageIO's
+   output, captured once as tiny PPM fixtures
+   (tests/fixtures/*_imageio.ppm; regenerate with javax.imageio —
+   see the fixture header note).
+2. CPython ships the same 16x16 logo losslessly (python.ppm): the
+   JPEG decode must sit within the source's own encoding loss of
+   those exact pixels.
+3. The encoder (written against the spec independently of the decode
+   path: forward DCT, its own emitted Huffman tables) round-trips
+   arbitrary synthetic images through the decoder at high quality
+   with ~1 RMSE.
+
+Fixture paths are probed and the dependent test skips if a given
+file vanishes from the environment — the codec itself is still fully
+covered by the checked-in reference fixtures and the round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from web3_flight_rpc_server_spark.multimodal.jpeg import (
+    _fdct2,
+    _idct2,
+    decode_baseline,
+    encode_baseline,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+CPY_DIR = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/imghdrdata"
+SPARK_IMGS = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+FLOWER = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/requests/"
+    "ext/flower-of-life.jpg"
+)
+
+
+def _read_ppm(path: str) -> np.ndarray:
+    d = open(path, "rb").read()
+    tok = d.split(None, 4)
+    w, h = int(tok[1]), int(tok[2])
+    idx = d.index(b"255\n") + 4
+    return np.frombuffer(d[idx:idx + w * h * 3], dtype=np.uint8).reshape(
+        h, w, 3
+    ).astype(np.int32)
+
+
+def _rmse(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.sqrt(((a.astype(np.int64) - b.astype(np.int64)) ** 2)
+                         .mean()))
+
+
+def test_dct_round_trip_identity():
+    rng = np.random.default_rng(0)
+    blk = rng.uniform(-128, 127, (8, 8))
+    assert np.allclose(_idct2(_fdct2(blk)), blk, atol=1e-9)
+
+
+def test_conformance_vs_imageio_reference_444():
+    """requests' flower-of-life.jpg (baseline 4:4:4) vs the captured
+    Java ImageIO decode: production decoders agree to ~1 RMSE."""
+    if not os.path.exists(FLOWER):
+        pytest.skip("flower-of-life.jpg not present")
+    ref = _read_ppm(os.path.join(FIXTURES, "flower_jpg_imageio.ppm"))
+    w, h, mine = decode_baseline(open(FLOWER, "rb").read())
+    assert (h, w, 3) == ref.shape == mine.shape
+    assert _rmse(mine, ref) < 1.5
+    assert int(np.abs(mine.astype(np.int64) - ref).max()) <= 4
+
+
+def test_conformance_vs_imageio_reference_420():
+    """CPython's python.jpg (baseline 4:2:0, subsampled chroma) vs the
+    captured ImageIO decode — exercises the Huffman tables, MCU
+    interleave AND the triangular chroma upsampling phase."""
+    src = os.path.join(CPY_DIR, "python.jpg")
+    if not os.path.exists(src):
+        pytest.skip("CPython test image not present")
+    ref = _read_ppm(os.path.join(FIXTURES, "python_jpg_imageio.ppm"))
+    w, h, mine = decode_baseline(open(src, "rb").read())
+    assert (h, w) == (16, 16)
+    assert _rmse(mine, ref) < 2.0
+    assert int(np.abs(mine.astype(np.int64) - ref).max()) <= 10
+
+
+def test_decode_within_source_encoding_loss_of_lossless_twin():
+    """python.jpg vs the exact pixels of its lossless sibling
+    python.ppm: the total error must stay inside plausible JPEG
+    encoding loss for a sharp 16x16 logo — and the LUMA channel
+    (unsubsampled) must be much tighter than the chroma."""
+    jpg = os.path.join(CPY_DIR, "python.jpg")
+    ppm = os.path.join(CPY_DIR, "python.ppm")
+    if not (os.path.exists(jpg) and os.path.exists(ppm)):
+        pytest.skip("CPython test images not present")
+    truth = _read_ppm(ppm)
+    _, _, mine = decode_baseline(open(jpg, "rb").read())
+    assert _rmse(mine, truth) < 18
+    luma = lambda a: (0.299 * a[..., 0] + 0.587 * a[..., 1]  # noqa: E731
+                      + 0.114 * a[..., 2])
+    y_rmse = float(np.sqrt(((luma(mine) - luma(truth)) ** 2).mean()))
+    assert y_rmse < 6
+
+
+def test_decode_spark_bundled_photo():
+    """Spark's own MLlib kitten photos (baseline 4:2:0) decode with
+    sane photo statistics."""
+    src = os.path.join(SPARK_IMGS, "kittens", "DP802813.jpg")
+    if not os.path.exists(src):
+        pytest.skip("Spark MLlib images not present")
+    w, h, px = decode_baseline(open(src, "rb").read())
+    assert (w, h) == (199, 313) and px.shape == (313, 199, 3)
+    assert 50 < float(px.mean()) < 240
+    assert float(px.std()) > 10
+
+
+def test_encoder_round_trip_color_and_gray():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = np.zeros((40, 56, 3), dtype=np.uint8)
+    img[..., 0] = (xx * 4) % 256
+    img[..., 1] = (yy * 6) % 256
+    img[..., 2] = ((xx + yy) * 3) % 256
+    w, h, out = decode_baseline(encode_baseline(img, quality=95))
+    assert (w, h) == (56, 40)
+    assert _rmse(out, img) < 3
+
+    gray = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    w, h, out = decode_baseline(encode_baseline(gray, quality=95))
+    assert out.shape == (40, 56, 1)
+    assert _rmse(out[..., 0], gray) < 3
+
+
+def test_progressive_raises_not_implemented():
+    src = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(src):
+        pytest.skip("progressive fixture not present")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_baseline(open(src, "rb").read())
+
+
+def test_media_pipeline_decodes_real_jpeg(spark):
+    """decode_media routes ffd8 payloads through the JPEG decoder on
+    executors: real third-party pixels through the Arrow path."""
+    if not os.path.exists(FLOWER):
+        pytest.skip("flower-of-life.jpg not present")
+    from web3_flight_rpc_server_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    content = open(FLOWER, "rb").read()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(content), None)], MEDIA_SCHEMA
+    )
+    row = decode_media(media).collect()[0]
+    assert (row.decoded_width, row.decoded_height) == (161, 161)
+    assert row.payload_len == 161 * 161 * 3

@@ -87,11 +87,19 @@ def test_frame_sampling(spark):
 
 
 def test_real_media_bytes_raise_cleanly(spark):
+    # a truncated JPEG reaches the real decoder (r5) and fails its
+    # structural validation rather than silently yielding pixels
     fake_jpeg = spark.createDataFrame(
         [(1, "image", b"\xff\xd8\xff\xe0fakejpeg", None)], MEDIA_SCHEMA
     )
-    with pytest.raises(Exception, match="PIL|SYNM|NotImplementedError"):
+    with pytest.raises(Exception, match="missing SOF|ValueError"):
         decode_media(fake_jpeg).collect()
+    # formats with no stdlib codec still refuse honestly
+    fake_mp3 = spark.createDataFrame(
+        [(1, "audio", b"ID3\x04fakemp3bytes", None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="SYNM|NotImplementedError"):
+        decode_media(fake_mp3).collect()
 
 
 FIXTURES = __file__.rsplit("/", 1)[0] + "/fixtures"

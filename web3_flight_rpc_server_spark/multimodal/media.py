@@ -12,16 +12,19 @@ Design for 100 TB of media:
   the JVM<->Python boundary zero-copy-ish in batches, never row at a
   time, and partitioning is preserved (no shuffle is introduced by a
   decode).
-- the decode step dispatches on magic bytes. Two REAL formats decode
-  with nothing but the standard library: PNG (zlib inflate +
-  per-scanline unfiltering, 8-bit gray/RGB/RGBA) and WAV (RIFF/PCM
-  via the ``wave`` module) — so real image pixels and real PCM
-  samples flow end-to-end through the Arrow path without PIL/av.
-  Formats that genuinely need native codecs (JPEG/MP3/MP4) remain a
-  clearly-marked NotImplementedError, and a deterministic synthetic
-  format ("SYNM") exercises the full plumbing — schema, batch shapes,
-  UDF signatures, feature extraction — for every kind including
-  video.
+- the decode step dispatches on magic bytes. Three REAL formats
+  decode with stdlib + numpy: PNG (zlib inflate + per-scanline
+  unfiltering, 8-bit gray/RGB/RGBA), baseline JPEG (marker parse,
+  Huffman entropy decode, dequant + IDCT, triangular chroma
+  upsampling — multimodal/jpeg.py, conformance-tested against an
+  independent reference decoder on third-party files), and WAV
+  (RIFF/PCM via the ``wave`` module) — so real image pixels and real
+  PCM samples flow end-to-end through the Arrow path without PIL/av.
+  Formats that genuinely need native codecs (progressive JPEG,
+  MP3/MP4) remain a clearly-marked NotImplementedError, and a
+  deterministic synthetic format ("SYNM") exercises the full
+  plumbing — schema, batch shapes, UDF signatures, feature
+  extraction — for every kind including video.
 
 The SYNM format (synthetic, self-describing, versioned):
     b"SYNM" | kind:1 byte (i/a/v) | width:u16 | height:u16 |
@@ -173,12 +176,26 @@ def _codec():
             return png_decode(content)
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             return wav_decode(content)
+        if content[:2] == b"\xff\xd8":
+            # Baseline JPEG decodes for real (multimodal/jpeg.py,
+            # conformance-tested against an independent reference
+            # decoder); progressive raises NotImplementedError at the
+            # exact branch. NOTE: unlike the by-value closures above,
+            # this path imports the package on the worker — fine
+            # wherever the repo is on the workers' python path (all
+            # test/driver shapes here); ship the package via
+            # spark.submit.pyFiles on a real cluster.
+            from web3_flight_rpc_server_spark.multimodal import jpeg
+
+            width, height, px = jpeg.decode_baseline(content)
+            return "image", width, height, 1, px.tobytes()
         if content[:4] != magic:
-            # JPEG/MP3/MP4 etc. genuinely need native codec libraries
-            # (PIL / av / soundfile), which this environment lacks.
+            # MP3/MP4 etc. genuinely need native codec libraries
+            # (av / soundfile), which this environment lacks.
             raise NotImplementedError(
-                "only PNG, WAV and the SYNM synthetic format decode "
-                "without native codec libraries (PIL/av) in this build"
+                "only PNG, baseline JPEG, WAV and the SYNM synthetic "
+                "format decode without native codec libraries (av) in "
+                "this build"
             )
         kind = code_kind[content[4:5]]
         width, height, frames = struct.unpack("<HHH", content[5:11])
