@@ -162,3 +162,42 @@ def test_media_pipeline_decodes_real_jpeg(spark):
     row = decode_media(media).collect()[0]
     assert (row.decoded_width, row.decoded_height) == (161, 161)
     assert row.payload_len == 161 * 161 * 3
+
+
+def test_resize_real_formats_end_to_end(spark):
+    """resize_images is no longer a stub for real formats: a real JPEG
+    and a real PNG decode, bilinear-resample, and re-encode in their
+    own format through the Arrow path, with meta rebuilt."""
+    if not os.path.exists(FLOWER):
+        pytest.skip("flower-of-life.jpg not present")
+    from web3_flight_rpc_server_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    png_path = os.path.join(FIXTURES, "gradient_f0.png")
+    rows = [
+        (1, "image", bytearray(open(FLOWER, "rb").read()), None),
+        (2, "image", bytearray(open(png_path, "rb").read()), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(media, 48, 32).collect()}
+
+    jw, jh, jpx = decode_baseline(bytes(out[1].content))
+    assert (jw, jh) == (48, 32) and out[1].meta.format == "jpeg"
+    assert out[1].meta.width == 48 and out[1].meta.height == 32
+
+    png = bytes(out[2].content)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    import struct as _s
+
+    w, h = _s.unpack(">II", png[16:24])
+    assert (w, h) == (48, 32)
+    assert out[2].meta.format == "png"
+    # decodes cleanly through the repo's own PNG path too
+    from web3_flight_rpc_server_spark.multimodal.media import _codec
+
+    _, dec = _codec()
+    kind, dw, dh, _f, payload = dec(png)
+    assert (kind, dw, dh) == ("image", 48, 32)
+    assert len(payload) % (48 * 32) == 0

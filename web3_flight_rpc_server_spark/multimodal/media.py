@@ -311,10 +311,58 @@ def byte_histogram_features(media: DataFrame, bins: int = 64) -> DataFrame:
     return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
 
 
+def _resize_bilinear(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """(h, w, c) uint8 -> (height, width, c) uint8, bilinear."""
+    h, w = px.shape[:2]
+    ys = np.linspace(0, h - 1, height)
+    xs = np.linspace(0, w - 1, width)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    p = px.astype(np.float64)
+    out = (
+        p[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + p[np.ix_(y0, x1)] * (1 - fy) * fx
+        + p[np.ix_(y1, x0)] * fy * (1 - fx)
+        + p[np.ix_(y1, x1)] * fy * fx
+    )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _png_encode(px: np.ndarray) -> bytes:
+    """Minimal PNG writer: 8-bit gray/RGB/RGBA, filter 0, one IDAT."""
+    import zlib
+
+    h, w, c = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize. STUB for real formats (needs PIL); for SYNM blobs
-    the payload is re-sampled deterministically so the plumbing —
-    binary in, binary out, meta updated — is exercised end to end."""
+    """Image resize — REAL for PNG and baseline JPEG payloads since
+    r5 (decode, numpy bilinear resample, re-encode in the same
+    format); SYNM blobs keep the deterministic payload re-sampling.
+    Non-image rows pass through untouched. Like the JPEG decode path,
+    the real-format branches import the package on the worker (ship
+    via spark.submit.pyFiles on a real cluster); the SYNM path stays
+    fully by-value."""
 
     _synm_encode_unused, _synm_decode = _codec()
 
@@ -327,7 +375,43 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             contents = []
             metas = []
             for content, meta in zip(pdf["content"], pdf["meta"]):
-                kind, _w, _h, frames, payload = _synm_decode(bytes(content))
+                data = bytes(content)
+                if data[:2] == b"\xff\xd8":
+                    from web3_flight_rpc_server_spark.multimodal import (
+                        jpeg,
+                        media as _m,
+                    )
+
+                    _w, _h, px = jpeg.decode_baseline(data)
+                    resized = _m._resize_bilinear(px, width, height)
+                    new_content = jpeg.encode_baseline(resized, quality=90)
+                    contents.append(new_content)
+                    metas.append({
+                        "format": "jpeg", "width": width,
+                        "height": height, "n_frames": 1,
+                        "n_bytes": len(new_content),
+                    })
+                    continue
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    from web3_flight_rpc_server_spark.multimodal import (
+                        media as _m,
+                    )
+
+                    _k, _w, _h, _f, payload = _synm_decode(data)
+                    ch = len(payload) // (_w * _h)
+                    px = np.frombuffer(
+                        payload, dtype=np.uint8
+                    ).reshape(_h, _w, ch)
+                    resized = _m._resize_bilinear(px, width, height)
+                    new_content = _m._png_encode(resized)
+                    contents.append(new_content)
+                    metas.append({
+                        "format": "png", "width": width,
+                        "height": height, "n_frames": 1,
+                        "n_bytes": len(new_content),
+                    })
+                    continue
+                kind, _w, _h, frames, payload = _synm_decode(data)
                 if kind != "image":
                     contents.append(content)
                     metas.append(meta)
