@@ -152,3 +152,49 @@ def test_real_wav_decodes_pcm_stats(spark):
     assert row.decoded_width == 1        # channels
     assert row.decoded_height == 8000    # sample rate
     assert row.payload_len == 64 * 2     # frames x 16-bit
+
+
+def test_audio_features_recover_known_tone(spark):
+    """Real DSP features through the Arrow path: the committed
+    tone.wav is a 500 Hz square wave at 8 kHz (period 16 samples), so
+    the dominant rFFT bin must land exactly at 500 Hz with a spectral
+    centroid above it (square waves carry odd harmonics); a
+    synthesized pure sine's centroid collapses onto its own
+    frequency."""
+    import io
+    import math
+    import struct as _s
+    import wave as _w
+
+    from web3_flight_rpc_server_spark.multimodal.media import audio_features
+
+    # pure 1 kHz sine, 8 kHz, 1024 samples
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(
+            _s.pack("<h", int(20000 * math.sin(2 * math.pi * 1000 * i / 8000)))
+            for i in range(1024)
+        ))
+    media = _fixture_df(spark, "tone.wav")
+    sine = spark.createDataFrame(
+        [(99, "audio", buf.getvalue(), None)], MEDIA_SCHEMA
+    )
+    rows = {
+        r.media_id: r
+        for r in audio_features(media.unionByName(sine)).collect()
+    }
+
+    tone = rows[0]
+    assert tone.sample_rate == 8000 and tone.n_samples == 64
+    assert tone.dominant_freq_hz == pytest.approx(500.0)
+    assert tone.spectral_centroid_hz > 600  # odd harmonics pull it up
+    assert 0.3 < tone.rms < 0.5  # +-12000/32768 square
+    assert tone.zero_crossing_rate == pytest.approx(7 / 63)
+
+    s = rows[99]
+    assert s.dominant_freq_hz == pytest.approx(1000.0, abs=8)
+    assert s.spectral_centroid_hz == pytest.approx(1000.0, abs=30)
+    assert s.rms == pytest.approx(20000 / 32768 / math.sqrt(2), rel=0.02)

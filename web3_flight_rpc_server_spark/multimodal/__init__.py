@@ -1,6 +1,7 @@
 from .media import (  # noqa: F401
     MEDIA_META_SCHEMA,
     MEDIA_SCHEMA,
+    audio_features,
     byte_histogram_features,
     decode_media,
     frame_sample,

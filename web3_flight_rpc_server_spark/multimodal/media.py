@@ -465,3 +465,79 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(
         sample, schema=FRAMES_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples int, rms double, "
+    "dominant_freq_hz double, spectral_centroid_hz double, "
+    "zero_crossing_rate double"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real signal features from WAV payloads (numpy FFT — no codec
+    libs): normalized RMS energy, dominant frequency (argmax of the
+    rFFT magnitude, DC excluded), spectral centroid, and zero-crossing
+    rate. These are the cheap gates an audio curation pipeline filters
+    on before any expensive model runs — silence (rms ~ 0), test
+    tones (centroid == dominant), clipped/noisy captures (high ZCR
+    with flat spectrum). Rows whose payload is not RIFF/WAVE are
+    skipped (SYNM audio has no meaningful sample semantics). Fully
+    by-value: the closure carries only stdlib + numpy."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as _wave
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "rms": [], "dominant_freq_hz": [],
+                "spectral_centroid_hz": [], "zero_crossing_rate": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                    continue
+                with _wave.open(io.BytesIO(data), "rb") as w:
+                    n_ch = w.getnchannels()
+                    rate = w.getframerate()
+                    width = w.getsampwidth()
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                if width == 2:
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    pcm /= 32768.0
+                elif width == 1:  # 8-bit WAV is unsigned
+                    pcm = (np.frombuffer(raw, dtype=np.uint8)
+                           .astype(np.float64) - 128.0) / 128.0
+                else:
+                    raise NotImplementedError(
+                        f"{8 * width}-bit WAV (only 8/16-bit PCM here)"
+                    )
+                if n_ch > 1:
+                    pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+                if pcm.size == 0:
+                    continue
+                mag = np.abs(np.fft.rfft(pcm))
+                freqs = np.fft.rfftfreq(pcm.size, d=1.0 / rate)
+                ac = mag.copy()
+                ac[0] = 0.0  # exclude DC from the dominant pick
+                dom = float(freqs[int(ac.argmax())]) if ac.any() else 0.0
+                tot = float(ac.sum())
+                centroid = float((freqs * ac).sum() / tot) if tot else 0.0
+                zc = float(
+                    (np.diff(np.signbit(pcm)) != 0).mean()
+                ) if pcm.size > 1 else 0.0
+                rows["media_id"].append(media_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(int(pcm.size))
+                rows["rms"].append(float(np.sqrt((pcm ** 2).mean())))
+                rows["dominant_freq_hz"].append(dom)
+                rows["spectral_centroid_hz"].append(centroid)
+                rows["zero_crossing_rate"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        featurize, schema=AUDIO_FEATURES_SCHEMA
+    )
