@@ -198,3 +198,60 @@ def test_audio_features_recover_known_tone(spark):
     assert s.dominant_freq_hz == pytest.approx(1000.0, abs=8)
     assert s.spectral_centroid_hz == pytest.approx(1000.0, abs=30)
     assert s.rms == pytest.approx(20000 / 32768 / math.sqrt(2), rel=0.02)
+
+
+AIFF_SINE = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/Sine-1000Hz-300ms.aif"
+GSUTIL_MP3 = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+              "test_data/test.mp3")
+
+
+def test_third_party_aiff_decodes_and_features_recover_1khz(spark):
+    """CPython's Sine-1000Hz-300ms.aif (stereo 48 kHz AIFF, NOT made
+    by this repo): the stdlib aifc path decodes it through the Arrow
+    pipeline and the FFT features recover exactly the advertised
+    1 kHz tone."""
+    import os
+
+    from web3_flight_rpc_server_spark.multimodal.media import audio_features
+
+    if not os.path.exists(AIFF_SINE):
+        pytest.skip("CPython AIFF fixture not present")
+    blob = open(AIFF_SINE, "rb").read()
+    media = spark.createDataFrame(
+        [(7, "audio", blob, None)], MEDIA_SCHEMA
+    )
+    row = decode_media(media).collect()[0]
+    assert (row.decoded_kind, row.decoded_width, row.decoded_height) == (
+        "audio", 2, 48000
+    )
+    feat = audio_features(media).collect()[0]
+    assert feat.sample_rate == 48000 and feat.n_samples == 14400
+    assert feat.dominant_freq_hz == pytest.approx(1000.0, abs=4)
+    assert feat.spectral_centroid_hz == pytest.approx(1000.0, abs=40)
+
+
+def test_mp3_metadata_parses_real_file():
+    """gsutil's real-world test.mp3: frame headers parse to a
+    consistent (duration, bitrate, size) triple without decoding a
+    single sample."""
+    import os
+
+    from web3_flight_rpc_server_spark.multimodal.containers import (
+        mp3_metadata,
+    )
+
+    if not os.path.exists(GSUTIL_MP3):
+        pytest.skip("gsutil mp3 fixture not present")
+    data = open(GSUTIL_MP3, "rb").read()
+    meta = mp3_metadata(data)
+    assert meta["has_id3"]
+    assert meta["sample_rate"] in (8000, 11025, 12000, 16000, 22050,
+                                   24000, 32000, 44100, 48000)
+    assert meta["n_frames"] > 10
+    assert meta["duration_s"] > 0.1
+    # identity: duration * bitrate ~ audio payload size (frames only)
+    audio_bytes = meta["duration_s"] * meta["avg_bitrate_kbps"] * 1000 / 8
+    assert audio_bytes == pytest.approx(len(data), rel=0.25)
+
+    with pytest.raises(ValueError, match="no valid MP3"):
+        mp3_metadata(b"ID3\x03\x00\x00\x00\x00\x00\x05junk-no-frames")

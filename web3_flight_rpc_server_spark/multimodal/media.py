@@ -17,14 +17,16 @@ Design for 100 TB of media:
   unfiltering, 8-bit gray/RGB/RGBA), baseline JPEG (marker parse,
   Huffman entropy decode, dequant + IDCT, triangular chroma
   upsampling — multimodal/jpeg.py, conformance-tested against an
-  independent reference decoder on third-party files), and WAV
-  (RIFF/PCM via the ``wave`` module) — so real image pixels and real
-  PCM samples flow end-to-end through the Arrow path without PIL/av.
-  Formats that genuinely need native codecs (progressive JPEG,
-  MP3/MP4) remain a clearly-marked NotImplementedError, and a
-  deterministic synthetic format ("SYNM") exercises the full
-  plumbing — schema, batch shapes, UDF signatures, feature
-  extraction — for every kind including video.
+  independent reference decoder on third-party files), and WAV/AIFF
+  (RIFF and FORM PCM via the ``wave``/``aifc`` modules) — so real
+  image pixels and real PCM samples flow end-to-end through the Arrow
+  path without PIL/av. MP3 parses to metadata (frame count, duration,
+  bitrate — multimodal/containers.py) without decoding; formats that
+  genuinely need native codecs (progressive JPEG, MP3 synthesis, MP4)
+  remain a clearly-marked NotImplementedError, and a deterministic
+  synthetic format ("SYNM") exercises the full plumbing — schema,
+  batch shapes, UDF signatures, feature extraction — for every kind
+  including video.
 
 The SYNM format (synthetic, self-describing, versioned):
     b"SYNM" | kind:1 byte (i/a/v) | width:u16 | height:u16 |
@@ -171,11 +173,37 @@ def _codec():
             payload = w.readframes(n)
         return "audio", n_ch, rate, n, payload
 
+    def aiff_decode(data: bytes) -> tuple[str, int, int, int, bytes]:
+        """Stdlib AIFF/AIFC decode via ``aifc`` (same column
+        conventions as WAV); payload is the PCM byte stream AS STORED
+        — big-endian for AIFF, unlike WAV's little-endian. Compressed
+        AIFC variants raise NotImplementedError."""
+        import io
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc
+
+        with aifc.open(io.BytesIO(data), "rb") as a:
+            if a.getcomptype() not in (b"NONE",):
+                raise NotImplementedError(
+                    f"AIFC compression {a.getcomptype()!r}: only "
+                    "uncompressed PCM decodes without native libs"
+                )
+            n_ch = a.getnchannels()
+            rate = a.getframerate()
+            n = a.getnframes()
+            payload = a.readframes(n)
+        return "audio", n_ch, rate, n, payload
+
     def decode(content: bytes) -> tuple[str, int, int, int, bytes]:
         if content[:8] == b"\x89PNG\r\n\x1a\n":
             return png_decode(content)
         if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
             return wav_decode(content)
+        if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+            return aiff_decode(content)
         if content[:2] == b"\xff\xd8":
             # Baseline JPEG decodes for real (multimodal/jpeg.py,
             # conformance-tested against an independent reference
@@ -497,23 +525,54 @@ def audio_features(media: DataFrame) -> DataFrame:
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 data = bytes(content)
-                if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+                is_wav = data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+                is_aiff = (data[:4] == b"FORM"
+                           and data[8:12] in (b"AIFF", b"AIFC"))
+                if not (is_wav or is_aiff):
                     continue
-                with _wave.open(io.BytesIO(data), "rb") as w:
-                    n_ch = w.getnchannels()
-                    rate = w.getframerate()
-                    width = w.getsampwidth()
-                    n = w.getnframes()
-                    raw = w.readframes(n)
+                if is_wav:
+                    with _wave.open(io.BytesIO(data), "rb") as w:
+                        n_ch = w.getnchannels()
+                        rate = w.getframerate()
+                        width = w.getsampwidth()
+                        n = w.getnframes()
+                        raw = w.readframes(n)
+                    endian = "<"
+                else:
+                    import warnings as _warnings
+
+                    with _warnings.catch_warnings():
+                        _warnings.simplefilter(
+                            "ignore", DeprecationWarning
+                        )
+                        import aifc as _aifc
+                    with _aifc.open(io.BytesIO(data), "rb") as a:
+                        if a.getcomptype() != b"NONE":
+                            raise NotImplementedError(
+                                f"AIFC compression {a.getcomptype()!r}"
+                            )
+                        n_ch = a.getnchannels()
+                        rate = a.getframerate()
+                        width = a.getsampwidth()
+                        n = a.getnframes()
+                        raw = a.readframes(n)
+                    endian = ">"  # AIFF PCM is big-endian
                 if width == 2:
-                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    pcm = np.frombuffer(
+                        raw, dtype=endian + "i2"
+                    ).astype(np.float64)
                     pcm /= 32768.0
-                elif width == 1:  # 8-bit WAV is unsigned
-                    pcm = (np.frombuffer(raw, dtype=np.uint8)
-                           .astype(np.float64) - 128.0) / 128.0
+                elif width == 1:  # 8-bit WAV is unsigned; AIFF signed
+                    if is_wav:
+                        pcm = (np.frombuffer(raw, dtype=np.uint8)
+                               .astype(np.float64) - 128.0) / 128.0
+                    else:
+                        pcm = np.frombuffer(
+                            raw, dtype=np.int8
+                        ).astype(np.float64) / 128.0
                 else:
                     raise NotImplementedError(
-                        f"{8 * width}-bit WAV (only 8/16-bit PCM here)"
+                        f"{8 * width}-bit PCM (only 8/16-bit here)"
                     )
                 if n_ch > 1:
                     pcm = pcm.reshape(-1, n_ch).mean(axis=1)
