@@ -161,3 +161,66 @@ def test_uncapped_index_has_no_stats_surface(spark, tmp_path):
     assert dedup_against_index(
         _docs(spark, [(9, UNIQUE + " tail")]), path, threshold=0.5
     ).count() > 0
+
+
+def test_streaming_ingest_bootstraps_and_enforces_cap(spark, tmp_path):
+    """The streaming ingest loop carries the cap end-to-end. The
+    corpus shape matters: detectable near-dups never accumulate (the
+    dedup loop rejects them), so the quarantine exists for
+    SUB-THRESHOLD templates — docs similar enough to share band
+    buckets (J ~ 0.94, per-band collision ~0.78) but below the dedup
+    threshold (0.98), which stay admitted forever and pile into the
+    same buckets. The bootstrap records max_bucket in the manifest,
+    populations accumulate across micro-batches, and the ledger
+    reports the over-cap buckets."""
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        streaming_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "idx")
+    kept_batches = []
+
+    words = [f"w{j}" for j in range(100)]
+
+    def doc(i):
+        # every doc changes THE SAME position to a doc-unique token:
+        # pairwise shingle Jaccard ~ 95/101 ~ 0.94 for all pairs
+        toks = list(words)
+        toks[50] = f"x{i}"
+        return " ".join(toks)
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    drop("b1", [(i, doc(i)) for i in range(6)])
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = streaming_ingest(
+        stream, path, str(tmp_path / "ckpt"),
+        threshold=0.98, max_bucket=8,
+        on_kept=lambda df, bid: kept_batches.append(
+            {r.doc_id for r in df.collect()}
+        ),
+    )
+    try:
+        q.processAllAvailable()
+        assert _read_manifest(spark, path).max_bucket == 8
+        # sub-threshold: every template variant is admitted
+        assert set().union(*kept_batches) == set(range(6))
+        assert index_hot_buckets(spark, path).count() == 0
+
+        drop("b2", [(100 + i, doc(100 + i)) for i in range(12)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert set().union(*kept_batches) >= {100 + i for i in range(12)}
+    hot = index_hot_buckets(spark, path)
+    # populations accumulated across micro-batches and crossed the cap
+    assert hot.count() > 0
+    assert hot.where(F.col("n_docs") <= 8).count() == 0
