@@ -255,3 +255,107 @@ def test_mp3_metadata_parses_real_file():
 
     with pytest.raises(ValueError, match="no valid MP3"):
         mp3_metadata(b"ID3\x03\x00\x00\x00\x00\x00\x05junk-no-frames")
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _minimal_mp4(duration_units=9000, timescale=600, w=640, h=360) -> bytes:
+    """Synthesized minimal ISO-BMFF tree (ftyp + moov(mvhd + trak(
+    tkhd))) — no real MP4 ships in this environment, so this fixture
+    validates STRUCTURAL parsing only (the docstring of mp4_metadata
+    says so explicitly)."""
+    import struct as _s
+
+    mvhd = _s.pack(">B3x", 0) + b"\x00" * 8 + _s.pack(
+        ">II", timescale, duration_units
+    ) + b"\x00" * 80
+    tkhd = _s.pack(">B3x", 0) + b"\x00" * 72 + _s.pack(
+        ">II", w << 16, h << 16
+    )
+    moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(
+        b"trak", _mp4_box(b"tkhd", tkhd)
+    )
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _mp4_box(
+        b"moov", moov
+    )
+
+
+def test_mp4_box_parse_and_probe_media_triage(spark):
+    """probe_media: one header-only pass over a mixed-format corpus —
+    real PNG/WAV fixtures, the real gsutil MP3, a synthesized MP4 box
+    tree, a SYNM blob, and a corrupt payload — classifying every row
+    without decoding a sample and without dying on the junk."""
+    import os
+
+    from web3_flight_rpc_server_spark.multimodal.containers import (
+        mp4_metadata,
+        probe_media,
+    )
+
+    mp4 = _minimal_mp4()
+    meta = mp4_metadata(mp4)
+    assert meta == {"brand": "isom", "duration_s": 15.0,
+                    "width": 640, "height": 360}
+
+    rows = [
+        (0, "image", open(f"{FIXTURES}/gradient_f0.png", "rb").read(), None),
+        (1, "audio", open(f"{FIXTURES}/tone.wav", "rb").read(), None),
+        (2, "video", mp4, None),
+        (3, "video", b"\x00\x01garbage-not-a-container", None),
+    ]
+    if os.path.exists(GSUTIL_MP3):
+        rows.append((4, "audio", open(GSUTIL_MP3, "rb").read(), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in probe_media(media).collect()}
+
+    assert (out[0].format, out[0].width, out[0].height) == ("png", 8, 5)
+    assert (out[1].format, out[1].sample_rate, out[1].n_frames) == (
+        "wav", 8000, 64
+    )
+    assert out[1].duration_s == pytest.approx(0.008)
+    assert (out[2].format, out[2].width, out[2].height,
+            out[2].duration_s) == ("mp4", 640, 360, 15.0)
+    assert out[3].format == "unknown"
+    if 4 in out:
+        assert out[4].format == "mp3"
+        assert out[4].duration_s == pytest.approx(1.176)
+        assert out[4].bitrate_kbps == pytest.approx(64.0)
+
+
+def test_probe_media_jpeg_dims_without_decode(spark):
+    """JPEG dims from the SOF marker alone — including progressive
+    files the full decoder refuses: triage still classifies them."""
+    import os
+
+    from web3_flight_rpc_server_spark.multimodal.containers import (
+        probe_media,
+    )
+
+    flower = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+              "requests/ext/flower-of-life.jpg")
+    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    rows = []
+    if os.path.exists(flower):
+        rows.append((1, "image", open(flower, "rb").read(), None))
+    if os.path.exists(prog):
+        rows.append((2, "image", open(prog, "rb").read(), None))
+    if not rows:
+        pytest.skip("no third-party jpegs present")
+    out = {
+        r.media_id: r
+        for r in probe_media(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    if 1 in out:
+        assert (out[1].format, out[1].width, out[1].height) == (
+            "jpeg", 161, 161
+        )
+    if 2 in out:
+        assert (out[2].format, out[2].width, out[2].height) == (
+            "jpeg-progressive", 493, 58
+        )

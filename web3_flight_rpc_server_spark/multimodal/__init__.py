@@ -1,3 +1,8 @@
+from .containers import (  # noqa: F401
+    mp3_metadata,
+    mp4_metadata,
+    probe_media,
+)
 from .media import (  # noqa: F401
     MEDIA_META_SCHEMA,
     MEDIA_SCHEMA,

@@ -84,3 +84,176 @@ def mp3_metadata(data: bytes) -> dict:
         "avg_bitrate_kbps": round(bits / duration / 1000.0, 1),
         "has_id3": has_id3,
     }
+
+
+def mp4_metadata(data: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) box walk — ISO 14496-12 structure only, no
+    sample decoding: top-level boxes to ``moov``, then ``mvhd`` for
+    timescale/duration and the first ``trak``'s ``tkhd`` for display
+    dims (16.16 fixed point). Returns {duration_s, width, height,
+    brand}; raises ValueError when the box structure is absent/broken.
+
+    No real MP4 ships in this environment, so the test fixture is a
+    synthesized minimal box tree (tests/test_multimodal.py notes
+    this explicitly) — unlike the MP3/JPEG/AIFF paths, conformance
+    here is structural, not cross-decoder."""
+    import struct as _s
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = _s.unpack(">I", buf[pos:pos + 4])
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = _s.unpack(">Q", buf[pos + 8:pos + 16])
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("broken MP4 box structure")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    brand = data[8:12].decode("ascii", "replace")
+    duration_s = None
+    width = height = None
+    for btype, b0, b1 in walk(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ityp, i0, i1 in walk(data, b0, b1):
+            if ityp == b"mvhd":
+                ver = data[i0]
+                if ver == 1:
+                    timescale, = _s.unpack(">I", data[i0 + 20:i0 + 24])
+                    dur, = _s.unpack(">Q", data[i0 + 24:i0 + 32])
+                else:
+                    timescale, = _s.unpack(">I", data[i0 + 12:i0 + 16])
+                    dur, = _s.unpack(">I", data[i0 + 16:i0 + 20])
+                if timescale:
+                    duration_s = round(dur / timescale, 3)
+            elif ityp == b"trak" and width is None:
+                for ttyp, t0, t1 in walk(data, i0, i1):
+                    if ttyp == b"tkhd":
+                        # width/height: last 8 bytes, 16.16 fixed
+                        w_fx, h_fx = _s.unpack(">II", data[t1 - 8:t1])
+                        if w_fx and h_fx:
+                            width, height = w_fx >> 16, h_fx >> 16
+    if duration_s is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return {"brand": brand, "duration_s": duration_s,
+            "width": width, "height": height}
+
+
+PROBE_SCHEMA = (
+    "media_id bigint, format string, width int, height int, "
+    "duration_s double, sample_rate int, n_channels int, "
+    "n_frames int, bitrate_kbps double"
+)
+
+
+def probe_media(media):
+    """HEADER-ONLY metadata triage across every format the engine
+    knows — the first pass a 100 TB media corpus runs, before any
+    decode: JPEG dims come from the SOF marker (no entropy decode),
+    PNG from IHDR, WAV/AIFF from the container header, MP3 from the
+    frame-header walk, MP4 from the box tree, SYNM from its header.
+    Unknown payloads surface as format='unknown' rows rather than
+    errors (triage must not die on one corrupt upload). Each field is
+    null where the format has no such concept."""
+    import struct as _s
+    from typing import Iterator
+
+    import pandas as pd
+
+    def probe_one(data: bytes) -> dict:
+        out = {"format": "unknown", "width": None, "height": None,
+               "duration_s": None, "sample_rate": None,
+               "n_channels": None, "n_frames": None,
+               "bitrate_kbps": None}
+        try:
+            if data[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h = _s.unpack(">II", data[16:24])
+                out.update(format="png", width=w, height=h, n_frames=1)
+            elif data[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 < len(data):
+                    if data[i] != 0xFF:
+                        i += 1
+                        continue
+                    m = data[i + 1]
+                    if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD9:
+                        i += 2 if m != 0xFF else 1
+                        continue
+                    ln, = _s.unpack(">H", data[i + 2:i + 4])
+                    if m in (0xC0, 0xC1, 0xC2):
+                        h, w = _s.unpack(">HH", data[i + 5:i + 9])
+                        out.update(
+                            format="jpeg-progressive" if m == 0xC2
+                            else "jpeg", width=w, height=h, n_frames=1,
+                        )
+                        break
+                    i += 2 + ln
+            elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(data), "rb") as w:
+                    out.update(
+                        format="wav", sample_rate=w.getframerate(),
+                        n_channels=w.getnchannels(),
+                        n_frames=w.getnframes(),
+                        duration_s=round(
+                            w.getnframes() / w.getframerate(), 3
+                        ) if w.getframerate() else None,
+                    )
+            elif data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+                import io
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", DeprecationWarning)
+                    import aifc
+                with aifc.open(io.BytesIO(data), "rb") as a:
+                    out.update(
+                        format="aiff", sample_rate=a.getframerate(),
+                        n_channels=a.getnchannels(),
+                        n_frames=a.getnframes(),
+                        duration_s=round(
+                            a.getnframes() / a.getframerate(), 3
+                        ) if a.getframerate() else None,
+                    )
+            elif data[:3] == b"ID3" or (
+                len(data) > 2 and data[0] == 0xFF
+                and (data[1] & 0xE0) == 0xE0
+            ):
+                m = mp3_metadata(data)
+                out.update(
+                    format="mp3", sample_rate=m["sample_rate"],
+                    n_frames=m["n_frames"],
+                    duration_s=m["duration_s"],
+                    bitrate_kbps=m["avg_bitrate_kbps"],
+                )
+            elif len(data) >= 12 and data[4:8] == b"ftyp":
+                m = mp4_metadata(data)
+                out.update(
+                    format="mp4", width=m["width"], height=m["height"],
+                    duration_s=m["duration_s"],
+                )
+            elif data[:4] == b"SYNM":
+                w, h, f = _s.unpack("<HHH", data[5:11])
+                out.update(format="synm", width=w, height=h, n_frames=f)
+        except Exception:
+            pass  # triage: corrupt payloads stay format='unknown'
+        return out
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [probe_one(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(probe, schema=PROBE_SCHEMA)
