@@ -359,3 +359,90 @@ def test_probe_media_jpeg_dims_without_decode(spark):
         assert (out[2].format, out[2].width, out[2].height) == (
             "jpeg-progressive", 493, 58
         )
+
+
+IMGDATA = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/imghdrdata"
+
+
+def _read_ppm(path):
+    import numpy as np
+
+    d = open(path, "rb").read()
+    tok = d.split(None, 4)
+    w, h = int(tok[1]), int(tok[2])
+    idx = d.index(b"255\n") + 4
+    return np.frombuffer(d[idx:idx + w * h * 3], dtype=np.uint8).reshape(
+        h, w, 3
+    )
+
+
+def test_bmp_decodes_pixel_exact_vs_lossless_twin(spark):
+    """CPython's python.bmp (32-bit BI_BITFIELDS) is lossless, so the
+    decode must match its PPM sibling byte-for-byte — the strongest
+    conformance bar any codec here has."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(f"{IMGDATA}/python.bmp"):
+        pytest.skip("CPython test images not present")
+    from web3_flight_rpc_server_spark.multimodal.media import _codec
+
+    _, dec = _codec()
+    kind, w, h, _f, payload = dec(open(f"{IMGDATA}/python.bmp", "rb").read())
+    assert (kind, w, h) == ("image", 16, 16)
+    truth = _read_ppm(f"{IMGDATA}/python.ppm")
+    got = np.frombuffer(payload, dtype=np.uint8).reshape(16, 16, 3)
+    assert (got == truth).all()
+
+
+def test_gif_decodes_pixel_exact_vs_imageio(spark):
+    """CPython's python.gif through the LZW decoder vs the captured
+    Java ImageIO decode (tests/fixtures/python_gif_imageio.ppm):
+    pixel-exact on all 256 pixels, transparent ones included (both
+    decoders surface the palette color there)."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(f"{IMGDATA}/python.gif"):
+        pytest.skip("CPython test images not present")
+    from web3_flight_rpc_server_spark.multimodal.media import _codec
+
+    _, dec = _codec()
+    kind, w, h, _f, payload = dec(open(f"{IMGDATA}/python.gif", "rb").read())
+    assert (kind, w, h) == ("image", 16, 16)
+    ref = _read_ppm(
+        f"{__file__.rsplit('/', 1)[0]}/fixtures/python_gif_imageio.ppm"
+    )
+    got = np.frombuffer(payload, dtype=np.uint8).reshape(16, 16, 3)
+    assert (got == ref).all()
+
+
+def test_probe_media_gif_bmp_webp_dims(spark):
+    """Header-only triage covers the palette/RIFF image formats too,
+    on real third-party files (incl. the VP8X WebP the full decoder
+    has no codec for)."""
+    import os
+
+    from web3_flight_rpc_server_spark.multimodal.containers import (
+        probe_media,
+    )
+
+    names = ["python.gif", "python.bmp", "python.webp"]
+    rows = []
+    for i, name in enumerate(names):
+        p = f"{IMGDATA}/{name}"
+        if os.path.exists(p):
+            rows.append((i, "image", open(p, "rb").read(), None))
+    if not rows:
+        pytest.skip("CPython test images not present")
+    out = {
+        r.media_id: r
+        for r in probe_media(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    fmts = {0: "gif", 1: "bmp", 2: "webp"}
+    for i, r in out.items():
+        assert (r.format, r.width, r.height) == (fmts[i], 16, 16)

@@ -242,6 +242,32 @@ def probe_media(media):
                     format="mp4", width=m["width"], height=m["height"],
                     duration_s=m["duration_s"],
                 )
+            elif data[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = _s.unpack("<HH", data[6:10])
+                out.update(format="gif", width=w, height=h)
+            elif data[:2] == b"BM" and len(data) > 26:
+                w, h = _s.unpack("<ii", data[18:26])
+                out.update(format="bmp", width=w, height=abs(h),
+                           n_frames=1)
+            elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                chunk = data[12:16]
+                if chunk == b"VP8X":
+                    w = 1 + int.from_bytes(data[24:27], "little")
+                    h = 1 + int.from_bytes(data[27:30], "little")
+                    out.update(format="webp", width=w, height=h)
+                elif chunk == b"VP8L":
+                    bits = int.from_bytes(data[21:25], "little")
+                    out.update(
+                        format="webp",
+                        width=(bits & 0x3FFF) + 1,
+                        height=((bits >> 14) & 0x3FFF) + 1,
+                    )
+                elif chunk == b"VP8 ":
+                    w, h = _s.unpack("<HH", data[26:30])
+                    out.update(format="webp", width=w & 0x3FFF,
+                               height=h & 0x3FFF)
+                else:
+                    out.update(format="webp")
             elif data[:4] == b"SYNM":
                 w, h, f = _s.unpack("<HHH", data[5:11])
                 out.update(format="synm", width=w, height=h, n_frames=f)

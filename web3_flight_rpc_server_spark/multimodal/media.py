@@ -12,15 +12,17 @@ Design for 100 TB of media:
   the JVM<->Python boundary zero-copy-ish in batches, never row at a
   time, and partitioning is preserved (no shuffle is introduced by a
   decode).
-- the decode step dispatches on magic bytes. Three REAL formats
-  decode with stdlib + numpy: PNG (zlib inflate + per-scanline
-  unfiltering, 8-bit gray/RGB/RGBA), baseline JPEG (marker parse,
-  Huffman entropy decode, dequant + IDCT, triangular chroma
-  upsampling — multimodal/jpeg.py, conformance-tested against an
-  independent reference decoder on third-party files), and WAV/AIFF
-  (RIFF and FORM PCM via the ``wave``/``aifc`` modules) — so real
-  image pixels and real PCM samples flow end-to-end through the Arrow
-  path without PIL/av. MP3 parses to metadata (frame count, duration,
+- the decode step dispatches on magic bytes. Six REAL formats decode
+  with stdlib + numpy: PNG (zlib inflate + per-scanline unfiltering,
+  8-bit gray/RGB/RGBA), baseline JPEG (marker parse, Huffman entropy
+  decode, dequant + IDCT, triangular chroma upsampling —
+  multimodal/jpeg.py, conformance-tested against an independent
+  reference decoder on third-party files), GIF (LZW with variable
+  code width + de-interlacing, pixel-exact vs the same reference
+  decoder), BMP (24/32-bit incl. BI_BITFIELDS, pixel-exact vs a
+  lossless third-party twin), and WAV/AIFF (RIFF and FORM PCM via the
+  ``wave``/``aifc`` modules) — so real image pixels and real PCM
+  samples flow end-to-end through the Arrow path without PIL/av. MP3 parses to metadata (frame count, duration,
   bitrate — multimodal/containers.py) without decoding; formats that
   genuinely need native codecs (progressive JPEG, MP3 synthesis, MP4)
   remain a clearly-marked NotImplementedError, and a deterministic
@@ -173,6 +175,152 @@ def _codec():
             payload = w.readframes(n)
         return "audio", n_ch, rate, n, payload
 
+    def bmp_decode(data: bytes) -> tuple[str, int, int, int, bytes]:
+        """Stdlib+numpy BMP decode: uncompressed 24-bit BI_RGB and
+        32-bit BI_RGB/BI_BITFIELDS (byte-aligned masks), bottom-up or
+        top-down rows; payload is RGB bytes (alpha dropped). Decodes
+        CPython's shipped python.bmp PIXEL-EXACT against its lossless
+        PPM twin (tests/test_multimodal.py)."""
+        (off,) = struct.unpack("<I", data[10:14])
+        w, h_signed = struct.unpack("<ii", data[18:26])
+        (bpp,) = struct.unpack("<H", data[28:30])
+        (comp,) = struct.unpack("<I", data[30:34])
+        top_down = h_signed < 0
+        h = abs(h_signed)
+        if bpp == 32 and comp in (0, 3):
+            if comp == 3:  # BI_BITFIELDS: masks follow the core header
+                rmask, gmask, bmask = struct.unpack("<III", data[54:66])
+            else:
+                rmask, gmask, bmask = 0xFF0000, 0xFF00, 0xFF
+            px = np.frombuffer(
+                data[off:off + w * h * 4], dtype="<u4"
+            ).reshape(h, w)
+
+            def ext(mask: int) -> np.ndarray:
+                shift = (mask & -mask).bit_length() - 1
+                return ((px & mask) >> shift).astype(np.uint8)
+
+            rgb = np.stack([ext(rmask), ext(gmask), ext(bmask)], axis=-1)
+        elif bpp == 24 and comp == 0:
+            stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+            rows = np.frombuffer(
+                data[off:off + stride * h], dtype=np.uint8
+            ).reshape(h, stride)
+            rgb = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+        else:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={comp}: only uncompressed "
+                "24/32-bit decodes here"
+            )
+        if not top_down:
+            rgb = rgb[::-1]
+        return "image", int(w), int(h), 1, np.ascontiguousarray(rgb).tobytes()
+
+    def gif_decode(data: bytes) -> tuple[str, int, int, int, bytes]:
+        """Stdlib+numpy GIF decode: logical screen + palettes, GCE
+        transparency index, LZW with variable code width and
+        clear/EOI handling, 4-pass de-interlacing; FIRST image block
+        only (animation = repeated blocks; frame_sample-style
+        iteration belongs to a caller). Payload is RGB bytes with
+        transparent pixels carrying their palette color — exactly what
+        the Java ImageIO reference returns, and the decode is
+        PIXEL-EXACT against it on CPython's python.gif
+        (tests/fixtures/python_gif_imageio.ppm)."""
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        w, h = struct.unpack("<HH", data[6:10])
+        flags = data[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 ** ((flags & 7) + 1)
+            gct = np.frombuffer(
+                data[pos:pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(data):
+            block = data[pos]
+            if block == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _l, _t, iw, ih = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+                iflags = data[pos + 9]
+                pos += 10
+                pal = gct
+                if iflags & 0x80:  # local palette
+                    n = 2 ** ((iflags & 7) + 1)
+                    pal = np.frombuffer(
+                        data[pos:pos + 3 * n], dtype=np.uint8
+                    ).reshape(n, 3)
+                    pos += 3 * n
+                if pal is None:
+                    raise ValueError("GIF image with no color table")
+                min_code = data[pos]
+                pos += 1
+                lzw = bytearray()
+                while data[pos] != 0:
+                    sz = data[pos]
+                    lzw += data[pos + 1:pos + 1 + sz]
+                    pos += 1 + sz
+                # LZW: variable code width, dictionary reset on CLEAR
+                clear_code = 1 << min_code
+                eoi = clear_code + 1
+                base = [(i,) for i in range(clear_code)] + [None, None]
+                table = list(base)
+                code_size = min_code + 1
+                out: list[int] = []
+                prev = None
+                acc = nbits = 0
+                for byte in lzw:
+                    acc |= byte << nbits
+                    nbits += 8
+                    while nbits >= code_size:
+                        code = acc & ((1 << code_size) - 1)
+                        acc >>= code_size
+                        nbits -= code_size
+                        if code == clear_code:
+                            table = list(base)
+                            code_size = min_code + 1
+                            prev = None
+                            continue
+                        if code == eoi:
+                            acc = nbits = 0
+                            break
+                        if prev is None:
+                            entry = table[code]
+                        elif code < len(table):
+                            entry = table[code]
+                            table.append(prev + (entry[0],))
+                        else:  # the KwKwK case
+                            entry = prev + (prev[0],)
+                            table.append(entry)
+                        out.extend(entry)
+                        prev = entry
+                        if len(table) >= (1 << code_size) and code_size < 12:
+                            code_size += 1
+                if len(out) < iw * ih:
+                    raise ValueError(
+                        f"GIF LZW stream ended after {len(out)}/{iw * ih} "
+                        "pixels"
+                    )
+                idx = np.array(out[:iw * ih], dtype=np.int32).reshape(ih, iw)
+                if iflags & 0x40:  # 4-pass interlace
+                    deint = np.zeros_like(idx)
+                    order = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                             + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+                    for src_row, dst_row in enumerate(order):
+                        deint[dst_row] = idx[src_row]
+                    idx = deint
+                return "image", int(iw), int(ih), 1, pal[idx].tobytes()
+            elif block == 0x3B:  # trailer
+                break
+            else:
+                pos += 1
+        raise ValueError("GIF contains no image block")
+
     def aiff_decode(data: bytes) -> tuple[str, int, int, int, bytes]:
         """Stdlib AIFF/AIFC decode via ``aifc`` (same column
         conventions as WAV); payload is the PCM byte stream AS STORED
@@ -204,6 +352,10 @@ def _codec():
             return wav_decode(content)
         if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
             return aiff_decode(content)
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            return gif_decode(content)
+        if content[:2] == b"BM" and len(content) > 54:
+            return bmp_decode(content)
         if content[:2] == b"\xff\xd8":
             # Baseline JPEG decodes for real (multimodal/jpeg.py,
             # conformance-tested against an independent reference
