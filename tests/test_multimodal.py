@@ -446,3 +446,23 @@ def test_probe_media_gif_bmp_webp_dims(spark):
     fmts = {0: "gif", 1: "bmp", 2: "webp"}
     for i, r in out.items():
         assert (r.format, r.width, r.height) == (fmts[i], 16, 16)
+
+
+def test_paletted_png_decodes_pixel_exact_vs_lossless_twin(spark):
+    """CPython's python.png is 8-bit PALETTED (color type 3): the
+    PLTE-mapped decode must match the lossless PPM twin
+    byte-for-byte, like the BMP path."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(f"{IMGDATA}/python.png"):
+        pytest.skip("CPython test images not present")
+    from web3_flight_rpc_server_spark.multimodal.media import _codec
+
+    _, dec = _codec()
+    kind, w, h, _f, payload = dec(open(f"{IMGDATA}/python.png", "rb").read())
+    assert (kind, w, h) == ("image", 16, 16)
+    truth = _read_ppm(f"{IMGDATA}/python.ppm")
+    got = np.frombuffer(payload, dtype=np.uint8).reshape(16, 16, 3)
+    assert (got == truth).all()

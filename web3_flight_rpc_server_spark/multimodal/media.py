@@ -93,7 +93,9 @@ def _codec():
         """Stdlib PNG decode: chunk walk, zlib inflate, scanline
         unfilter (None/Sub/Up/Average/Paeth per the PNG spec §9).
         Supports 8-bit depth, color types 0 (gray) / 2 (RGB) /
-        6 (RGBA), non-interlaced — the overwhelmingly common cases.
+        3 (paletted — PLTE-mapped to RGB, pixel-exact vs CPython's
+        python.png + its lossless PPM twin) / 6 (RGBA),
+        non-interlaced — the overwhelmingly common cases.
         Correctness-first reference implementation (pure-Python byte
         loops); unfilter correctness is pinned in tests by decoding a
         filter-0-only twin of a mixed-filter image to identical
@@ -102,6 +104,7 @@ def _codec():
 
         pos, idat = 8, b""
         width = height = color_type = None
+        plte = None
         while pos + 8 <= len(data):
             (length,) = struct.unpack(">I", data[pos:pos + 4])
             ctype = data[pos + 4:pos + 8]
@@ -111,21 +114,25 @@ def _codec():
                 (width, height, bit_depth, color_type, _comp, _filt,
                  interlace) = struct.unpack(">IIBBBBB", chunk)
                 if bit_depth != 8 or interlace != 0 or \
-                        color_type not in (0, 2, 6):
+                        color_type not in (0, 2, 3, 6):
                     raise NotImplementedError(
                         f"PNG bit_depth={bit_depth} color_type="
                         f"{color_type} interlace={interlace}: only "
-                        "8-bit gray/RGB/RGBA non-interlaced decodes "
-                        "without native libs here"
+                        "8-bit gray/RGB/palette/RGBA non-interlaced "
+                        "decodes without native libs here"
                     )
+            elif ctype == b"PLTE":
+                plte = chunk
             elif ctype == b"IDAT":
                 idat += chunk
             elif ctype == b"IEND":
                 break
         if width is None:
             raise ValueError("PNG missing IHDR")
+        if color_type == 3 and plte is None:
+            raise ValueError("paletted PNG missing PLTE")
         raw = zlib.decompress(idat)
-        ch = {0: 1, 2: 3, 6: 4}[color_type]
+        ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
         stride = width * ch
         out = bytearray()
         prev = bytearray(stride)
@@ -159,6 +166,10 @@ def _codec():
                 raise ValueError(f"invalid PNG filter type {f}")
             out += line
             prev = line
+        if color_type == 3:  # indexed: map through the palette to RGB
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            idx = np.frombuffer(bytes(out), dtype=np.uint8)
+            return "image", int(width), int(height), 1, pal[idx].tobytes()
         return "image", int(width), int(height), 1, bytes(out)
 
     def wav_decode(data: bytes) -> tuple[str, int, int, int, bytes]:
