@@ -66,7 +66,7 @@ def test_lsh_hot_bucket_ledger_and_cap(spark):
     # ...while the disjoint true pair (its own 2-doc buckets) survives
     assert (100001, 100002) in pairs
 
-    uncapped = lsh_candidate_pairs(sigs, 8).count()
+    uncapped = lsh_candidate_pairs(sigs, 8, max_bucket=None).count()
     assert uncapped >= N_TEMPLATE * (N_TEMPLATE - 1) // 2
 
 
@@ -89,7 +89,8 @@ def test_lsh_cap_above_population_is_identity(spark):
         for r in lsh_candidate_pairs(sigs, 8, max_bucket=N_TEMPLATE).collect()
     }
     uncapped = {
-        (r.d1, r.d2) for r in lsh_candidate_pairs(sigs, 8).collect()
+        (r.d1, r.d2)
+        for r in lsh_candidate_pairs(sigs, 8, max_bucket=None).collect()
     }
     assert capped == uncapped
     assert lsh_hot_buckets(sigs, 8, max_bucket=N_TEMPLATE).count() == 0
@@ -110,7 +111,9 @@ def test_simhash_hot_bucket_ledger_and_cap(spark):
     assert len(pairs) <= 4, f"cap leaked quadratic candidates: {len(pairs)}"
     assert (100001, 100002) in pairs
 
-    assert simhash_pairs(docs, 3).count() >= N_TEMPLATE * (N_TEMPLATE - 1) // 2
+    assert simhash_pairs(
+        docs, 3, max_bucket=None
+    ).count() >= N_TEMPLATE * (N_TEMPLATE - 1) // 2
 
 
 def test_hmsearch_cap(spark):
@@ -128,3 +131,51 @@ def test_degenerate_cap_raises(spark):
     sigs = agg_signatures(shingle_sets(docs), 32)
     with pytest.raises(ValueError, match="max_bucket"):
         lsh_candidate_pairs(sigs, 8, max_bucket=1).count()
+
+
+def test_default_is_finite_and_matches_funnel_config():
+    """The production pair entry points default to a FINITE cap
+    (VERDICT r5 #1): a user calling minhash_pairs/simhash_pairs
+    directly on a template-heavy 100 TB corpus gets the bounded path
+    unless they explicitly opt out with max_bucket=None. The default
+    agrees with the funnel's configured cap so the one-shot operators
+    and the pipeline quarantine identically."""
+    from web3_flight_rpc_server_spark.operators import dedup
+    from web3_flight_rpc_server_spark.pipelines.curation import CurationConfig
+
+    assert isinstance(dedup.DEFAULT_MAX_BUCKET, int)
+    assert dedup.DEFAULT_MAX_BUCKET >= 2
+    assert CurationConfig().lsh_max_bucket == dedup.DEFAULT_MAX_BUCKET
+
+
+def test_default_path_bounds_candidates(spark, monkeypatch):
+    """Calling the pair joins with NO max_bucket argument must bound
+    the engineered hot bucket. DEFAULT_MAX_BUCKET is resolved at call
+    time, so shrinking it lets the 300-doc skew corpus exercise the
+    exact default code path (same plan, smaller threshold) without a
+    >5000-doc fixture."""
+    from web3_flight_rpc_server_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "DEFAULT_MAX_BUCKET", 50)
+    docs = _skew_corpus(spark)
+    sigs = agg_signatures(shingle_sets(docs), 32)
+
+    default_lsh = {(r.d1, r.d2) for r in lsh_candidate_pairs(sigs, 8).collect()}
+    assert len(default_lsh) <= 4, f"default path leaked: {len(default_lsh)}"
+    assert (100001, 100002) in default_lsh
+
+    default_sim = {(r.d1, r.d2) for r in simhash_pairs(docs, 3).collect()}
+    assert len(default_sim) <= 4
+    assert (100001, 100002) in default_sim
+
+    default_hm = {
+        (r.d1, r.d2) for r in simhash_pairs_hmsearch(docs, 3).collect()
+    }
+    assert len(default_hm) <= 4
+    assert (100001, 100002) in default_hm
+
+    default_e2e = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    assert default_e2e == {(100001, 100002)}

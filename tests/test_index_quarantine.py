@@ -163,6 +163,55 @@ def test_uncapped_index_has_no_stats_surface(spark, tmp_path):
     ).count() > 0
 
 
+def test_stats_crash_window_detected_and_rebuilt(spark, tmp_path):
+    """The bands append and its bucket_stats delta are two writes; a
+    crash between them loses the delta forever (the replay exclusion
+    removes the already-present ids before the delta recomputes —
+    advisor r5). verify_bucket_stats must detect the undercount and
+    rebuild_bucket_stats must restore exact populations from the
+    bands dataset."""
+    import os
+
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        agg_signatures,
+        banded_signatures,
+        shingle_sets,
+    )
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        rebuild_bucket_stats,
+        verify_bucket_stats,
+    )
+
+    path = str(tmp_path / "idx")
+    docs = [(i, f"{UNIQUE} variant {i}") for i in range(8)]
+    write_minhash_index(_docs(spark, docs), path, max_bucket=100)
+    assert verify_bucket_stats(spark, path)
+
+    # simulate the crashed append: the new doc's banded rows land in
+    # bands/ but the process dies before the stats delta is written
+    crashed = _docs(spark, [(999, f"{TEMPLATE} crashed append")])
+    banded_signatures(
+        agg_signatures(shingle_sets(crashed))
+    ).write.mode("append").parquet(os.path.join(path, "bands"))
+
+    assert not verify_bucket_stats(spark, path)
+    rebuild_bucket_stats(spark, path)
+    assert verify_bucket_stats(spark, path)
+
+    bands = spark.read.parquet(os.path.join(path, "bands"))
+    recount = {
+        (r.band, r.bucket): r.n
+        for r in bands.groupBy("band", "bucket").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    folded = {
+        (r.band, r.bucket): r.n_docs
+        for r in index_bucket_populations(spark, path).collect()
+    }
+    assert folded == recount
+
+
 def test_streaming_ingest_bootstraps_and_enforces_cap(spark, tmp_path):
     """The streaming ingest loop carries the cap end-to-end. The
     corpus shape matters: detectable near-dups never accumulate (the

@@ -145,6 +145,29 @@ def test_progressive_raises_not_implemented():
         decode_baseline(open(src, "rb").read())
 
 
+def test_multi_scan_baseline_raises_not_implemented():
+    """A legal baseline JPEG may hold one SOS per component; marker
+    parsing stops at the first scan, so a non-covering scan must raise
+    the module's honest NotImplementedError, not a bare KeyError
+    (advisor r5). Synthesized header: SOF0 declares 3 components, the
+    first SOS covers only component 1."""
+    import struct as _s
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    sof = bytes([8]) + _s.pack(">HH", 8, 8) + bytes(
+        [3,
+         1, 0x11, 0,
+         2, 0x11, 0,
+         3, 0x11, 0]
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1: component 1 only
+    data = b"\xff\xd8" + seg(0xC0, sof) + seg(0xDA, sos) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_baseline(data)
+
+
 def test_media_pipeline_decodes_real_jpeg(spark):
     """decode_media routes ffd8 payloads through the JPEG decoder on
     executors: real third-party pixels through the Arrow path."""

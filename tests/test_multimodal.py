@@ -419,6 +419,51 @@ def test_gif_decodes_pixel_exact_vs_imageio(spark):
     assert (got == ref).all()
 
 
+def test_resize_real_gif_bmp_reencodes_as_png(spark):
+    """Real GIF/BMP payloads through resize_images (advisor r5): the
+    old fall-through re-wrapped them as SYNM blobs while meta still
+    claimed gif/bmp. Now they decode for real, bilinear-resample, and
+    re-encode as PNG with meta.format saying so — and the output
+    pixels equal _resize_bilinear over the independently-verified
+    reference pixels, since both source decodes are pixel-exact."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(f"{IMGDATA}/python.gif"):
+        pytest.skip("CPython test images not present")
+    from web3_flight_rpc_server_spark.multimodal.media import (
+        _codec,
+        _resize_bilinear,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (0, "image", open(f"{IMGDATA}/python.gif", "rb").read(), None),
+            (1, "image", open(f"{IMGDATA}/python.bmp", "rb").read(), None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    truth = {
+        0: _read_ppm(
+            f"{__file__.rsplit('/', 1)[0]}/fixtures/python_gif_imageio.ppm"
+        ),
+        1: _read_ppm(f"{IMGDATA}/python.ppm"),
+    }
+    _, dec = _codec()
+    for i, r in out.items():
+        assert r.meta.format == "png"
+        assert (r.meta.width, r.meta.height) == (8, 8)
+        content = bytes(r.content)
+        assert content[:8] == b"\x89PNG\r\n\x1a\n"
+        assert r.meta.n_bytes == len(content)
+        kind, w, h, _f, payload = dec(content)
+        assert (kind, w, h) == ("image", 8, 8)
+        got = np.frombuffer(payload, dtype=np.uint8).reshape(8, 8, 3)
+        assert (got == _resize_bilinear(truth[i], 8, 8)).all()
+
+
 def test_probe_media_gif_bmp_webp_dims(spark):
     """Header-only triage covers the palette/RIFF image formats too,
     on real third-party files (incl. the VP8X WebP the full decoder

@@ -220,6 +220,18 @@ def decode_baseline(data: bytes):
             f"{len(frame['comps'])}-component JPEG (CMYK?): only "
             "grayscale and YCbCr decode here"
         )
+    # A legal baseline JPEG may carry MULTIPLE SOS scans (one per
+    # component); marker parsing stops at the first, so if that scan
+    # does not cover every frame component the decode below would die
+    # with a bare KeyError — raise the module's honest marker instead.
+    scan_ids = {s["id"] for s in scan}
+    if not {c["id"] for c in frame["comps"]} <= scan_ids:
+        raise NotImplementedError(
+            "multi-scan baseline JPEG (first SOS covers components "
+            f"{sorted(scan_ids)} of frame "
+            f"{sorted(c['id'] for c in frame['comps'])}): only a "
+            "single interleaved scan decodes here"
+        )
 
     # split entropy data into restart segments, unstuffing FF00
     segments: list[bytes] = []

@@ -228,14 +228,15 @@ def _codec():
         return "image", int(w), int(h), 1, np.ascontiguousarray(rgb).tobytes()
 
     def gif_decode(data: bytes) -> tuple[str, int, int, int, bytes]:
-        """Stdlib+numpy GIF decode: logical screen + palettes, GCE
-        transparency index, LZW with variable code width and
-        clear/EOI handling, 4-pass de-interlacing; FIRST image block
-        only (animation = repeated blocks; frame_sample-style
-        iteration belongs to a caller). Payload is RGB bytes with
-        transparent pixels carrying their palette color — exactly what
-        the Java ImageIO reference returns, and the decode is
-        PIXEL-EXACT against it on CPython's python.gif
+        """Stdlib+numpy GIF decode: logical screen + palettes, LZW
+        with variable code width and clear/EOI handling, 4-pass
+        de-interlacing; FIRST image block only (animation = repeated
+        blocks; frame_sample-style iteration belongs to a caller).
+        Extension blocks — including the Graphic Control Extension —
+        are SKIPPED: transparency is intentionally ignored, so
+        transparent pixels carry their palette color. That matches the
+        Java ImageIO reference behavior, and the decode is PIXEL-EXACT
+        against it on CPython's python.gif
         (tests/fixtures/python_gif_imageio.ppm)."""
         if data[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF")
@@ -547,13 +548,15 @@ def _png_encode(px: np.ndarray) -> bytes:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — REAL for PNG and baseline JPEG payloads since
-    r5 (decode, numpy bilinear resample, re-encode in the same
-    format); SYNM blobs keep the deterministic payload re-sampling.
-    Non-image rows pass through untouched. Like the JPEG decode path,
-    the real-format branches import the package on the worker (ship
-    via spark.submit.pyFiles on a real cluster); the SYNM path stays
-    fully by-value."""
+    """Image resize — REAL for PNG, baseline JPEG, GIF and BMP
+    payloads (decode, numpy bilinear resample, re-encode: JPEG stays
+    JPEG; PNG/GIF/BMP re-encode as PNG — GIF palettes and BMP row
+    layouts have no lossless writer here, and meta.format records the
+    new container); SYNM blobs keep the deterministic payload
+    re-sampling. Non-image rows pass through untouched. Like the JPEG
+    decode path, the real-format branches import the package on the
+    worker (ship via spark.submit.pyFiles on a real cluster); the SYNM
+    path stays fully by-value."""
 
     _synm_encode_unused, _synm_decode = _codec()
 
@@ -583,7 +586,16 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                         "n_bytes": len(new_content),
                     })
                     continue
-                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                is_png = data[:8] == b"\x89PNG\r\n\x1a\n"
+                is_gif = data[:6] in (b"GIF87a", b"GIF89a")
+                is_bmp = data[:2] == b"BM" and len(data) > 54
+                if is_png or is_gif or is_bmp:
+                    # GIF/BMP decode to RGB pixels for real (the shared
+                    # decode dispatcher) and re-encode as PNG — their
+                    # palettes/row layouts have no lossless writer
+                    # here, and meta.format says so (advisor r5: the
+                    # old fall-through re-wrapped them as SYNM blobs
+                    # while meta still claimed gif/bmp).
                     from web3_flight_rpc_server_spark.multimodal import (
                         media as _m,
                     )

@@ -38,6 +38,26 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens, word_shingles
 
+# Production default for the blocked pair joins' hot-bucket cap
+# (lsh_candidate_pairs / minhash_lsh_dedup_pairs / simhash_pairs /
+# simhash_pairs_hmsearch): matches pipelines/curation.py's
+# CurationConfig.lsh_max_bucket. A 5000-doc bucket already contributes
+# ~12.5M candidate pairs; anything hotter is template skew that must be
+# quarantined (audit via the *_hot_buckets ledgers), not self-joined.
+# Callers that need the exact uncapped semantics (oracles, ground-truth
+# comparisons) pass max_bucket=None explicitly.
+DEFAULT_MAX_BUCKET = 5000
+
+# Sentinel distinguishing "caller said nothing" (-> DEFAULT_MAX_BUCKET,
+# read at CALL time so tests can exercise the default path on small
+# engineered-skew corpora) from an explicit None (uncapped).
+_CAP_DEFAULT = object()
+
+
+def _resolve_cap(max_bucket) -> int | None:
+    return DEFAULT_MAX_BUCKET if max_bucket is _CAP_DEFAULT else max_bucket
+
+
 # Cache lifecycle: the fuzzy tiers persist() intermediate shingle/token
 # tables that the returned (lazy) plan consumes later, so they cannot
 # unpersist internally. Each handle is tracked here; long-lived hosts
@@ -325,7 +345,7 @@ def lsh_hot_buckets(signatures: DataFrame, bands: int = 8,
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                         id_col: str = "doc_id",
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
     """Band the signature (rows_per_band = len/bands), hash each band,
     and emit candidate pairs sharing any (band, band_hash) bucket.
     Output (d1, d2) distinct, d1 < d2.
@@ -338,7 +358,10 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
     Over-cap buckets are quarantined wholesale (audit them with
     :func:`lsh_hot_buckets`); a pair can still surface via any OTHER
     band it collides in, so recall degrades gracefully rather than
-    cliffing. None (default) keeps the exact uncapped semantics."""
+    cliffing. Defaults to :data:`DEFAULT_MAX_BUCKET` (the bounded
+    production path); pass an explicit ``None`` for the exact uncapped
+    semantics (ground truth / oracle comparisons)."""
+    max_bucket = _resolve_cap(max_bucket)
     banded = _drop_hot_buckets(
         banded_signatures(signatures, bands, id_col),
         ["band", "bucket"], max_bucket,
@@ -362,7 +385,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                             num_hashes: int = 32, bands: int = 8,
                             id_col: str = "doc_id", text_col: str = "text",
-                            n: int = 3, max_bucket: int | None = None,
+                            n: int = 3, max_bucket: int | None = _CAP_DEFAULT,
                             _sets: DataFrame | None = None) -> DataFrame:
     """Full LSH near-dup pipeline: candidates from banded MinHash, then
     EXACT Jaccard verification of candidates only. Output
@@ -376,8 +399,9 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     re-shuffling the exploded shingle table.
 
     ``max_bucket`` (see :func:`lsh_candidate_pairs`) is the hot-bucket
-    cap production pipelines should set — pipelines/curation.py passes
-    its configured cap through here."""
+    cap, on by default (:data:`DEFAULT_MAX_BUCKET`) — pass ``None``
+    explicitly for exact uncapped semantics; pipelines/curation.py
+    passes its configured cap through here."""
     # Signature shape choice: the banding step posexplodes the
     # signature, and Generate re-evaluates its generator once per
     # output element — an UNMATERIALIZED in-row signature (_sig_expr)
@@ -526,7 +550,7 @@ def simhash_hot_buckets(docs: DataFrame, max_hamming: int = 3,
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   hash_fn: Callable[[Column], Column] | None = None,
-                  max_bucket: int | None = None) -> DataFrame:
+                  max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, BLOCKED on
     signature chunks: the 64 bits split into ``max_hamming + 1``
     disjoint chunks, so a pair within the radius must agree EXACTLY on
@@ -548,8 +572,10 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     wholesale before the join (ledger: :func:`simhash_hot_buckets`);
     in-radius pairs can still surface through any other chunk they
     agree on, so the exactness loss is bounded to pairs ALL of whose
-    agreeing chunks are hot. None keeps the exact pigeonhole
-    semantics."""
+    agreeing chunks are hot. Defaults to :data:`DEFAULT_MAX_BUCKET`
+    (bounded production path); pass an explicit ``None`` for the exact
+    pigeonhole semantics."""
+    max_bucket = _resolve_cap(max_bucket)
     chunks = _drop_hot_buckets(
         simhash_chunks(docs, max_hamming, id_col, text_col, hash_fn),
         ["chunk_idx", "chunk"], max_bucket,
@@ -584,7 +610,7 @@ def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
                            n_chunks: int | None = None,
                            id_col: str = "doc_id", text_col: str = "text",
                            hash_fn: Callable[[Column], Column] | None = None,
-                           max_bucket: int | None = None) -> DataFrame:
+                           max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
     """:func:`simhash_pairs` with HmSearch-style WIDENED blocking keys
     for >10^7-doc corpora — same output, ~2^w fewer candidates.
 
@@ -608,7 +634,9 @@ def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
     ``max_bucket`` quarantines over-populated (pair_idx, chunk_i,
     chunk_j) buckets exactly as in :func:`simhash_pairs` — the wider
     keys make hot buckets rarer, but a template corpus can still
-    saturate one."""
+    saturate one. Defaults to :data:`DEFAULT_MAX_BUCKET`; explicit
+    ``None`` for exact."""
+    max_bucket = _resolve_cap(max_bucket)
     if n_chunks is None:
         n_chunks = max_hamming + 2
     if not 0 <= max_hamming <= 62:

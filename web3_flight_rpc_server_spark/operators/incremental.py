@@ -26,7 +26,7 @@ that incremental:
                 mismatch.
 - ``bucket_stats/`` (band, bucket, n) per-append population deltas —
                 maintained when the manifest records a ``max_bucket``
-                cap. Folding them (sum per bucket) gives the exact
+                cap. Folding them (sum per bucket) gives the
                 population of every band bucket WITHOUT rescanning the
                 bands dataset; buckets past the cap are quarantined
                 out of the probe join (the operators/dedup.py
@@ -35,7 +35,16 @@ that incremental:
                 probe O(m) candidates forever, so the index is where
                 the cap matters most). Deltas are computed AFTER the
                 idempotent-append exclusion, so crash-replayed appends
-                do not inflate counts. Audit with
+                do not inflate counts — but the bands append and the
+                stats-delta append are two writes, and a crash BETWEEN
+                them loses that delta permanently (the replay's
+                exclusion removes the already-present ids before the
+                delta recomputes), leaving the folded populations an
+                UNDERCOUNT until repaired: the stats are a cheap
+                conservative view, not a ledger of record. Detect with
+                :func:`verify_bucket_stats` and repair with
+                :func:`rebuild_bucket_stats` (one bands scan,
+                crash-safe swap) after any crash-replay. Audit with
                 :func:`index_hot_buckets`.
 
 All three are written and read through Spark, so the index path may
@@ -185,7 +194,11 @@ def write_minhash_index(docs: DataFrame, path: str,
     template-heavy indexed corpus the same way the one-shot tier's
     ``max_bucket`` bounds its self-join (operators/dedup.py). Like the
     banding layout, the cap is manifest-recorded: appends inherit it
-    and cannot change it mid-index."""
+    and cannot change it mid-index. The bands append and the stats
+    append are not atomic — a crash between them leaves the folded
+    stats undercounting that batch forever (see the module doc); after
+    any crash-replay, run :func:`verify_bucket_stats` /
+    :func:`rebuild_bucket_stats` to detect/repair."""
     spark = docs.sparkSession
     if append:
         m = _read_manifest(spark, path)
@@ -325,6 +338,61 @@ def index_hot_buckets(spark: SparkSession, path: str) -> DataFrame:
     return index_bucket_populations(spark, path).where(
         F.col("n_docs") > m.max_bucket
     )
+
+
+def _read_bands(spark: SparkSession, path: str,
+                m: IndexManifest) -> DataFrame:
+    """The bands dataset regardless of storage tier (bucketed table or
+    plain parquet), self-healing a half-done compaction swap."""
+    if m.bands_table:
+        return spark.table(m.bands_table)
+    return _read_recovering(spark, _sub(path, "bands"))
+
+
+def verify_bucket_stats(spark: SparkSession, path: str) -> bool:
+    """True iff the folded ``bucket_stats/`` total equals the bands
+    dataset's row count. The only way the two drift under the
+    single-writer contract is the non-atomic append crash window (a
+    bands delta landed, its stats delta didn't — see the module doc),
+    and that failure always changes the TOTAL, so this total check
+    detects it with one zero-column bands scan plus the (small) stats
+    fold — no per-bucket join. Run it after a crash-replay; if False,
+    :func:`rebuild_bucket_stats` repairs."""
+    m = _read_manifest(spark, path)
+    if m.max_bucket is None:
+        raise ValueError(
+            f"index at {path!r} was built without max_bucket; no "
+            "bucket_stats are maintained"
+        )
+    folded = (
+        _read_recovering(spark, _sub(path, "bucket_stats"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("t")).collect()[0].t
+    )
+    return int(folded) == _read_bands(spark, path, m).count()
+
+
+def rebuild_bucket_stats(spark: SparkSession, path: str) -> None:
+    """Recompute ``bucket_stats/`` exactly from the bands dataset —
+    the repair for the append crash window (and an idempotent way to
+    compact the per-append deltas into one file set). One scan of the
+    bands dataset; the swap is the crash-safe fswap promote, so a
+    crash mid-rebuild leaves the previous stats readable."""
+    m = _read_manifest(spark, path)
+    if m.max_bucket is None:
+        raise ValueError(
+            f"index at {path!r} was built without max_bucket; no "
+            "bucket_stats are maintained"
+        )
+    from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+
+    live = _sub(path, "bucket_stats")
+    recover_directory(spark, live)
+    (
+        _read_bands(spark, path, m)
+        .groupBy("band", "bucket").agg(F.count("*").alias("n"))
+        .write.mode("overwrite").parquet(live + TMP_SUFFIX)
+    )
+    promote_directory(spark, live)
 
 
 def dedup_against_index(new_docs: DataFrame, path: str,

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from ..functions import round4
 from ..functions.text import STOPWORDS, stopword_hits, tokens
 from ..operators.components import connected_components
-from ..operators.dedup import _persisted, minhash_lsh_dedup_pairs
+from ..operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    _persisted,
+    minhash_lsh_dedup_pairs,
+)
 from ..sources import tables
 
 REJECT_ORDER = (
@@ -67,11 +71,13 @@ class CurationConfig:
     # concentrate thousands of near-identical-but-not-exact-equal docs
     # in single buckets even AFTER the exact-dup gate — the quadratic
     # skew of the flagship path at 100 TB. Buckets past the cap are
-    # quarantined wholesale (audit via lsh_hot_buckets). 5000 is far
-    # above any bucket a healthy corpus produces (it bounds the
-    # in-bucket verify at ~12.5M candidate rows per hot bucket) while
-    # still guarding the pathological template case; None disables.
-    lsh_max_bucket: int | None = 5000
+    # quarantined wholesale (audit via lsh_hot_buckets). The shared
+    # DEFAULT_MAX_BUCKET (5000, operators/dedup.py) is far above any
+    # bucket a healthy corpus produces (it bounds the in-bucket verify
+    # at ~12.5M candidate rows per hot bucket) while still guarding the
+    # pathological template case — and since r6 the standalone pair
+    # operators default to the SAME cap; None disables.
+    lsh_max_bucket: int | None = DEFAULT_MAX_BUCKET
 
 
 def _lang_pred(toks) -> Column:

@@ -158,7 +158,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality with the exact oracle is a property of this corpus's
     high-J near-dup structure, not of LSH)."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.3)
+    # max_bucket=None: the oracle twin is EXACT banded semantics at any
+    # sf — the production default (DEFAULT_MAX_BUCKET) would quarantine
+    # buckets the brute-force SQL still joins.
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.3, max_bucket=None)
     return pairs.select("d1", "d2", round4(pairs.jaccard).alias("jaccard"))
 
 
@@ -213,7 +216,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     default (same plan, cheaper hash). Blocking exactness is also
     asserted corpus-independently in tests/test_dedup.py."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, max_hamming=3, hash_fn=md5_prefix60)
+    # max_bucket=None: exact pigeonhole semantics to match the
+    # brute-force oracle at any sf (see q_minhash_lsh).
+    pairs = simhash_pairs(docs, max_hamming=3, hash_fn=md5_prefix60,
+                          max_bucket=None)
     return pairs.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
 
 
