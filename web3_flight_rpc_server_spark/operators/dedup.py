@@ -503,14 +503,88 @@ def _chunk_bounds(n_chunks: int) -> list[tuple[int, int]]:
     ]
 
 
-def _chunk_expr(lo: int, w: int) -> Column:
+def _chunk_expr(lo: int, w: int, fp_col: str = "simhash") -> Column:
     if w >= 64:  # the whole fingerprint is the key
-        return F.col("simhash")
+        return F.col(fp_col)
     # arithmetic shiftright sign-fills the high bits; the mask
     # strips them, so the top chunk is still exact
     return F.call_function(
-        "shiftright", F.col("simhash"), F.lit(lo)
+        "shiftright", F.col(fp_col), F.lit(lo)
     ).bitwiseAND(F.lit((1 << w) - 1))
+
+
+def fingerprint_chunks(fps: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id",
+                       fp_col: str = "simhash") -> DataFrame:
+    """(id, <fp_col>, chunk_idx, chunk) blocking rows over ANY
+    precomputed 64-bit fingerprint column — the shared derivation of
+    :func:`fingerprint_pairs`' join and
+    :func:`fingerprint_hot_buckets`' ledger, so cap and join always
+    agree on bucket membership. Fingerprint producers: text SimHash
+    (:func:`simhash64`), image perceptual hashes
+    (multimodal/neardup.py), or anything else that encodes similarity
+    as small Hamming distance."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    bounds = _chunk_bounds(max_hamming + 1)
+    return fps.select(
+        id_col, fp_col,
+        F.posexplode(
+            F.array(*[_chunk_expr(lo, w, fp_col) for lo, w in bounds])
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
+def fingerprint_hot_buckets(fps: DataFrame, max_hamming: int = 3,
+                            max_bucket: int = 1000,
+                            id_col: str = "doc_id",
+                            fp_col: str = "simhash") -> DataFrame:
+    """(chunk_idx, chunk, n_docs) for every fingerprint blocking
+    bucket past ``max_bucket`` — the quarantine ledger twin of
+    ``fingerprint_pairs(max_bucket=...)``."""
+    return hot_buckets(
+        fingerprint_chunks(fps, max_hamming, id_col, fp_col),
+        ["chunk_idx", "chunk"], max_bucket,
+    )
+
+
+def fingerprint_pairs(fps: DataFrame, max_hamming: int = 3,
+                      id_col: str = "doc_id", fp_col: str = "simhash",
+                      max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
+    """Near-dup pairs within a Hamming radius over ANY precomputed
+    64-bit fingerprint column, chunk-blocked (see :func:`simhash_pairs`
+    for the pigeonhole argument, scale envelope, and cap semantics —
+    this is its generic core, shared with the image perceptual-hash
+    tier in multimodal/neardup.py). Output (d1, d2, hamming)."""
+    max_bucket = _resolve_cap(max_bucket)
+    chunks = _drop_hot_buckets(
+        fingerprint_chunks(fps, max_hamming, id_col, fp_col),
+        ["chunk_idx", "chunk"], max_bucket,
+    )
+    l = chunks.alias("l")
+    r = chunks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"),
+            F.col(f"r.{id_col}").alias("d2"),
+            F.col(f"l.{fp_col}").alias("h1"),
+            F.col(f"r.{fp_col}").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
 
 
 def simhash_chunks(docs: DataFrame, max_hamming: int = 3,
@@ -521,15 +595,8 @@ def simhash_chunks(docs: DataFrame, max_hamming: int = 3,
     derivation of :func:`simhash_pairs`' join and
     :func:`simhash_hot_buckets`' ledger, so cap and join always agree
     on bucket membership."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    bounds = _chunk_bounds(max_hamming + 1)
-    sh = simhash64(docs, id_col, text_col, hash_fn)
-    return sh.select(
-        id_col, "simhash",
-        F.posexplode(
-            F.array(*[_chunk_expr(lo, w) for lo, w in bounds])
-        ).alias("chunk_idx", "chunk"),
+    return fingerprint_chunks(
+        simhash64(docs, id_col, text_col, hash_fn), max_hamming, id_col
     )
 
 
@@ -575,34 +642,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     agreeing chunks are hot. Defaults to :data:`DEFAULT_MAX_BUCKET`
     (bounded production path); pass an explicit ``None`` for the exact
     pigeonhole semantics."""
-    max_bucket = _resolve_cap(max_bucket)
-    chunks = _drop_hot_buckets(
-        simhash_chunks(docs, max_hamming, id_col, text_col, hash_fn),
-        ["chunk_idx", "chunk"], max_bucket,
-    )
-    l = chunks.alias("l")
-    r = chunks.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("d1"),
-            F.col(f"r.{id_col}").alias("d2"),
-            F.col("l.simhash").alias("h1"),
-            F.col("r.simhash").alias("h2"),
-        )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("d1", "d2", "hamming")
+    return fingerprint_pairs(
+        simhash64(docs, id_col, text_col, hash_fn),
+        max_hamming, id_col, "simhash", max_bucket,
     )
 
 
