@@ -295,7 +295,6 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    declared=False,
 )
 def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-histogram percentile serving
@@ -305,8 +304,8 @@ def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram's error bound (one bin width). The daily->group merge is
     the property being exercised cross-engine — the oracle recomputes
     exact percentiles over raw rows, so the ok flags fail if merged
-    bins ever drift from a direct build. Undeclared — the driver
-    window is full; merge exactness and the roundtrip live in
+    bins ever drift from a direct build. Declared in r6 (rotated in
+    for the serving layer); merge exactness and the roundtrip live in
     tests/test_histograms.py."""
     from ..operators.histograms import (
         build_histograms,
@@ -348,7 +347,6 @@ def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_events DESC, item ASC
     LIMIT 10
     """,
-    declared=False,
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters off merged per-day summaries
@@ -359,7 +357,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY therefore checks the day->total merge EXACTLY. The
     truncated regime's bound honesty (lb <= true <= ub, guaranteed
     surfacing above total_err) is pinned on engineered skew in
-    tests/test_heavy_hitters.py. Undeclared — driver window is full."""
+    tests/test_heavy_hitters.py. Declared in r6 (rotated in — the
+    merge-bound honesty is a 100 TB serving primitive)."""
     from ..operators.heavy_hitters import build_topk_summaries, merge_topk
 
     ev = tables.load_table(spark, sf_dir, "events")

@@ -87,11 +87,16 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bands b ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
     GROUP BY b.band
     """,
+    declared=False,
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join against a banding dimension. The bands table
     is tiny -> broadcast nested-loop, evaluated as a codegen'd
-    predicate per row; no shuffle of the probe side."""
+    predicate per row; no shuffle of the probe side. Undeclared since
+    r6 (slot ceded to the serving/mixture rotation): C2 stays
+    driver-attested by q_join_asof, the join shape is plan-asserted,
+    and this query remains oracle-checked by
+    tests/test_oracle_parity.py."""
     cust = tables.load_table(spark, sf_dir, "customer")
     bands = spark.createDataFrame(
         [
@@ -223,13 +228,18 @@ def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     """,
+    declared=False,
 )
 def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped promo-revenue breakdown per brand: conditional
     aggregation over a broadcast fact->part join (part is a classic
     broadcastable dim even at 100 TB: ~200M rows x narrow projection
     still beats shuffling the fact table when memory allows; otherwise
-    it degrades to one sort-merge shuffle on l_partkey)."""
+    it degrades to one sort-merge shuffle on l_partkey). Undeclared
+    since r6 (slot ceded to the serving/mixture rotation): C21 stays
+    driver-attested by q_multi_join (all-broadcast, plan-asserted),
+    and this query remains oracle-checked by
+    tests/test_oracle_parity.py."""
     li = tables.load_table(spark, sf_dir, "lineitem")
     part = tables.load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))

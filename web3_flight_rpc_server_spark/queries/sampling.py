@@ -240,14 +240,15 @@ def _mixture_oracle() -> str:
     """
 
 
-@query("q_mixture", oracle=_mixture_oracle(), declared=False)
+@query("q_mixture", oracle=_mixture_oracle())
 def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted mixture of two sub-corpora (long docs at
     rate 2.5 = two full epochs + a hash-sampled half; short docs at
     0.4): the data-mixture step of a pretraining pipeline
-    (operators/mixture.py). Undeclared (the driver window is full);
-    the DuckDB twin derives the identical keep set from the md5-bridge
-    uniform, so composition is engine-reproducible."""
+    (operators/mixture.py). Declared in r6 (rotated in — the
+    pretraining recipe); the DuckDB twin derives the identical keep
+    set from the md5-bridge uniform, so composition is
+    engine-reproducible."""
     from ..operators.mixture import mixture_sample
 
     docs = tables.load_table(spark, sf_dir, "documents")

@@ -35,12 +35,16 @@ from ..sources import tables
            len(embedding) AS dim
     FROM embeddings
     """,
+    declared=False,
 )
 def q_array_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array scalars in one embeddings pass: first element with
     null-on-empty guard (notebook cell 10 topic0 extraction;
     try_element_at == the lambda's len()>0 guard) and array length
-    (cell 20: transactions.apply(len))."""
+    (cell 20: transactions.apply(len)). Undeclared since r6 (slot
+    ceded to the serving/mixture rotation): B6/B12 stay driver-
+    attested inside q_scan_project/q_topic0_filter, and this query
+    remains oracle-checked by tests/test_oracle_parity.py."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
