@@ -1,0 +1,223 @@
+"""Reader-vs-compaction concurrency drill (VERDICT r5 #8).
+
+The fswap swap documents a single-WRITER contract, but the claim that
+matters to a serving layer is about READERS: while compaction+promote
+runs, a concurrent reader must never observe a half-written dataset —
+at worst one transient listing/task failure whose single retry lands
+on a COMPLETE dataset. This drill runs a reader in a tight loop on
+one thread (sketch rollup; index probe) while the main thread runs
+repeated compactions, and asserts every read ultimately returned the
+full, correct result — never a partial one. Retries are bounded at 3:
+each swap costs a reader at most one transient (stale file listing ->
+refreshByPath -> reread), but the drill's back-to-back compaction
+churn is harsher than any real maintenance cadence, so consecutive
+swaps may each tax the same read once.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.incremental import (
+    _read_recovering,
+    compact_index,
+    dedup_against_index,
+    write_minhash_index,
+)
+from web3_flight_rpc_server_spark.operators.sketches import (
+    build_distinct_sketches,
+    compact_sketches,
+    rollup_distinct,
+)
+
+N_COMPACTIONS = 6
+
+
+def _drill(spark, path, read_once, compact_once,
+           n_compactions=N_COMPACTIONS, attempts=3, min_total_reads=None):
+    """Run ``read_once`` (raises on wrong/partial data) in a loop on a
+    side thread while the main thread runs ``compact_once`` n times.
+
+    Contract asserted: (1) NO read ever returns wrong/partial data —
+    the core claim; (2) each read settles within ``attempts`` tries
+    (refreshByPath between them — a swap invalidates Spark's cached
+    file listing, and a long multi-job read under churn can straddle
+    several swaps, so the budget scales with the read's duration);
+    (3) the reader makes real progress, including AFTER churn stops
+    (the main thread waits for two post-churn successes before
+    stopping it)."""
+    stop = threading.Event()
+    errors: list[BaseException] = []
+    reads = {"n": 0, "retried": 0}
+
+    def reader():
+        while not stop.is_set():
+            for attempt in range(attempts):
+                try:
+                    read_once()
+                    break
+                except AssertionError as exc:  # wrong DATA: never ok
+                    errors.append(exc)
+                    return
+                except Exception as exc:  # noqa: BLE001 — transient
+                    reads["retried"] += 1
+                    spark.catalog.refreshByPath(path)
+                    if attempt == attempts - 1:
+                        errors.append(exc)
+                        return
+            reads["n"] += 1
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for _ in range(n_compactions):
+            compact_once()
+            # a breath between swaps: zero-gap churn means a reader's
+            # retry can lose to the NEXT swap indefinitely — no real
+            # maintenance loop swaps a dataset several times per second
+            time.sleep(0.3)
+        # post-churn: the reader must fully recover — two more clean
+        # reads before we stop it
+        target = reads["n"] + 2
+        deadline = time.monotonic() + 60
+        while reads["n"] < target and not errors and \
+                time.monotonic() < deadline:
+            time.sleep(0.1)
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, f"reader failed past its retry budget: {errors[0]!r}"
+    floor = n_compactions if min_total_reads is None else min_total_reads
+    assert reads["n"] >= floor, (
+        f"reader starved: {reads['n']} reads over {n_compactions} compactions"
+    )
+    return reads
+
+
+def test_sketch_rollup_reads_survive_compaction(spark, tmp_path):
+    path = str(tmp_path / "sketches")
+    ev = spark.range(0, 2000).select(
+        "id",
+        (F.col("id") % 5).cast("string").alias("event_type"),
+        (F.col("id") % 700).alias("user_id"),
+    )
+    # several appended batches -> compaction has real folding to do
+    for lo in range(0, 2000, 500):
+        batch = ev.where((F.col("id") >= lo) & (F.col("id") < lo + 500))
+        build_distinct_sketches(
+            batch, ["event_type"], "user_id"
+        ).write.mode("append").parquet(path)
+
+    def rollup():
+        return {
+            r.event_type: round(r.n_distinct_est)
+            for r in rollup_distinct(
+                _read_recovering(spark, path), ["event_type"]
+            ).collect()
+        }
+
+    expected = rollup()
+    assert len(expected) == 5
+
+    def read_once():
+        got = rollup()
+        # idempotent algebra: every read, mid-swap or not, must see the
+        # COMPLETE population — compaction never changes an estimate
+        assert got == expected, f"partial/stale read: {got}"
+
+    reads = _drill(spark, path, read_once,
+                   lambda: compact_sketches(spark, path))
+    # compaction left one row per bucket and estimates unchanged
+    assert _read_recovering(spark, path).count() == 5
+    read_once()
+    assert reads["n"] > 0
+
+
+def test_index_probe_reads_survive_compaction(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    base = ("a genuinely distinct document about columnar engines and "
+            "vectorized execution with adaptive shuffle planning")
+    docs = [(i, f"{base} variant token{i}") for i in range(30)]
+    write_minhash_index(
+        spark.createDataFrame(docs, "doc_id long, text string"), path
+    )
+    # pile on small appends so compact_index has fragments to fold
+    for j in range(3):
+        write_minhash_index(
+            spark.createDataFrame(
+                [(100 + j, f"{base} appended {j}")],
+                "doc_id long, text string",
+            ),
+            path, append=True,
+        )
+    probe = spark.createDataFrame(
+        [(999, base + " variant token3 tail")], "doc_id long, text string"
+    )
+    expected_hits = {
+        r.idx_id for r in dedup_against_index(probe, path, 0.5).collect()
+    }
+    assert 3 in expected_hits
+
+    def read_once():
+        got = {
+            r.idx_id for r in dedup_against_index(probe, path, 0.5).collect()
+        }
+        assert got == expected_hits, f"partial probe result: {got}"
+
+    # a probe is a multi-second, multi-job read and compact_index swaps
+    # THREE datasets per cycle (bands/shingles/stats) — budget enough
+    # attempts that a probe can ride out one full compaction cycle
+    _drill(spark, path, read_once, lambda: compact_index(spark, path),
+           attempts=8, min_total_reads=3)
+    read_once()
+
+
+def test_promote_tolerates_reader_completing_the_swap(spark, tmp_path):
+    """Deterministic twin of the race the drill exercises
+    statistically: a reader's recover_directory completes the swap
+    while the writer sits between step 1 and step 2 — the writer's
+    promote must finish cleanly (cleanup only), not error."""
+    from web3_flight_rpc_server_spark.operators.fswap import (
+        TMP_SUFFIX,
+        promote_directory,
+        recover_directory,
+    )
+
+    live = str(tmp_path / "data")
+    spark.range(5).write.parquet(live)
+    spark.range(10).write.parquet(live + TMP_SUFFIX)
+
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = fs_path(live).getFileSystem(spark._jsc.hadoopConfiguration())
+    # writer performed step 1 (live -> .old) then stalled
+    assert fs.rename(fs_path(live), fs_path(live + ".old"))
+    # reader hits the window and self-heals: swap completed from its thread
+    assert recover_directory(spark, live) == "promoted"
+    assert spark.read.parquet(live).count() == 10
+    # the stalled writer resumes step 2: must treat the finished swap
+    # as success and clean up, not raise
+    promote_directory(spark, live, live + TMP_SUFFIX)
+    assert spark.read.parquet(live).count() == 10
+    assert not fs.exists(fs_path(live + ".old"))
+    assert not fs.exists(fs_path(live + TMP_SUFFIX))
+
+
+def test_recover_race_both_sides_report_promoted(spark, tmp_path):
+    """Two agents recovering the same half-done swap: the loser's
+    rename fails benignly and it must still report 'promoted' (live is
+    whole), not raise. Simulated by running recover twice — the second
+    call sees the already-completed state."""
+    from web3_flight_rpc_server_spark.operators.fswap import (
+        TMP_SUFFIX,
+        recover_directory,
+    )
+
+    live = str(tmp_path / "data")
+    spark.range(7).write.parquet(live + TMP_SUFFIX)
+    assert recover_directory(spark, live) == "promoted"
+    assert recover_directory(spark, live) == "live"
+    assert spark.read.parquet(live).count() == 7

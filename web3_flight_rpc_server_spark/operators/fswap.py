@@ -25,6 +25,19 @@ concurrent append (the compaction docstrings already require running
 between ingest cycles). On rename-less object stores (S3 without a
 committer) the same caveat as before applies — run inside the store's
 commit mechanism.
+
+READERS may race a promote (r6, pinned in
+tests/test_concurrency_drill.py): every intermediate state keeps a
+complete dataset under a known name, and a reader that loses the
+listing race self-heals via :func:`recover_directory` — which may
+COMPLETE the in-flight swap from the reader's thread. Both promote
+and recover therefore tolerate "my rename failed but the target state
+already holds" (the other side won the benign race) instead of
+erroring. The residual reader-visible artifact is a transient task
+failure when the live dir is renamed away BETWEEN a read's file
+listing and its task execution; a single retry then lands on a
+complete dataset (never a partial one) — serving layers wrap reads
+accordingly.
 """
 
 from __future__ import annotations
@@ -68,6 +81,13 @@ def promote_directory(spark, live: str, tmp: str | None = None) -> None:
     if fs.exists(live_p) and not fs.rename(live_p, old_p):
         raise IOError(f"rename {live!r} -> {old!r} failed")
     if not fs.rename(tmp_p, live_p):
+        # benign race: a concurrent reader hit the live-missing window,
+        # ran recover_directory, and completed THIS swap (tmp is gone,
+        # live holds the compacted data) — finish the cleanup instead
+        # of erroring
+        if fs.exists(live_p) and not fs.exists(tmp_p):
+            fs.delete(old_p, True)
+            return
         raise IOError(
             f"rename {tmp!r} -> {live!r} failed; pre-swap data intact "
             f"at {old!r} — run recover_directory({live!r})"
@@ -110,12 +130,18 @@ def recover_directory(spark, live: str) -> str:
         return "live"
     if fs.exists(tmp_p) and _success_marker(fs, jvm, tmp):
         if not fs.rename(tmp_p, live_p):
+            # benign race: the writer's promote (or another reader's
+            # recovery) renamed tmp into place first — live is whole
+            if fs.exists(live_p):
+                return "promoted"
             raise IOError(f"recovery rename {tmp!r} -> {live!r} failed")
         if fs.exists(old_p):
             fs.delete(old_p, True)
         return "promoted"
     if fs.exists(old_p):
         if not fs.rename(old_p, live_p):
+            if fs.exists(live_p):  # raced a completing promote
+                return "promoted"
             raise IOError(f"recovery rename {old!r} -> {live!r} failed")
         if fs.exists(tmp_p):
             fs.delete(tmp_p, True)

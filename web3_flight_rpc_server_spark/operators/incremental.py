@@ -130,7 +130,15 @@ def _read_recovering(spark: SparkSession, live: str) -> DataFrame:
     except AnalysisException:
         from .fswap import recover_directory
 
-        if recover_directory(spark, live) in ("promoted", "rolled_back"):
+        # "live" counts too: a concurrent promote may have completed
+        # the swap between our failed listing and the recovery call —
+        # the dataset is whole again, retry the read (r6 drill). The
+        # refresh drops Spark's cached file listing for the path,
+        # which otherwise still names the pre-swap files.
+        if recover_directory(spark, live) in (
+            "promoted", "rolled_back", "live"
+        ):
+            spark.catalog.refreshByPath(live)
             return spark.read.parquet(live)
         raise
 
