@@ -221,3 +221,54 @@ def test_recover_race_both_sides_report_promoted(spark, tmp_path):
     assert recover_directory(spark, live) == "promoted"
     assert recover_directory(spark, live) == "live"
     assert spark.read.parquet(live).count() == 7
+
+
+def test_read_recovering_rechecks_live_after_missing(
+        spark, tmp_path, monkeypatch):
+    """r6 ADVICE (operators/incremental.py): recover_directory can
+    return 'missing' even though the dataset is whole — live was absent
+    at recover's FIRST check, then a completing promote renamed
+    tmp->live and deleted .old before recover's tmp/.old checks.
+    Simulated deterministically: the read fails on a renamed-away live
+    dir; a faked recover restores it (the 'promote completed while I
+    looked' interleaving) but still reports 'missing'. The reader must
+    re-check the live path and succeed, not re-raise."""
+    import web3_flight_rpc_server_spark.operators.fswap as fswap
+
+    live = str(tmp_path / "data")
+    spark.range(13).write.parquet(live)
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = fs_path(live).getFileSystem(spark._jsc.hadoopConfiguration())
+    hidden = str(tmp_path / "hidden")
+    assert fs.rename(fs_path(live), fs_path(hidden))
+
+    def racing_recover(spark_, live_):
+        # the writer completes its promote between recover's checks...
+        assert fs.rename(fs_path(hidden), fs_path(live))
+        return "missing"  # ...but recover already concluded nothing's there
+
+    monkeypatch.setattr(fswap, "recover_directory", racing_recover)
+    assert _read_recovering(spark, live).count() == 13
+
+
+def test_promote_refuses_when_nothing_whole_anywhere(spark, tmp_path):
+    """The entry-race tolerance must NOT swallow real caller errors:
+    promoting with no tmp and no live dataset stays an IOError, and so
+    does promoting a half-written tmp (no _SUCCESS)."""
+    from web3_flight_rpc_server_spark.operators.fswap import (
+        TMP_SUFFIX,
+        promote_directory,
+    )
+
+    live = str(tmp_path / "data")
+    with pytest.raises(IOError, match="refusing to promote"):
+        promote_directory(spark, live)
+
+    # half-written tmp: dir exists, no _SUCCESS marker
+    tmp = live + TMP_SUFFIX
+    spark.range(3).write.parquet(tmp)
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = fs_path(tmp).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(fs_path(tmp + "/_SUCCESS"), False)
+    with pytest.raises(IOError, match="refusing to promote"):
+        promote_directory(spark, live)

@@ -31,6 +31,18 @@ from web3_flight_rpc_server_spark.multimodal.neardup import (
 W, H = 64, 48
 RADIUS = 6
 
+# A structurally-valid GIF89a (header, global color table, image
+# descriptor) whose LZW data sub-block claims 32 bytes but the payload
+# is cut short — the shape of a truncated upload.
+_TRUNCATED_GIF = (
+    b"GIF89a" + b"\x10\x00\x10\x00"      # 16x16
+    + b"\x80\x00\x00"                     # global table, 2 entries
+    + b"\x00\x00\x00\xff\xff\xff"         # palette
+    + b"\x2c\x00\x00\x00\x00\x10\x00\x10\x00\x00"  # image descriptor
+    + b"\x02\x20"                          # LZW min size 2, block len 32
+    + b"\x8c\x2d"                          # ...but only 2 bytes follow
+)
+
 
 def _base(seed: int) -> np.ndarray:
     """A smooth, structured luminance field (sum of two sinusoids with
@@ -71,6 +83,18 @@ def _corpus(spark, n_bases: int = 4):
             rows.append((base * 10 + j, "image", blob, None))
     rows.append((900, "image", b"\x00\x01not-an-image", None))
     rows.append((901, "audio", b"RIFFjunk", None))
+    # corrupt-but-plausible payloads (r6 ADVICE): a real PNG whose IDAT
+    # bytes are flipped raises zlib.error inside the inflater, and a
+    # GIF cut mid-LZW raises from the code-stream walk — classes the
+    # old narrow except clause did NOT catch; both must drop, not
+    # poison the Spark task.
+    good_png = _png_encode(_base(0))
+    idat = good_png.find(b"IDAT")
+    rows.append((902, "image",
+                 good_png[:idat + 4]
+                 + bytes(b ^ 0xFF for b in good_png[idat + 4:idat + 12])
+                 + good_png[idat + 12:], None))
+    rows.append((903, "image", _TRUNCATED_GIF, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

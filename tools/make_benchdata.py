@@ -16,6 +16,15 @@ cross-replica duplicates — fine for top-k timing, fenced from the
 pairwise queries.
 
     python tools/make_benchdata.py [reps] [out_dir]
+
+Reproduces every scale tier used in BASELINE.md from the same sf0.1
+source (out dir is derived as sf{reps * 0.1}):
+
+    python tools/make_benchdata.py 10    # -> benchdata/sf1   (~240 MB)
+    python tools/make_benchdata.py 100   # -> benchdata/sf10  (~2.4 GB)
+
+(The committed benchdata/sf10 tier was generated with reps=100 —
+verified 100x the sf0.1 row counts on every fact table.)
 """
 
 from __future__ import annotations

@@ -677,6 +677,63 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def _pcm_mono(data: bytes) -> "tuple[np.ndarray, int] | None":
+    """Mono float64 PCM in [-1, 1] plus sample rate, from WAV or AIFF
+    bytes via the stdlib codecs; None when the magic is neither
+    RIFF/WAVE nor FORM/AIFF(-C). Malformed or unsupported payloads
+    RAISE (wave.Error, NotImplementedError for >16-bit / compressed
+    AIFC, ...) — callers choose between honesty (audio_features) and
+    triage-drop (the fingerprint pass). Shared by audio_features and
+    multimodal/neardup.py so both passes hear the same signal."""
+    import io
+    import wave as _wave
+
+    is_wav = data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    is_aiff = data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC")
+    if not (is_wav or is_aiff):
+        return None
+    if is_wav:
+        with _wave.open(io.BytesIO(data), "rb") as w:
+            n_ch = w.getnchannels()
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        endian = "<"
+    else:
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc as _aifc
+        with _aifc.open(io.BytesIO(data), "rb") as a:
+            if a.getcomptype() != b"NONE":
+                raise NotImplementedError(
+                    f"AIFC compression {a.getcomptype()!r}"
+                )
+            n_ch = a.getnchannels()
+            rate = a.getframerate()
+            width = a.getsampwidth()
+            raw = a.readframes(a.getnframes())
+        endian = ">"  # AIFF PCM is big-endian
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype=endian + "i2").astype(np.float64)
+        pcm /= 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned; AIFF signed
+        if is_wav:
+            pcm = (np.frombuffer(raw, dtype=np.uint8)
+                   .astype(np.float64) - 128.0) / 128.0
+        else:
+            pcm = np.frombuffer(raw, dtype=np.int8).astype(np.float64)
+            pcm /= 128.0
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit PCM (only 8/16-bit here)"
+        )
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    return pcm, rate
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """Real signal features from WAV payloads (numpy FFT — no codec
     libs): normalized RMS energy, dominant frequency (argmax of the
@@ -689,9 +746,6 @@ def audio_features(media: DataFrame) -> DataFrame:
     by-value: the closure carries only stdlib + numpy."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave as _wave
-
         for pdf in batches:
             rows: dict[str, list] = {
                 "media_id": [], "sample_rate": [], "n_samples": [],
@@ -699,58 +753,10 @@ def audio_features(media: DataFrame) -> DataFrame:
                 "spectral_centroid_hz": [], "zero_crossing_rate": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                data = bytes(content)
-                is_wav = data[:4] == b"RIFF" and data[8:12] == b"WAVE"
-                is_aiff = (data[:4] == b"FORM"
-                           and data[8:12] in (b"AIFF", b"AIFC"))
-                if not (is_wav or is_aiff):
+                loaded = _pcm_mono(bytes(content))
+                if loaded is None:
                     continue
-                if is_wav:
-                    with _wave.open(io.BytesIO(data), "rb") as w:
-                        n_ch = w.getnchannels()
-                        rate = w.getframerate()
-                        width = w.getsampwidth()
-                        n = w.getnframes()
-                        raw = w.readframes(n)
-                    endian = "<"
-                else:
-                    import warnings as _warnings
-
-                    with _warnings.catch_warnings():
-                        _warnings.simplefilter(
-                            "ignore", DeprecationWarning
-                        )
-                        import aifc as _aifc
-                    with _aifc.open(io.BytesIO(data), "rb") as a:
-                        if a.getcomptype() != b"NONE":
-                            raise NotImplementedError(
-                                f"AIFC compression {a.getcomptype()!r}"
-                            )
-                        n_ch = a.getnchannels()
-                        rate = a.getframerate()
-                        width = a.getsampwidth()
-                        n = a.getnframes()
-                        raw = a.readframes(n)
-                    endian = ">"  # AIFF PCM is big-endian
-                if width == 2:
-                    pcm = np.frombuffer(
-                        raw, dtype=endian + "i2"
-                    ).astype(np.float64)
-                    pcm /= 32768.0
-                elif width == 1:  # 8-bit WAV is unsigned; AIFF signed
-                    if is_wav:
-                        pcm = (np.frombuffer(raw, dtype=np.uint8)
-                               .astype(np.float64) - 128.0) / 128.0
-                    else:
-                        pcm = np.frombuffer(
-                            raw, dtype=np.int8
-                        ).astype(np.float64) / 128.0
-                else:
-                    raise NotImplementedError(
-                        f"{8 * width}-bit PCM (only 8/16-bit here)"
-                    )
-                if n_ch > 1:
-                    pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+                pcm, rate = loaded
                 if pcm.size == 0:
                     continue
                 mag = np.abs(np.fft.rfft(pcm))

@@ -50,11 +50,20 @@ DEFAULT_MAX_BUCKET = 5000
 
 # Sentinel distinguishing "caller said nothing" (-> DEFAULT_MAX_BUCKET,
 # read at CALL time so tests can exercise the default path on small
-# engineered-skew corpora) from an explicit None (uncapped).
-_CAP_DEFAULT = object()
+# engineered-skew corpora) from an explicit None (uncapped). A typed
+# singleton (not a bare object()) so the public signatures
+# `int | None | _CapDefault` type-check honestly.
+class _CapDefault:
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # renders in API docs / reprs
+        return "DEFAULT_MAX_BUCKET"
 
 
-def _resolve_cap(max_bucket) -> int | None:
+_CAP_DEFAULT = _CapDefault()
+
+
+def _resolve_cap(max_bucket: "int | None | _CapDefault") -> int | None:
     return DEFAULT_MAX_BUCKET if max_bucket is _CAP_DEFAULT else max_bucket
 
 
@@ -332,7 +341,7 @@ def _drop_hot_buckets(keyed: DataFrame, key_cols: list[str],
 
 def lsh_hot_buckets(signatures: DataFrame, bands: int = 8,
                     id_col: str = "doc_id",
-                    max_bucket: int = 1000) -> DataFrame:
+                    max_bucket: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """(band, bucket, n_docs) for every LSH band bucket whose
     population exceeds ``max_bucket`` — the ledger of what
     ``lsh_candidate_pairs(max_bucket=...)`` quarantined, derived from
@@ -345,7 +354,7 @@ def lsh_hot_buckets(signatures: DataFrame, bands: int = 8,
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
                         id_col: str = "doc_id",
-                        max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
+                        max_bucket: int | None | _CapDefault = _CAP_DEFAULT) -> DataFrame:
     """Band the signature (rows_per_band = len/bands), hash each band,
     and emit candidate pairs sharing any (band, band_hash) bucket.
     Output (d1, d2) distinct, d1 < d2.
@@ -385,7 +394,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 8,
 def minhash_lsh_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                             num_hashes: int = 32, bands: int = 8,
                             id_col: str = "doc_id", text_col: str = "text",
-                            n: int = 3, max_bucket: int | None = _CAP_DEFAULT,
+                            n: int = 3, max_bucket: int | None | _CapDefault = _CAP_DEFAULT,
                             _sets: DataFrame | None = None) -> DataFrame:
     """Full LSH near-dup pipeline: candidates from banded MinHash, then
     EXACT Jaccard verification of candidates only. Output
@@ -536,7 +545,7 @@ def fingerprint_chunks(fps: DataFrame, max_hamming: int = 3,
 
 
 def fingerprint_hot_buckets(fps: DataFrame, max_hamming: int = 3,
-                            max_bucket: int = 1000,
+                            max_bucket: int = DEFAULT_MAX_BUCKET,
                             id_col: str = "doc_id",
                             fp_col: str = "simhash") -> DataFrame:
     """(chunk_idx, chunk, n_docs) for every fingerprint blocking
@@ -550,7 +559,7 @@ def fingerprint_hot_buckets(fps: DataFrame, max_hamming: int = 3,
 
 def fingerprint_pairs(fps: DataFrame, max_hamming: int = 3,
                       id_col: str = "doc_id", fp_col: str = "simhash",
-                      max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
+                      max_bucket: int | None | _CapDefault = _CAP_DEFAULT) -> DataFrame:
     """Near-dup pairs within a Hamming radius over ANY precomputed
     64-bit fingerprint column, chunk-blocked (see :func:`simhash_pairs`
     for the pigeonhole argument, scale envelope, and cap semantics —
@@ -601,7 +610,7 @@ def simhash_chunks(docs: DataFrame, max_hamming: int = 3,
 
 
 def simhash_hot_buckets(docs: DataFrame, max_hamming: int = 3,
-                        max_bucket: int = 1000,
+                        max_bucket: int = DEFAULT_MAX_BUCKET,
                         id_col: str = "doc_id", text_col: str = "text",
                         hash_fn: Callable[[Column], Column] | None = None
                         ) -> DataFrame:
@@ -617,7 +626,7 @@ def simhash_hot_buckets(docs: DataFrame, max_hamming: int = 3,
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   hash_fn: Callable[[Column], Column] | None = None,
-                  max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
+                  max_bucket: int | None | _CapDefault = _CAP_DEFAULT) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, BLOCKED on
     signature chunks: the 64 bits split into ``max_hamming + 1``
     disjoint chunks, so a pair within the radius must agree EXACTLY on
@@ -652,7 +661,7 @@ def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
                            n_chunks: int | None = None,
                            id_col: str = "doc_id", text_col: str = "text",
                            hash_fn: Callable[[Column], Column] | None = None,
-                           max_bucket: int | None = _CAP_DEFAULT) -> DataFrame:
+                           max_bucket: int | None | _CapDefault = _CAP_DEFAULT) -> DataFrame:
     """:func:`simhash_pairs` with HmSearch-style WIDENED blocking keys
     for >10^7-doc corpora — same output, ~2^w fewer candidates.
 

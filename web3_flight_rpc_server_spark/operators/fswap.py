@@ -72,6 +72,23 @@ def promote_directory(spark, live: str, tmp: str | None = None) -> None:
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     old_p = jvm.org.apache.hadoop.fs.Path(old)
     if not fs.exists(tmp_p) or not _success_marker(fs, jvm, tmp):
+        # benign race at ENTRY: a concurrent reader's recover_directory
+        # already completed this swap (tmp consumed into live, .old
+        # possibly cleaned up from the reader's thread) — the resuming
+        # writer sees tmp gone but a COMPLETE dataset live. Finish the
+        # cleanup and return success instead of refusing; raising here
+        # would strand .old and fail the compaction job spuriously
+        # (tests/test_concurrency_drill.py, VERDICT r6 #1).
+        if (
+            not fs.exists(tmp_p)
+            and fs.exists(live_p)
+            and _success_marker(fs, jvm, live)
+        ):
+            if fs.exists(old_p):
+                fs.delete(old_p, True)
+            return
+        # tmp half-written (no _SUCCESS), or nothing whole anywhere:
+        # promoting would be the one unrecoverable mistake — refuse.
         raise IOError(
             f"refusing to promote {tmp!r}: missing or lacks _SUCCESS "
             "(incomplete write)"

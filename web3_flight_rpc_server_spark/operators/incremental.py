@@ -140,6 +140,18 @@ def _read_recovering(spark: SparkSession, live: str) -> DataFrame:
         ):
             spark.catalog.refreshByPath(live)
             return spark.read.parquet(live)
+        # "missing" can itself be a race artifact: live was absent at
+        # recover's FIRST check, then a completing promote renamed
+        # tmp->live and deleted .old before recover's tmp/.old checks —
+        # the dataset is whole yet recover saw nothing at any name.
+        # Re-check the live path before declaring the dataset gone
+        # (r6 ADVICE, operators/fswap.py entry-race twin).
+        from .fswap import _hadoop
+
+        fs, _, live_p = _hadoop(spark, live)
+        if fs.exists(live_p):
+            spark.catalog.refreshByPath(live)
+            return spark.read.parquet(live)
         raise
 
 
