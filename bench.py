@@ -202,13 +202,16 @@ def main() -> int:
         return run_single_pass(sf_dir, dump_plans)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # One pass comfortably fits 1800 s at sf<=1; the sf10 tier needs
+    # ~10x the budget (SPARK_GRAFT_PASS_TIMEOUT to override).
+    pass_timeout = int(os.environ.get("SPARK_GRAFT_PASS_TIMEOUT", "1800"))
     passes: list[dict] = []
     for i in range(reps):
         args = [sys.executable, os.path.abspath(__file__), "--single-pass"]
         if dump_plans and i == 0:
             args.append("--explain")
         proc = subprocess.run(args, capture_output=True, text=True,
-                              timeout=1800, env=os.environ)
+                              timeout=pass_timeout, env=os.environ)
         payload = None
         for line in proc.stdout.splitlines():
             if line.startswith("PASS_JSON "):

@@ -246,6 +246,46 @@ def read_scd2(spark, dim_dir: str) -> DataFrame:
     raise ValueError(f"no published SCD2 version under {dim_dir}")
 
 
+def publish_scd2_version(spark, dim_dir: str, dim: DataFrame,
+                         version: int, keep_versions: int = 3) -> None:
+    """Write and PUBLISH one complete dimension state as
+    ``v=<version>``: write the directory, create the per-version
+    pointer ``_LATEST.<version>`` atomically (write-tmp + rename —
+    versioned names never collide across batches, so there is no
+    delete-then-rename window; a replay finds its pointer already
+    present and the failed rename just drops the tmp), retire any
+    legacy single-file pointer, then prune versions beyond
+    ``keep_versions`` — pointer file FIRST, directory second, so no
+    pointer ever names a missing version. This is the streaming
+    maintenance loop's publish step, factored out so batch jobs and
+    drills exercise the SAME flip protocol readers race against
+    (read_scd2 resolves max over the pointers)."""
+    dim.write.mode("overwrite").parquet(f"{dim_dir}/v={version}")
+    fs, jvm, legacy = _latest_pointer(spark, dim_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{dim_dir}/._LATEST.{version}.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.writeUTF(str(version))
+    finally:
+        out.close()
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/_LATEST.{version}")
+    if not fs.rename(tmp, ptr):
+        fs.delete(tmp, False)
+    # a legacy single-file pointer is superseded the moment a
+    # versioned pointer exists (readers prefer versioned); drop it
+    # so it can't name a version pruning is about to delete
+    if fs.exists(legacy):
+        fs.delete(legacy, False)
+    for v in _version_dirs(spark, dim_dir)[:-keep_versions]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/_LATEST.{v}"),
+            False,
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/v={v}"), True)
+
+
 def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
                                key_col: str = "key", ts_col: str = "ts",
                                checkpoint: str | None = None,
@@ -313,39 +353,8 @@ def streaming_scd2_maintenance(change_stream: DataFrame, dim_dir: str,
         # batch's first run), so an un-cut plan would read the very
         # directory the overwrite below is deleting
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(f"{dim_dir}/v={batch_id}")
-        # publish: create the per-version pointer atomically (tmp +
-        # rename). Versioned pointer names never collide across
-        # batches, so there is no delete-then-rename window; a replay
-        # finds its pointer already present (rename fails -> drop tmp).
-        fs, jvm, legacy = _latest_pointer(spark, dim_dir)
-        tmp = jvm.org.apache.hadoop.fs.Path(
-            f"{dim_dir}/._LATEST.{batch_id}.tmp"
-        )
-        out = fs.create(tmp, True)
-        try:
-            out.writeUTF(str(batch_id))
-        finally:
-            out.close()
-        ptr = jvm.org.apache.hadoop.fs.Path(
-            f"{dim_dir}/_LATEST.{batch_id}"
-        )
-        if not fs.rename(tmp, ptr):
-            fs.delete(tmp, False)
-        # a legacy single-file pointer is superseded the moment a
-        # versioned pointer exists (readers prefer versioned); drop it
-        # so it can't name a version pruning is about to delete
-        if fs.exists(legacy):
-            fs.delete(legacy, False)
-        # prune old versions, keeping the newest keep_versions;
-        # pointer file FIRST, then the directory, so no pointer ever
-        # names a missing version
-        for v in _version_dirs(spark, dim_dir)[:-keep_versions]:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/_LATEST.{v}"),
-                False,
-            )
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dim_dir}/v={v}"), True)
+        publish_scd2_version(spark, dim_dir, merged, batch_id,
+                             keep_versions)
 
     writer = change_stream.writeStream.foreachBatch(_process)
     if checkpoint:

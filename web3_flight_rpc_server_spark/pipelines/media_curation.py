@@ -1,0 +1,195 @@
+"""End-to-end MEDIA curation: triage -> decode -> near-dup canonical
+selection, composed from the verified multimodal operators with the
+text funnel's first-failing-gate reject contract
+(pipelines/curation.py — a row's reject_reason is its FIRST failing
+stage, so funnel losses are attributable and the stage outputs
+partition the corpus exactly).
+
+Stage order:
+
+    1. unknown_format   header-only triage (multimodal/containers.py:
+                        probe_media) cannot identify the payload —
+                        the cheapest possible reject, no decode
+    2. unsupported_modality  the row's modality has no curation tier
+                        here (e.g. video: the env has no H.264
+                        decoder — multimodal/containers.py walks MP4
+                        metadata but frames stay opaque)
+    3. undecodable      the modality tier's REAL decoder produced no
+                        fingerprint: corrupt payload past the header
+                        (truncated GIF, damaged IDAT), an image format
+                        branch the codec honestly refuses
+                        (progressive JPEG), or audio with nothing to
+                        fingerprint (pure silence, sub-50 ms blips)
+    4. near_dup         perceptual near-dup clusters per modality
+                        (dHash / spectral fingerprint ->
+                        fingerprint_pairs -> connected components);
+                        every non-canonical (non-min-id) member of a
+                        cluster is rejected
+
+Scale shape: stage 1 is one header-only mapInPandas pass (bytes never
+shuffle); stages 3-4 decode each surviving payload EXACTLY ONCE (a
+row routes to one modality tier) into a 64-bit fingerprint, and only
+the tiny (media_id, fp) tables — persisted, they feed both the
+undecodable anti-join and the pair join — ever shuffle. The pair
+joins are the capped pigeonhole equi-joins of operators/dedup.py
+(never all-pairs; hot buckets quarantined under ``max_bucket`` with
+the ledger returned for audit). The raw binary column stays columnar
+in the source scan and is read, not persisted.
+
+No counterpart in the reference (text/numbers only); the composition
+mirrors pipelines/curation.py:curation_rejects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.containers import probe_media
+from ..multimodal.neardup import audio_fingerprint, perceptual_hash
+from ..operators.components import connected_components
+from ..operators.dedup import (
+    _CAP_DEFAULT,
+    _CapDefault,
+    _persisted,
+    fingerprint_hot_buckets,
+    fingerprint_pairs,
+)
+
+REJECT_ORDER = (
+    "unknown_format", "unsupported_modality", "undecodable", "near_dup"
+)
+
+# Header-identified container formats -> modality. 'synm' (the
+# synthetic test container) carries its own kind byte, so its rows
+# route by the corpus's kind column like everything else; the decode
+# dispatcher enforces the actual kind at fingerprint time.
+_IMAGE_FORMATS = ("png", "jpeg", "jpeg-progressive", "gif", "bmp", "webp",
+                  "synm")
+_AUDIO_FORMATS = ("wav", "aiff", "mp3", "synm")
+
+
+@dataclass(frozen=True)
+class MediaCurationConfig:
+    modalities: tuple[str, ...] = ("image", "audio")
+    image_max_hamming: int = 6
+    image_method: str = "dhash"
+    audio_max_hamming: int = 6
+    # Shared hot-bucket cap for both modalities' pair joins (the
+    # flat-image / re-uploaded-ringtone template case) — defaults to
+    # operators/dedup.py DEFAULT_MAX_BUCKET like every pair entry point.
+    max_bucket: "int | None | _CapDefault" = _CAP_DEFAULT
+
+
+def media_curation_rejects(media: DataFrame,
+                           cfg: MediaCurationConfig = MediaCurationConfig(),
+                           with_quarantine: bool = False):
+    """(media_id, reject_reason) for every rejected media row — first
+    failing gate only; rows absent from the result survive curation.
+
+    ``with_quarantine=True`` returns ``(rejects, quarantine)`` where
+    quarantine is the union of both modalities' fingerprint hot-bucket
+    ledgers ((modality, chunk_idx, chunk, n_docs)) excluded under
+    ``cfg.max_bucket`` — derived from the SAME persisted fingerprint
+    tables the pair joins used, so ledger and join always agree.
+    Quarantined rows are ADMITTED (their near-dups in those buckets go
+    undetected): the funnel reports the recall loss instead of hiding
+    it in a silent drop. None when the cap is disabled."""
+    ids = media.select("media_id", "kind")
+
+    # stage 1: header triage — the only pass that touches every byte
+    # column row, and it reads headers only
+    probed = probe_media(media).select("media_id", "format")
+    unknown = probed.where(F.col("format") == "unknown").select(
+        "media_id", F.lit("unknown_format").alias("reject_reason")
+    )
+    s1 = ids.join(unknown.select("media_id"), "media_id", "left_anti")
+
+    # stage 2: modality routing by the corpus's kind column, cross-
+    # checked against the probed container family (an 'image' row in a
+    # WAV container is unsupported for the image tier, not corrupt)
+    fam = (
+        F.when(F.col("format").isin(*_IMAGE_FORMATS)
+               & F.col("kind").eqNullSafe("image"), "image")
+        .when(F.col("format").isin(*_AUDIO_FORMATS)
+              & F.col("kind").eqNullSafe("audio"), "audio")
+        .otherwise("other")
+    )
+    routed = s1.join(probed, "media_id").select(
+        "media_id", fam.alias("modality")
+    )
+    unsupported = routed.where(
+        ~F.col("modality").isin(*cfg.modalities)
+    ).select(
+        "media_id", F.lit("unsupported_modality").alias("reject_reason")
+    )
+    s2 = routed.where(F.col("modality").isin(*cfg.modalities))
+
+    # stages 3-4 per modality: fingerprint once (persisted — feeds the
+    # undecodable anti-join AND the pair join), cluster, keep min-id
+    rejects = unknown.unionByName(unsupported)
+    quarantines: list[DataFrame] = []
+    tiers = {
+        "image": (lambda m: perceptual_hash(m, cfg.image_method),
+                  "phash", cfg.image_max_hamming),
+        "audio": (audio_fingerprint, "afp", cfg.audio_max_hamming),
+    }
+    for modality in cfg.modalities:
+        fp_fn, fp_col, radius = tiers[modality]
+        members = s2.where(F.col("modality") == modality).select("media_id")
+        rows = media.join(members, "media_id", "left_semi")
+        fps = _persisted(fp_fn(rows))
+        undecodable = members.join(fps, "media_id", "left_anti").select(
+            "media_id", F.lit("undecodable").alias("reject_reason")
+        )
+        pairs = fingerprint_pairs(
+            fps, radius, id_col="media_id", fp_col=fp_col,
+            max_bucket=cfg.max_bucket,
+        )
+        comp = connected_components(pairs)
+        near_losers = comp.where(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias("media_id"),
+            F.lit("near_dup").alias("reject_reason"),
+        )
+        rejects = rejects.unionByName(undecodable).unionByName(near_losers)
+        if with_quarantine and cfg.max_bucket is not None:
+            quarantines.append(
+                fingerprint_hot_buckets(
+                    fps, radius, max_bucket=cfg.max_bucket,
+                    id_col="media_id", fp_col=fp_col,
+                ).select(F.lit(modality).alias("modality"), "*")
+            )
+
+    if not with_quarantine:
+        return rejects
+    quarantine = None
+    if quarantines:
+        q = quarantines[0]
+        for extra in quarantines[1:]:
+            q = q.unionByName(extra)
+        quarantine = q
+    return rejects, quarantine
+
+
+def curate_media(media: DataFrame,
+                 cfg: MediaCurationConfig = MediaCurationConfig()
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Run the media funnel. Returns (curated, stats): curated is the
+    surviving rows (full payload columns), stats the per-stage ledger
+    ((stage, n) with 'kept' first) in REJECT_ORDER — the same funnel
+    accounting shape as pipelines/curation.py:curate."""
+    rejects = media_curation_rejects(media, cfg)
+    curated = media.join(rejects.select("media_id"), "media_id", "left_anti")
+    order = {name: i for i, name in enumerate(REJECT_ORDER, start=1)}
+    order_expr = F.create_map(
+        *[x for name, i in order.items() for x in (F.lit(name), F.lit(i))]
+    )
+    stats = (
+        curated.select(F.lit("kept").alias("stage"))
+        .unionByName(rejects.select(F.col("reject_reason").alias("stage")))
+        .groupBy("stage").agg(F.count("*").alias("n"))
+        .orderBy(F.coalesce(order_expr[F.col("stage")], F.lit(0)))
+    )
+    return curated, stats

@@ -126,10 +126,13 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, user_id ASC
     LIMIT 1
     """,
+    declared=False,
 )
 def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 by frequency with a stable tie-break on the key (notebook
-    cells 24, 26: address.value_counts().index[0])."""
+    cells 24, 26: address.value_counts().index[0]). Undeclared since
+    r7 (ceded to the behavior-analytics rotation; B16 stays attested
+    by this oracle-parity-run query + q_value_counts ordering)."""
     ev = tables.load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")

@@ -105,11 +105,14 @@ def q_filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE lower(event_type) IN ('click', 'signup')
     """,
+    declared=False,
 )
 def q_filter_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive IN-list: the reference matches addresses with
     equalsIgnoreCase (LogSubscription.java:43-45). The request side is
-    lowered too, so mixed-case needles match."""
+    lowered too, so mixed-case needles match. Undeclared since r7
+    (ceded to the behavior-analytics rotation; A9 stays attested by
+    this oracle-parity-run query + the q_filter_in_list family)."""
     ev = tables.load_table(spark, sf_dir, "events")
     needles = ["CLICK", "Signup"]  # deliberately mixed-case
     return ev.where(

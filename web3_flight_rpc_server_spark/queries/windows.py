@@ -299,15 +299,15 @@ def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per
     GROUP BY 1, 2
     """,
-    declared=False,
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle (operators/sequencing.py): cohort =
     first-activity week, cells = distinct users active N weeks later —
     the notebook-analytics staple the reference's per-slice
     value_counts can't express. One window pass + one distinct-count
-    aggregate; the oracle recomputes both cross-engine. Undeclared —
-    the driver window is full."""
+    aggregate; the oracle recomputes both cross-engine. Declared in r7
+    (rotated in for q_filter_case_insensitive, whose A9 semantics stay
+    attested by unit tests and the q_filter_in_list family)."""
     from ..operators.sequencing import retention_matrix
 
     ev = tables.load_table(spark, sf_dir, "events")
@@ -336,13 +336,13 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                / 10000 AS p
     FROM pairs
     """,
-    declared=False,
 )
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event transition matrix (operators/sequencing.py): per-user
     time-ordered adjacent (from, to) event-type pairs with
     per-from-state probabilities — linear lag+count, no sequence
-    collection. Undeclared — the driver window is full."""
+    collection. Declared in r7 (rotated in for q_top1, whose B16
+    semantics stay attested via q_value_counts ordering + q_having)."""
     from ..operators.sequencing import transition_matrix
 
     ev = tables.load_table(spark, sf_dir, "events")
