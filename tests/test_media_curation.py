@@ -178,3 +178,49 @@ def test_audio_only_config(spark):
     assert rejects[11] == "near_dup"
     assert rejects[21] == "undecodable"
     assert 10 not in rejects and 12 not in rejects
+
+
+def test_video_tier_with_demuxed_frames(spark):
+    """The video tier joins the funnel when a demuxed frames table is
+    supplied: near-dup galleries collapse to the min-id canonical, a
+    video whose frames all fail to decode routes 'undecodable', and a
+    video-modality row absent from the frames table likewise."""
+    from web3_flight_rpc_server_spark.multimodal.media import FRAMES_SCHEMA
+
+    def frame(seed, k):
+        img = 128 + 44 * np.sin(
+            (0.07 + 0.04 * seed)
+            * np.mgrid[0:48, 0:64][1].astype(np.float64) + 0.15 * k
+        )
+        gray = np.clip(img, 40, 215).astype(np.uint8)
+        return _png_encode(np.repeat(gray[..., None], 3, axis=2))
+
+    gallery = [frame(0, k) for k in range(6)]
+    mp4 = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _mp4_box(
+        b"moov",
+        _mp4_box(b"mvhd", struct.pack(">B3x", 0) + b"\x00" * 8
+                 + struct.pack(">II", 600, 9000) + b"\x00" * 80),
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "video", mp4, None),   # orig gallery: canonical
+            (2, "video", mp4, None),   # dropped-frame twin: near_dup
+            (3, "video", mp4, None),   # all frames corrupt: undecodable
+            (4, "video", mp4, None),   # demux produced nothing: undecodable
+        ],
+        MEDIA_SCHEMA,
+    )
+    frames_rows = [(1, i, b) for i, b in enumerate(gallery)]
+    frames_rows += [(2, i, b) for i, b in enumerate(gallery[1:])]
+    frames_rows += [(3, i, b"\x00corrupt" + bytes([i])) for i in range(3)]
+    frames = spark.createDataFrame(frames_rows, FRAMES_SCHEMA)
+
+    cfg = MediaCurationConfig(modalities=("video",))
+    rejects = {r.media_id: r.reject_reason
+               for r in media_curation_rejects(
+                   media, cfg, frames=frames).collect()}
+    assert rejects == {2: "near_dup", 3: "undecodable", 4: "undecodable"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="frames"):
+        media_curation_rejects(media, cfg)

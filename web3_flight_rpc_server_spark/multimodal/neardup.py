@@ -1,5 +1,5 @@
-"""Image and audio near-dup tiers: perceptual fingerprints over the
-REAL decoders, feeding the text tier's fingerprint blocking.
+"""Image, audio, and video near-dup tiers: perceptual fingerprints
+over the REAL decoders, feeding the text tier's fingerprint blocking.
 
 This makes multimodal a first-class member of the dedup story
 (VERDICT r5 #4) instead of a parallel feature: an image becomes a
@@ -32,6 +32,13 @@ a double difference, so a constant gain (log adds a constant) and a
 resample (band energies in fixed Hz ranges are preserved below
 Nyquist) cancel exactly, and the silence trim absorbs padding.
 
+Video rides it too (r7): a demuxed frame gallery (the FRAMES_SCHEMA
+contract of media.py:frame_sample, frames as encoded images) hashes
+per-frame through the image tier, then a PER-BIT MAJORITY VOTE across
+frames — 64 JVM-codegen conditional sums, no Python past the hash
+stage — folds the gallery into one 64-bit fingerprint robust to frame
+drops/inserts and per-frame re-encoding.
+
 Scale shape: the decode+hash is mapInPandas over Arrow batches
 (partition-preserving, no shuffle, no driver collect) — O(bytes) per
 payload; the pair join is O(rows x (radius+1)) blocking rows into one
@@ -51,6 +58,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.components import connected_components
 from ..operators.dedup import _CAP_DEFAULT, _CapDefault, fingerprint_pairs
@@ -108,7 +116,8 @@ def _bits_to_i64(bits: np.ndarray) -> int:
 
 
 def perceptual_hash(media: DataFrame, method: str = "dhash",
-                    id_col: str = "media_id") -> DataFrame:
+                    id_col: str = "media_id",
+                    content_col: str = "content") -> DataFrame:
     """(media_id, phash: bigint) — one 64-bit perceptual fingerprint
     per decodable image row. Non-image / undecodable rows are dropped
     (triage them with probe_media, don't crash the fingerprint pass).
@@ -124,7 +133,7 @@ def perceptual_hash(media: DataFrame, method: str = "dhash",
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
-            for media_id, content in zip(pdf[id_col], pdf["content"]):
+            for media_id, content in zip(pdf[id_col], pdf[content_col]):
                 if method == "dhash":
                     thumb = _gray_thumb(decode, bytes(content), 9, 8)
                     if thumb is None:
@@ -277,4 +286,86 @@ def audio_neardup_clusters(media: DataFrame, max_hamming: int = 6,
     acoustically-connected group (the canonical copy)."""
     return connected_components(
         audio_neardup_pairs(media, max_hamming, max_bucket=max_bucket)
+    )
+
+
+VIDEO_FP_SCHEMA = "media_id bigint, vfp bigint"
+
+
+def video_fingerprint_from_frames(frames: DataFrame,
+                                  method: str = "dhash") -> DataFrame:
+    """(media_id, vfp: bigint) — one 64-bit fingerprint per video from
+    its demuxed frame gallery (media_id, frame_idx, frame: binary —
+    the FRAMES_SCHEMA contract of multimodal/media.py:frame_sample;
+    each frame blob is an ENCODED IMAGE in any supported format).
+
+    Two stages, the classic temporally-aggregated-frame-hash design:
+
+    1. per-frame perceptual hash — the image tier's mapInPandas
+       decode+hash verbatim (undecodable frames drop; a video whose
+       frames ALL fail yields no fingerprint row — the triage
+       contract).
+    2. PER-BIT MAJORITY VOTE across the video's frames, entirely in
+       JVM-codegen expressions (64 conditional sums over
+       shiftrightunsigned bits — no Python past the hash stage): the
+       aggregated bit is 1 iff >= half the frames set it. Dropping,
+       inserting, or re-encoding a few frames flips only bits whose
+       vote was near-tied, so Hamming distance on vfp tracks temporal
+       visual similarity the way per-image dHash tracks spatial.
+
+    The real-MP4 demux stays the env-blocked stub (no H.264 decoder
+    here — BASELINE.md r6 note); this consumes ANY frames table, so
+    the full downstream path — decode, hash, vote, blocked join — is
+    real and tested on real PNG/JPEG frames."""
+    per_frame = perceptual_hash(frames, method, content_col="frame")
+    bits = [
+        F.sum(
+            F.shiftrightunsigned(F.col("phash"), i).bitwiseAND(F.lit(1))
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    counted = per_frame.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("__n"), *bits
+    )
+    # signed-int64 reassembly: bit 63's place value is -2^63, the rest
+    # +2^i — summing DISTINCT place values can't overflow
+    terms = [
+        F.when(
+            F.col(f"__b{i}") * 2 >= F.col("__n"),
+            F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    vfp = terms[0]
+    for t in terms[1:]:
+        vfp = vfp + t
+    return counted.select("media_id", vfp.alias("vfp"))
+
+
+def video_neardup_pairs(frames: DataFrame, max_hamming: int = 8,
+                        method: str = "dhash",
+                        max_bucket: int | None | _CapDefault = _CAP_DEFAULT
+                        ) -> DataFrame:
+    """(d1, d2, hamming) near-dup video pairs from demuxed frame
+    galleries — majority-vote fingerprint into the SAME pigeonhole
+    chunk blocking as text/image/audio (operators/dedup.py:
+    fingerprint_pairs; capped, never all-pairs). Radius 8 (9 x ~7-bit
+    chunks): frame drops/inserts and re-encoding perturb a handful of
+    near-tied vote bits, a touch more than single-image mutations."""
+    return fingerprint_pairs(
+        video_fingerprint_from_frames(frames, method),
+        max_hamming, id_col="media_id", fp_col="vfp",
+        max_bucket=max_bucket,
+    )
+
+
+def video_neardup_clusters(frames: DataFrame, max_hamming: int = 8,
+                           method: str = "dhash",
+                           max_bucket: int | None | _CapDefault = _CAP_DEFAULT
+                           ) -> DataFrame:
+    """(node, cluster_id) over the near-dup video graph — min-label
+    connected components; cluster_id = min media_id of each
+    temporally-visually-connected group (the canonical copy)."""
+    return connected_components(
+        video_neardup_pairs(frames, max_hamming, method, max_bucket)
     )

@@ -48,7 +48,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..multimodal.containers import probe_media
-from ..multimodal.neardup import audio_fingerprint, perceptual_hash
+from ..multimodal.neardup import (
+    audio_fingerprint,
+    perceptual_hash,
+    video_fingerprint_from_frames,
+)
 from ..operators.components import connected_components
 from ..operators.dedup import (
     _CAP_DEFAULT,
@@ -69,6 +73,7 @@ REJECT_ORDER = (
 _IMAGE_FORMATS = ("png", "jpeg", "jpeg-progressive", "gif", "bmp", "webp",
                   "synm")
 _AUDIO_FORMATS = ("wav", "aiff", "mp3", "synm")
+_VIDEO_FORMATS = ("mp4", "synm")
 
 
 @dataclass(frozen=True)
@@ -77,6 +82,7 @@ class MediaCurationConfig:
     image_max_hamming: int = 6
     image_method: str = "dhash"
     audio_max_hamming: int = 6
+    video_max_hamming: int = 8
     # Shared hot-bucket cap for both modalities' pair joins (the
     # flat-image / re-uploaded-ringtone template case) — defaults to
     # operators/dedup.py DEFAULT_MAX_BUCKET like every pair entry point.
@@ -85,9 +91,19 @@ class MediaCurationConfig:
 
 def media_curation_rejects(media: DataFrame,
                            cfg: MediaCurationConfig = MediaCurationConfig(),
-                           with_quarantine: bool = False):
+                           with_quarantine: bool = False,
+                           frames: DataFrame | None = None):
     """(media_id, reject_reason) for every rejected media row — first
     failing gate only; rows absent from the result survive curation.
+
+    ``frames`` (optional): a demuxed frame gallery in FRAMES_SCHEMA
+    (media_id, frame_idx, frame) enabling the VIDEO tier — add
+    "video" to ``cfg.modalities`` and supply the demuxer's output (in
+    this environment the real-MP4 demux is the documented stub, so
+    frames come from an external demux step; the tier itself — decode,
+    majority-vote fingerprint, capped pair join — is real). A video in
+    ``frames`` whose frames all fail to decode routes 'undecodable';
+    a video-modality row with no frames at all likewise.
 
     ``with_quarantine=True`` returns ``(rejects, quarantine)`` where
     quarantine is the union of both modalities' fingerprint hot-bucket
@@ -115,6 +131,8 @@ def media_curation_rejects(media: DataFrame,
                & F.col("kind").eqNullSafe("image"), "image")
         .when(F.col("format").isin(*_AUDIO_FORMATS)
               & F.col("kind").eqNullSafe("audio"), "audio")
+        .when(F.col("format").isin(*_VIDEO_FORMATS)
+              & F.col("kind").eqNullSafe("video"), "video")
         .otherwise("other")
     )
     routed = s1.join(probed, "media_id").select(
@@ -136,7 +154,21 @@ def media_curation_rejects(media: DataFrame,
                   "phash", cfg.image_max_hamming),
         "audio": (audio_fingerprint, "afp", cfg.audio_max_hamming),
     }
+    if frames is not None:
+        # the video tier fingerprints the DEMUXED frames table, not
+        # the container bytes — joined down to this funnel's members
+        tiers["video"] = (
+            lambda m: video_fingerprint_from_frames(
+                frames.join(m.select("media_id"), "media_id", "left_semi")
+            ),
+            "vfp", cfg.video_max_hamming,
+        )
     for modality in cfg.modalities:
+        if modality == "video" and frames is None:
+            raise ValueError(
+                "modalities includes 'video' but no demuxed frames "
+                "table was supplied — pass frames= (FRAMES_SCHEMA)"
+            )
         fp_fn, fp_col, radius = tiers[modality]
         members = s2.where(F.col("modality") == modality).select("media_id")
         rows = media.join(members, "media_id", "left_semi")
@@ -174,13 +206,14 @@ def media_curation_rejects(media: DataFrame,
 
 
 def curate_media(media: DataFrame,
-                 cfg: MediaCurationConfig = MediaCurationConfig()
+                 cfg: MediaCurationConfig = MediaCurationConfig(),
+                 frames: DataFrame | None = None
                  ) -> tuple[DataFrame, DataFrame]:
     """Run the media funnel. Returns (curated, stats): curated is the
     surviving rows (full payload columns), stats the per-stage ledger
     ((stage, n) with 'kept' first) in REJECT_ORDER — the same funnel
     accounting shape as pipelines/curation.py:curate."""
-    rejects = media_curation_rejects(media, cfg)
+    rejects = media_curation_rejects(media, cfg, frames=frames)
     curated = media.join(rejects.select("media_id"), "media_id", "left_anti")
     order = {name: i for i, name in enumerate(REJECT_ORDER, start=1)}
     order_expr = F.create_map(
