@@ -1,0 +1,177 @@
+"""Persistent fingerprint index (operators/fp_index.py): incremental
+near-dup checking against an indexed corpus, generic over 64-bit
+fingerprints — the fingerprint twin of tests/test_incremental.py's
+contracts: probe == one-shot pairs, manifest-pinned layout refusal,
+idempotent crash-replay appends, hot-bucket quarantine with exact
+stats, compaction invisibility, probe-side-only shuffle on the
+bucketed tier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.dedup import fingerprint_pairs
+from web3_flight_rpc_server_spark.operators.fp_index import (
+    compact_fp_index,
+    dedup_fingerprints_against_index,
+    fp_index_bucket_populations,
+    fp_index_hot_buckets,
+    ingest_fingerprints,
+    rebuild_fp_bucket_stats,
+    verify_fp_bucket_stats,
+    write_fingerprint_index,
+)
+
+RADIUS = 6
+
+
+def _fps(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, phash long")
+
+
+# fingerprints engineered in Hamming space: base values far apart,
+# mutations = base with k low bits flipped (hamming k)
+B1 = 0x0123456789ABCDEF
+B2 = 0x7EDCBA9876543210  # hamming 63 from B1
+B3 = 0x00FF00FF00FF00FF  # hamming 24/39 from B1/B2
+
+
+def _flip(v: int, k: int) -> int:
+    out = v
+    for i in range(k):
+        out ^= 1 << (i * 7)  # spread the flips across chunks
+    return ((out + 2 ** 63) % 2 ** 64) - 2 ** 63
+
+
+def test_probe_equals_one_shot_pairs(spark, tmp_path):
+    """Index half the corpus, probe the other half: the (new, idx)
+    pairs must equal exactly the cross-half subset of the one-shot
+    fingerprint_pairs over the union."""
+    idx_rows = [(1, B1), (2, B2), (3, B3)]
+    new_rows = [(10, _flip(B1, 3)), (11, _flip(B2, RADIUS)),
+                (12, _flip(B3, RADIUS + 1)), (13, 0x55AA55AA55AA55AA)]
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(_fps(spark, idx_rows), path,
+                            max_hamming=RADIUS)
+    got = {(r.new_id, r.idx_id, r.hamming)
+           for r in dedup_fingerprints_against_index(
+               _fps(spark, new_rows), path).collect()}
+    both = fingerprint_pairs(
+        _fps(spark, idx_rows + new_rows), RADIUS,
+        id_col="media_id", fp_col="phash", max_bucket=None,
+    )
+    want = {(r.d2, r.d1, r.hamming) for r in both.collect()
+            if r.d1 <= 3 and r.d2 >= 10}
+    assert got == want
+    assert (10, 1, 3) in got and (11, 2, RADIUS) in got
+    assert all(n != 12 for n, _, _ in got)  # outside the radius
+
+
+def test_layout_pinned_and_refusals(spark, tmp_path):
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(_fps(spark, [(1, B1)]), path, max_hamming=3)
+    with pytest.raises(ValueError, match="radius 3"):
+        write_fingerprint_index(_fps(spark, [(2, B2)]), path,
+                                max_hamming=6, append=True)
+    with pytest.raises(FileNotFoundError, match="no fingerprint index"):
+        dedup_fingerprints_against_index(
+            _fps(spark, [(9, B1)]), str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="without a hot-bucket cap"):
+        fp_index_hot_buckets(spark, path)
+
+
+def test_append_idempotent_across_replay(spark, tmp_path):
+    """Re-appending the same batch (a crash-replay) must not duplicate
+    chunk rows or inflate bucket stats."""
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(_fps(spark, [(1, B1)]), path,
+                            max_hamming=RADIUS, max_bucket=10)
+    batch = _fps(spark, [(2, B2), (3, B3)])
+    write_fingerprint_index(batch, path, append=True)
+    write_fingerprint_index(batch, path, append=True)  # replay
+    chunks = spark.read.parquet(f"{path}/chunks")
+    assert chunks.count() == 3 * (RADIUS + 1)
+    assert chunks.select("id").distinct().count() == 3
+    pops = {(r.chunk_idx, r.chunk): r.n
+            for r in fp_index_bucket_populations(spark, path).collect()}
+    assert all(n <= 3 for n in pops.values())
+    assert verify_fp_bucket_stats(spark, path)
+
+
+def test_hot_bucket_quarantine_and_repair(spark, tmp_path):
+    """A template pile in the index is excluded from probes under the
+    manifest cap; a stats rebuild recounts exactly."""
+    path = str(tmp_path / "fpidx")
+    pile = [(i, B1) for i in range(20)]  # 20 identical fingerprints
+    write_fingerprint_index(
+        _fps(spark, pile + [(100, B2)]), path,
+        max_hamming=RADIUS, max_bucket=10,
+    )
+    hot = fp_index_hot_buckets(spark, path).collect()
+    assert hot and all(r.n == 20 for r in hot)
+    probe = _fps(spark, [(200, _flip(B1, 2)), (201, _flip(B2, 2))])
+    got = {(r.new_id, r.idx_id)
+           for r in dedup_fingerprints_against_index(probe, path).collect()}
+    # every chunk of the pile is over-cap -> probe 200 finds nothing;
+    # the healthy item still matches
+    assert got == {(201, 100)}
+    # repair: wipe stats, rebuild from chunks, verify agreement
+    rebuild_fp_bucket_stats(spark, path)
+    assert verify_fp_bucket_stats(spark, path)
+    assert {(r.chunk_idx, r.chunk) for r in
+            fp_index_hot_buckets(spark, path).collect()} == \
+        {(r.chunk_idx, r.chunk) for r in hot}
+
+
+def test_ingest_loop_admits_and_indexes(spark, tmp_path):
+    """Two ingest cycles: batch-internal dups resolve to the min id,
+    index hits reject, survivors are probe-visible to the next batch."""
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(_fps(spark, [(1, B1)]), path,
+                            max_hamming=RADIUS)
+    admitted, dups = ingest_fingerprints(
+        _fps(spark, [(10, _flip(B1, 2)),      # dup of indexed 1
+                     (11, B2), (12, _flip(B2, 1)),  # internal pair
+                     (13, B3)]), path)
+    assert {r.media_id for r in admitted.collect()} == {11, 13}
+    got = {(r.new_id, r.idx_id) for r in dups.collect()}
+    assert got == {(10, 1), (12, 11)}
+    # next batch sees this batch's survivors
+    admitted2, dups2 = ingest_fingerprints(
+        _fps(spark, [(20, _flip(B3, 1))]), path)
+    assert admitted2.isEmpty()
+    assert {(r.new_id, r.idx_id) for r in dups2.collect()} == {(20, 13)}
+
+
+def test_compaction_is_invisible_to_probes(spark, tmp_path):
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(_fps(spark, [(1, B1)]), path,
+                            max_hamming=RADIUS, max_bucket=10)
+    for j in range(4):
+        write_fingerprint_index(
+            _fps(spark, [(10 + j, _flip(B2, j))]), path, append=True)
+    probe = _fps(spark, [(200, _flip(B1, 1)), (201, B2)])
+    before = {(r.new_id, r.idx_id, r.hamming)
+              for r in dedup_fingerprints_against_index(
+                  probe, path).collect()}
+    stats = compact_fp_index(spark, path)
+    assert stats["chunks"][1] <= stats["chunks"][0]
+    spark.catalog.refreshByPath(f"{path}/chunks")
+    spark.catalog.refreshByPath(f"{path}/bucket_stats")
+    after = {(r.new_id, r.idx_id, r.hamming)
+             for r in dedup_fingerprints_against_index(
+                 probe, path).collect()}
+    assert after == before and before
+    assert verify_fp_bucket_stats(spark, path)
+
+
+def test_probe_plan_no_cartesian(spark, tmp_path):
+    path = str(tmp_path / "fpidx")
+    write_fingerprint_index(_fps(spark, [(1, B1), (2, B2)]), path,
+                            max_hamming=RADIUS, max_bucket=10)
+    df = dedup_fingerprints_against_index(
+        _fps(spark, [(10, _flip(B1, 1))]), path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,386 @@
+"""Persistent FINGERPRINT index: incremental near-dup checking of new
+batches against an already-indexed corpus, generic over ANY 64-bit
+fingerprint column — text SimHash (operators/dedup.py:simhash64),
+image dHash/aHash, audio spectral prints, video majority-vote prints
+(multimodal/neardup.py). The "1M new uploads vs a 10-billion-item
+index" shape: the index side never reshuffles, the probe pays
+O(batch x (radius+1)) blocking rows.
+
+This is the fingerprint twin of operators/incremental.py's MinHash
+index, sharing its operational discipline — manifest-pinned layout
+(a probe chunked at a different radius would never collide),
+idempotent crash-replayable appends, recover-before-append
+(operators/fswap.py), manifest-pinned hot-bucket quarantine with
+exact per-append population deltas, directory-swap compaction — but
+structurally simpler: ONE dataset (``chunks/``) instead of
+bands+shingles, because the fingerprint itself rides in the chunk
+rows and candidate verification is an in-row
+``bit_count(xor) <= radius`` — no second dataset join, no exact
+re-verification pass.
+
+Layout under ``path``:
+
+    chunks/        (id, fp, chunk_idx, chunk) — fingerprint_chunks
+                   rows (pigeonhole blocking: radius+1 disjoint bit
+                   slices; a pair within the radius agrees exactly on
+                   >= 1 slice)
+    bucket_stats/  per-append (chunk_idx, chunk, n) deltas (only when
+                   the manifest pins a cap) — fold with SUM for exact
+                   populations; append is NOT atomic with the chunks
+                   append (same caveat + verify/rebuild repair API as
+                   the MinHash index)
+    manifest/      (max_hamming, fp_col, chunks_table, buckets,
+                   max_bucket)
+
+``chunks_table`` selects the metastore tier: a bucketed table
+CLUSTERED BY (chunk_idx, chunk) whose pinned hash partitioning
+satisfies the probe join's distribution requirement — only the probe
+side shuffles, no Exchange over the index however large it grows
+(sources/bucketed.py's lever, same as the MinHash bands table).
+
+No counterpart in the reference (its dedup surface is the exact
+passthrough, Converter.java:169); the incremental shape follows
+operators/incremental.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from .dedup import fingerprint_chunks, fingerprint_pairs
+from .incremental import _read_recovering, _sub
+
+
+@dataclass(frozen=True)
+class FpIndexManifest:
+    """The layout a fingerprint index was built with — recorded with
+    the data so probes and appends can never chunk differently."""
+    max_hamming: int
+    fp_col: str
+    chunks_table: str | None = None
+    buckets: int = 0
+    max_bucket: int | None = None
+
+
+def _read_fp_manifest(spark: SparkSession, path: str) -> FpIndexManifest:
+    try:
+        row = spark.read.parquet(_sub(path, "manifest")).collect()[0]
+    except AnalysisException as exc:
+        raise FileNotFoundError(
+            f"no fingerprint index at {path!r} — write the first corpus "
+            "snapshot with write_fingerprint_index() before probing it"
+        ) from exc
+    d = row.asDict()
+    mb = d.get("max_bucket")
+    return FpIndexManifest(
+        int(row.max_hamming), row.fp_col, d.get("chunks_table"),
+        int(d.get("buckets") or 0), int(mb) if mb is not None else None,
+    )
+
+
+def _read_chunks(spark: SparkSession, path: str,
+                 m: FpIndexManifest) -> DataFrame:
+    if m.chunks_table:
+        return spark.table(m.chunks_table)
+    return _read_recovering(spark, _sub(path, "chunks"))
+
+
+def write_fingerprint_index(fps: DataFrame, path: str,
+                            max_hamming: int | None = None,
+                            id_col: str = "media_id",
+                            fp_col: str = "phash",
+                            append: bool = False,
+                            chunks_table: str | None = None,
+                            buckets: int = 64,
+                            max_bucket: int | None = None) -> None:
+    """Write (or append a new batch to) the fingerprint index.
+
+    ``append=True`` is the ingestion loop: after a batch passes
+    :func:`dedup_fingerprints_against_index`, index its survivors so
+    the NEXT batch is checked against them too. Appends are
+    partition-additive, layout comes from the manifest (radius, fp
+    column, storage tier, cap — ValueError on a mismatched radius
+    request), and they are idempotent across crash-replay: ids already
+    present in ``chunks/`` are excluded before writing, and the
+    bucket_stats delta is computed AFTER the exclusion so replays
+    cannot inflate populations. The caller owns id uniqueness across
+    appends (content-hash-derived ids make replays naturally
+    idempotent)."""
+    spark = fps.sparkSession
+    if append:
+        m = _read_fp_manifest(spark, path)
+        if max_hamming is not None and max_hamming != m.max_hamming:
+            raise ValueError(
+                f"index at {path!r} was built at radius {m.max_hamming}; "
+                f"append requested {max_hamming} — rechunking an existing "
+                "index silently breaks collisions, rebuild instead"
+            )
+        # layout (incl. the storage tier and the quarantine cap) comes
+        # from the manifest on append — never switchable mid-index
+        max_hamming, fp_col = m.max_hamming, m.fp_col
+        chunks_table, buckets, max_bucket = (
+            m.chunks_table, m.buckets, m.max_bucket
+        )
+    elif max_hamming is None:
+        max_hamming = 6
+    mode = "append" if append else "overwrite"
+    chunks = fingerprint_chunks(fps, max_hamming, id_col, fp_col).select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp"),
+        "chunk_idx", "chunk",
+    )
+    if max_bucket is not None:
+        # one lineage cut feeds BOTH the dataset write and the stats
+        # delta; on append it also keeps the exclusion anti-join from
+        # holding a live plan over the path being appended to
+        chunks = chunks.localCheckpoint(eager=True)
+
+    def _write_chunks(df: DataFrame, write_mode: str) -> None:
+        if chunks_table:
+            (
+                df.write.mode(write_mode)
+                .bucketBy(buckets, "chunk_idx", "chunk")
+                .sortBy("chunk_idx", "chunk")
+                .saveAsTable(chunks_table)
+            )
+        else:
+            df.write.mode(write_mode).parquet(_sub(path, "chunks"))
+
+    def _write_stats(df: DataFrame, write_mode: str) -> None:
+        if max_bucket is None:
+            return
+        df.groupBy("chunk_idx", "chunk").agg(
+            F.count("*").alias("n")
+        ).write.mode(write_mode).parquet(_sub(path, "bucket_stats"))
+
+    if append:
+        from .fswap import recover_directory
+
+        subs = [] if chunks_table else ["chunks"]
+        if max_bucket is not None:
+            subs.append("bucket_stats")
+        for sub in subs:
+            recover_directory(spark, _sub(path, sub))
+        batch_ids = F.broadcast(chunks.select("id").distinct())
+        try:
+            existing = (
+                spark.table(chunks_table) if chunks_table
+                else spark.read.parquet(_sub(path, "chunks"))
+            )
+            present = (
+                existing.select("id")
+                .join(batch_ids, "id", "left_semi")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        except AnalysisException:
+            present = None  # dataset missing entirely
+        if present is not None and not present.isEmpty():
+            chunks = chunks.join(F.broadcast(present), "id", "left_anti")
+            if max_bucket is not None:
+                chunks = chunks.localCheckpoint(eager=True)
+        _write_chunks(chunks, mode)
+        _write_stats(chunks, "append")
+    else:
+        _write_chunks(chunks, mode)
+        _write_stats(chunks, "overwrite")
+        spark.createDataFrame(
+            [(max_hamming, fp_col, chunks_table,
+              buckets if chunks_table else 0, max_bucket)],
+            "max_hamming int, fp_col string, chunks_table string, "
+            "buckets int, max_bucket int",
+        ).write.mode("overwrite").parquet(_sub(path, "manifest"))
+
+
+def fp_index_bucket_populations(spark: SparkSession,
+                                path: str) -> DataFrame:
+    """Exact folded (chunk_idx, chunk, n) populations from the
+    per-append deltas."""
+    return (
+        _read_recovering(spark, _sub(path, "bucket_stats"))
+        .groupBy("chunk_idx", "chunk")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def fp_index_hot_buckets(spark: SparkSession, path: str) -> DataFrame:
+    """Buckets past the manifest-pinned cap — what probes quarantine."""
+    m = _read_fp_manifest(spark, path)
+    if m.max_bucket is None:
+        raise ValueError(
+            f"index at {path!r} was built without a hot-bucket cap"
+        )
+    return fp_index_bucket_populations(spark, path).where(
+        F.col("n") > m.max_bucket
+    )
+
+
+def verify_fp_bucket_stats(spark: SparkSession, path: str) -> bool:
+    """True iff the folded deltas equal a direct recount of chunks/ —
+    run after any crash-replay (the chunks append and the stats append
+    are not atomic; a crash between them undercounts forever)."""
+    m = _read_fp_manifest(spark, path)
+    truth = _read_chunks(spark, path, m).groupBy("chunk_idx", "chunk").agg(
+        F.count("*").alias("n")
+    )
+    folded = fp_index_bucket_populations(spark, path)
+    return (
+        truth.join(folded, ["chunk_idx", "chunk"], "full")
+        .where(
+            ~F.coalesce(truth["n"], F.lit(-1)).eqNullSafe(
+                F.coalesce(folded["n"], F.lit(-1))
+            )
+        )
+        .isEmpty()
+    )
+
+
+def rebuild_fp_bucket_stats(spark: SparkSession, path: str) -> None:
+    """Recount chunks/ into a single fresh stats delta (the repair for
+    a failed verify); crash-safe via the fswap promote."""
+    from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+
+    m = _read_fp_manifest(spark, path)
+    live = _sub(path, "bucket_stats")
+    recover_directory(spark, live)
+    truth = _read_chunks(spark, path, m).groupBy("chunk_idx", "chunk").agg(
+        F.count("*").alias("n")
+    )
+    truth.write.mode("overwrite").parquet(live + TMP_SUFFIX)
+    promote_directory(spark, live)
+
+
+def dedup_fingerprints_against_index(new_fps: DataFrame, path: str,
+                                     id_col: str = "media_id",
+                                     fp_col: str | None = None) -> DataFrame:
+    """(new_id, idx_id, hamming) near-dup pairs between a new batch's
+    fingerprints and the indexed corpus, within the manifest-pinned
+    radius. The radius (and therefore the chunk layout) is NOT
+    caller-suppliable — a probe chunked differently would never
+    collide and silently admit duplicates. Probe cost: the batch
+    explodes into (radius+1) blocking rows per item and joins the
+    index's (chunk_idx, chunk) buckets; with the bucketed-table tier
+    only the probe side shuffles. Hot buckets past the manifest cap
+    are excluded probe-side BEFORE the join (broadcast anti-join of
+    the pathological set; audit via fp_index_hot_buckets) — graceful
+    recall through the item's other chunks, same contract as the
+    one-shot tier."""
+    spark = new_fps.sparkSession
+    m = _read_fp_manifest(spark, path)
+    col = fp_col if fp_col is not None else m.fp_col
+    probe = fingerprint_chunks(new_fps, m.max_hamming, id_col, col).select(
+        F.col(id_col).alias("new_id"), F.col(col).alias("fp_n"),
+        "chunk_idx", "chunk",
+    )
+    if m.max_bucket is not None:
+        hot = fp_index_hot_buckets(spark, path).select("chunk_idx", "chunk")
+        probe = probe.join(
+            F.broadcast(hot), ["chunk_idx", "chunk"], "left_anti"
+        )
+    idx = _read_chunks(spark, path, m).select(
+        F.col("id").alias("idx_id"), F.col("fp").alias("fp_i"),
+        "chunk_idx", "chunk",
+    )
+    return (
+        probe.join(idx, ["chunk_idx", "chunk"])
+        .select("new_id", "idx_id", "fp_n", "fp_i")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_i")))
+        )
+        .where(F.col("hamming") <= m.max_hamming)
+        .select("new_id", "idx_id", "hamming")
+    )
+
+
+def ingest_fingerprints(new_fps: DataFrame, path: str,
+                        id_col: str = "media_id",
+                        fp_col: str | None = None):
+    """One ingestion cycle: probe the batch against the index AND
+    against itself, admit only items that duplicate neither, append
+    the admitted items. Returns (admitted_ids, dup_pairs) — admitted
+    as a 1-column DataFrame, dup_pairs as the union of index hits
+    (new_id, idx_id, hamming) and batch-internal pairs mapped to the
+    same shape (loser, keeper, hamming). Batch-internal resolution
+    keeps the MIN id of each colliding pair (deterministic), matching
+    the one-shot tier's canonical choice."""
+    spark = new_fps.sparkSession
+    m = _read_fp_manifest(spark, path)
+    col = fp_col if fp_col is not None else m.fp_col
+    # cut lineage once: the probe, the internal pair join, and the
+    # final append all consume this batch
+    batch = new_fps.select(id_col, col).localCheckpoint(eager=True)
+    idx_hits = dedup_fingerprints_against_index(
+        batch, path, id_col, col
+    ).localCheckpoint(eager=True)
+    internal = fingerprint_pairs(
+        batch, m.max_hamming, id_col=id_col, fp_col=col,
+        max_bucket=m.max_bucket,
+    ).select(
+        F.greatest("d1", "d2").alias("new_id"),
+        F.least("d1", "d2").alias("idx_id"),
+        "hamming",
+    )
+    dup_pairs = idx_hits.unionByName(internal).localCheckpoint(eager=True)
+    admitted = batch.join(
+        dup_pairs.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col, "left_anti",
+    ).localCheckpoint(eager=True)
+    write_fingerprint_index(
+        admitted, path, id_col=id_col, fp_col=col, append=True
+    )
+    return admitted.select(id_col), dup_pairs
+
+
+def compact_fp_index(spark: SparkSession, path: str,
+                     target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file hygiene for an append-heavy fingerprint index: fold
+    chunks/ into ~``target_file_bytes`` files and the bucket_stats
+    deltas into one row per bucket (SUM is associative, so every
+    population — and therefore the quarantine set — is unchanged),
+    each promoted with the crash-safe three-step swap
+    (operators/fswap.py; identical discipline and caveats to
+    operators/incremental.py:compact_index — run between ingest
+    cycles, the swap is not coordinated with concurrent appends; the
+    bucketed metastore tier compacts through the metastore instead).
+    Probes before/after are identical. Returns
+    {dataset: (files_before, files_after)}."""
+    from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+
+    m = _read_fp_manifest(spark, path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = {}
+    if not m.chunks_table:
+        live = _sub(path, "chunks")
+        recover_directory(spark, live)
+        src = jvm.org.apache.hadoop.fs.Path(live)
+        fs = src.getFileSystem(conf)
+        statuses = [
+            st for st in fs.listStatus(src)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        total_bytes = sum(st.getLen() for st in statuses)
+        n_files = max(1, -(-total_bytes // target_file_bytes))
+        df = spark.read.parquet(live)
+        tmp = live.rstrip("/") + TMP_SUFFIX
+        df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+        promote_directory(spark, live, tmp)
+        after = len([
+            st for st in fs.listStatus(src)
+            if st.getPath().getName().endswith(".parquet")
+        ])
+        out["chunks"] = (len(statuses), after)
+    if m.max_bucket is not None:
+        live = _sub(path, "bucket_stats")
+        recover_directory(spark, live)
+        folded = spark.read.parquet(live).groupBy("chunk_idx", "chunk").agg(
+            F.sum("n").alias("n")
+        )
+        tmp = live.rstrip("/") + TMP_SUFFIX
+        folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+        promote_directory(spark, live, tmp)
+    return out
