@@ -175,3 +175,47 @@ def test_probe_plan_no_cartesian(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_ingest_bootstrap_and_dedup(spark, tmp_path):
+    """Stream twin: bootstraps an empty index, admits non-dups across
+    micro-batches, rejects a later batch's near-dup of an earlier
+    batch's survivor, and hands survivors to on_admitted."""
+    from web3_flight_rpc_server_spark.operators.fp_index import (
+        streaming_ingest_fingerprints,
+    )
+
+    path = str(tmp_path / "fpidx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _fps(spark, [(1, B1), (2, _flip(B1, 1)), (3, B2)]) \
+        .write.parquet(src)
+    seen: list[tuple[int, set]] = []
+
+    def on_admitted(df, batch_id):
+        seen.append((batch_id, {r.media_id for r in df.collect()}))
+
+    stream = spark.readStream.schema(
+        "media_id long, phash long"
+    ).parquet(src)
+    q = streaming_ingest_fingerprints(
+        stream, path, ckpt, max_hamming=RADIUS, on_admitted=on_admitted,
+        max_bucket=100,
+    )
+    try:
+        q.processAllAvailable()
+        # second file: a dup of survivor 1 and a fresh item
+        _fps(spark, [(10, _flip(B1, 2)), (11, B3)]) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    admitted_all = set().union(*(s for _, s in seen))
+    # batch 1: 1 and 2 are an internal pair (min id 1 wins) + 3
+    # batch 2: 10 collides with indexed 1; 11 is fresh
+    assert admitted_all == {1, 3, 11}
+    idx_ids = {r.id for r in
+               spark.read.parquet(f"{path}/chunks").select("id")
+               .distinct().collect()}
+    assert idx_ids == {1, 3, 11}
+    assert verify_fp_bucket_stats(spark, path)

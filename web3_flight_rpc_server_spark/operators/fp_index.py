@@ -384,3 +384,68 @@ def compact_fp_index(spark: SparkSession, path: str,
         folded.coalesce(1).write.mode("overwrite").parquet(tmp)
         promote_directory(spark, live, tmp)
     return out
+
+
+def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
+                                  checkpoint_dir: str,
+                                  max_hamming: int = 6,
+                                  id_col: str = "media_id",
+                                  fp_col: str = "phash",
+                                  on_admitted=None,
+                                  chunks_table: str | None = None,
+                                  buckets: int = 64,
+                                  max_bucket: int | None = None):
+    """Continuous fingerprint ingestion: every micro-batch of the
+    fingerprint stream is deduped against the index (and against
+    itself) and its survivors appended — ``readStream ->
+    foreachBatch(ingest_fingerprints)``, the fingerprint twin of
+    operators/incremental.py:streaming_ingest. Returns the started
+    StreamingQuery.
+
+    Bootstraps an empty index (with the given layout and the STREAM's
+    own id/fp types) when ``path`` has none, so the stream can be the
+    corpus's first writer.
+
+    Replay safety: foreachBatch is at-least-once on failure recovery,
+    but a replayed append is self-healing twice over — the replayed
+    fingerprints probe an index that already holds their first copies
+    and collide at Hamming 0 (rejected), and the append itself
+    excludes already-present ids. ``on_admitted(ids_df, batch_id)``
+    hands survivors to downstream sinks under foreachBatch's
+    at-least-once contract."""
+    spark = stream_fps.sparkSession
+    try:
+        _read_fp_manifest(spark, path)
+    except FileNotFoundError:
+        empty = spark.createDataFrame(
+            [], stream_fps.select(id_col, fp_col).schema
+        )
+        write_fingerprint_index(
+            empty, path, max_hamming, id_col, fp_col,
+            chunks_table=chunks_table, buckets=buckets,
+            max_bucket=max_bucket,
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from .dedup import release_caches
+
+        if batch_df.isEmpty():
+            return
+        try:
+            admitted, _dups = ingest_fingerprints(
+                batch_df.select(id_col, fp_col), path, id_col, fp_col
+            )
+            if on_admitted is not None:
+                on_admitted(admitted, batch_id)
+        finally:
+            # the batch-internal pair join persists its blocking rows
+            # under the manifest cap (operators/dedup.py cache
+            # ledger); a continuous stream must drop them per batch.
+            # Safe: admitted/dups are localCheckpointed.
+            release_caches()
+
+    return (
+        stream_fps.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
