@@ -335,3 +335,44 @@ def test_asof_reads_survive_version_publishes(spark, tmp_path):
     ptrs = _pointer_versions(spark, dim_dir)
     assert len(ptrs) == 3 and ptrs[-1] == published["v"]
     assert set(ptrs) <= set(_version_dirs(spark, dim_dir))
+
+
+def test_fp_index_probe_reads_survive_compaction(spark, tmp_path):
+    """Fourth drill target: fingerprint-index probes in a tight loop
+    while compact_fp_index swaps chunks/ and bucket_stats/ under them
+    (operators/fp_index.py rides the same fswap promote)."""
+    from web3_flight_rpc_server_spark.operators.fp_index import (
+        compact_fp_index,
+        dedup_fingerprints_against_index,
+        write_fingerprint_index,
+    )
+
+    path = str(tmp_path / "fpidx")
+    base = 0x0123456789ABCDEF
+    write_fingerprint_index(
+        spark.createDataFrame(
+            [(1, base)], "media_id long, phash long"
+        ), path, max_hamming=6, max_bucket=100,
+    )
+    for j in range(4):  # fragments for compaction to fold
+        write_fingerprint_index(
+            spark.createDataFrame(
+                [(10 + j, base ^ (0xFF << (8 * j)))],
+                "media_id long, phash long",
+            ), path, append=True,
+        )
+    probe = spark.createDataFrame(
+        [(200, base ^ 0b11)], "media_id long, phash long"
+    )
+    expected = {(r.new_id, r.idx_id, r.hamming) for r in
+                dedup_fingerprints_against_index(probe, path).collect()}
+    assert (200, 1, 2) in expected
+
+    def read_once():
+        got = {(r.new_id, r.idx_id, r.hamming) for r in
+               dedup_fingerprints_against_index(probe, path).collect()}
+        assert got == expected, f"partial probe result: {got}"
+
+    _drill(spark, path, read_once,
+           lambda: compact_fp_index(spark, path), attempts=6)
+    read_once()

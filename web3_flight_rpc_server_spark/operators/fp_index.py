@@ -449,3 +449,38 @@ def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+_FP_INDEX_CACHE: dict = {}
+_FP_INDEX_LOCK = __import__("threading").Lock()
+_FP_KEY_LOCKS: dict = {}
+
+
+def fp_index_for(fps: DataFrame, cache_key: tuple,
+                 max_hamming: int = 6, id_col: str = "media_id",
+                 fp_col: str = "phash",
+                 max_bucket: int | None = None) -> str:
+    """Materialize (once per process per cache_key) a fingerprint
+    index for a corpus and return its path — the same scratch-cache
+    amortization as operators/ivf.py:ivf_index_for (miss path
+    serialized per key; a deployment passes an explicit shared path to
+    write_fingerprint_index instead of leaning on this)."""
+    import os
+    import tempfile
+    import threading
+
+    path = _FP_INDEX_CACHE.get(cache_key)
+    if path is not None and os.path.isdir(path):
+        return path
+    with _FP_INDEX_LOCK:
+        key_lock = _FP_KEY_LOCKS.setdefault(cache_key, threading.Lock())
+    with key_lock:
+        path = _FP_INDEX_CACHE.get(cache_key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix="fp_index_")
+            write_fingerprint_index(
+                fps, path, max_hamming, id_col, fp_col,
+                max_bucket=max_bucket,
+            )
+            _FP_INDEX_CACHE[cache_key] = path
+        return path

@@ -20,6 +20,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
+    simhash64,
     simhash_pairs,
 )
 from ..registry import query
@@ -178,6 +179,19 @@ def _simhash_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
     are always 0, so their vote sums are -n_tokens < 0 and those
     fingerprint bits are 0 on both sides — the oracle only materializes
     the 60 live bits."""
+    return f"""
+    {_simhash_fp_cte(n_bits)}
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _simhash_fp_cte(n_bits: int = 60) -> str:
+    """The shared WITH-prefix ending in ``fp(doc_id, simhash)`` —
+    the DuckDB recomputation of simhash64 over the md5-bridge hash,
+    used by both the all-pairs oracle and the index-probe oracle."""
     h = MD5_PREFIX60_SQL.format("tok")
     sums = ", ".join(
         f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) AS s{b}"
@@ -193,12 +207,7 @@ def _simhash_oracle(max_hamming: int = 3, n_bits: int = 60) -> str:
     ),
     h AS (SELECT doc_id, {h} AS h FROM tok),
     sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
-    fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM sums)
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-    """
+    fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM sums)"""
 
 
 @query("q_simhash", oracle=_simhash_oracle())
@@ -278,4 +287,53 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_table(spark, sf_dir, "documents")
     return fingerprint_overlap_pairs(
         docs, min_shared=8, max_df=20, hash_fn=md5_prefix60
+    )
+
+
+def _fp_index_probe_oracle(max_hamming: int = 3) -> str:
+    """Index-probe SQL twin: the same md5-bridge fingerprint CTE as
+    the SimHash oracle, restricted to even-id (indexed) vs odd-id
+    (probe) cross pairs — brute force over what the engine answers
+    from the persistent chunk-blocked index, so a hash match proves
+    the INDEX path (manifest radius, chunk blocking, in-row verify)
+    loses nothing vs recomputation."""
+    return f"""
+    {_simhash_fp_cte()}
+    SELECT b.doc_id AS new_id, a.doc_id AS idx_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("q_fp_index_probe", oracle=_fp_index_probe_oracle(), declared=False)
+def q_fp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup serving from the PERSISTENT fingerprint
+    index (operators/fp_index.py): even-id documents' SimHash
+    fingerprints are indexed once per process (fp_index_for scratch
+    cache, the q_ivf_topk amortization), odd-id documents probe it —
+    the '1M new uploads vs the indexed corpus' shape, driver-attested.
+    Declared with the md5-bridge hash so the DuckDB oracle recomputes
+    identical fingerprints and brute-forces the even-vs-odd pairs; a
+    hash match therefore covers the index's manifest-pinned chunk
+    blocking and in-row bit_count verify, not just the fingerprint
+    math. Undeclared (driver window is full; oracle-checked by
+    tests/test_oracle_parity.py's whole-registry parametrize)."""
+    from ..operators.fp_index import (
+        dedup_fingerprints_against_index,
+        fp_index_for,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    fps = simhash64(docs, hash_fn=md5_prefix60)
+    idx_path = fp_index_for(
+        fps.where(F.col("doc_id") % 2 == 0),
+        cache_key=("fp_probe", sf_dir), max_hamming=3,
+        id_col="doc_id", fp_col="simhash",
+    )
+    pairs = dedup_fingerprints_against_index(
+        fps.where(F.col("doc_id") % 2 == 1), idx_path, id_col="doc_id"
+    )
+    return pairs.select(
+        "new_id", "idx_id", F.col("hamming").cast("int").alias("hamming")
     )
