@@ -1,0 +1,140 @@
+"""Product quantization ANN tier (operators/pq.py): trained codebooks
+reconstruct, encoding is deterministic, ADC scoring is JVM-side, and
+measured recall@10 vs exact cosine clears a floor on the embeddings
+fixture — the same measured-recall discipline as the IVF and LSH
+tiers (tests/test_ann_recall.py, tests/test_lsh_recall.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+from web3_flight_rpc_server_spark.sources import tables
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return tables.load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def trained(spark, emb):
+    books = pq_train(emb, sample=1024)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    return books, codes
+
+
+def test_train_shapes_and_determinism(spark, emb):
+    b1 = pq_train(emb, sample=512, k=16)
+    b2 = pq_train(emb, sample=512, k=16)
+    assert b1.shape == (16, 16, 4)
+    assert np.array_equal(b1, b2), "same corpus+seed must retrain identically"
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7)
+
+
+def test_encode_is_complete_and_in_range(spark, emb, trained):
+    books, codes = trained
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == 16
+        assert all(0 <= c < 64 for c in r.codes)
+
+
+def test_quantization_reconstruction_beats_random(spark, emb, trained):
+    """The codebooks must actually fit the data: mean reconstruction
+    error of the trained assignment far below random-code assignment."""
+    books, codes = trained
+    vecs = {r.vec_id: np.array(r.embedding)
+            for r in emb.select("vec_id", "embedding").collect()}
+    cmap = {r.vec_id: r.codes for r in codes.collect()}
+    rng = np.random.default_rng(0)
+
+    def recon_err(code_fn):
+        errs = []
+        for vid, v in vecs.items():
+            rec = np.concatenate([books[j][code_fn(vid, j)]
+                                  for j in range(16)])
+            errs.append(((v - rec) ** 2).sum())
+        return float(np.mean(errs))
+
+    trained_err = recon_err(lambda vid, j: cmap[vid][j])
+    random_err = recon_err(lambda vid, j: rng.integers(0, 64))
+    assert trained_err < random_err / 3
+
+
+def test_recall_floor_vs_exact_cosine(spark, emb, trained):
+    """recall@10 of ADC top-10 vs exact inner-product top-10, averaged
+    over 20 query vectors, on the HARD near-isotropic fixture (the
+    module doc records the measured config table). Floor 0.5 for the
+    default m16/k64 config (measured 0.63)."""
+    books, codes = trained
+    vecs = {r.vec_id: np.array(r.embedding)
+            for r in emb.select("vec_id", "embedding").collect()}
+    ids = sorted(vecs)
+    hits = total = 0
+    for qid in ids[:20]:
+        q = vecs[qid]
+        exact = sorted(
+            (vid for vid in ids if vid != qid),
+            key=lambda v: (-float(np.dot(vecs[v], q)), v),
+        )[:10]
+        got = [r.vec_id for r in
+               pq_topk(codes.where(F.col("vec_id") != qid),
+                       q, books).collect()]
+        hits += len(set(exact) & set(got))
+        total += 10
+    recall = hits / total
+    assert recall >= 0.5, f"PQ recall@10 collapsed: {recall:.2f}"
+
+
+def test_adc_plan_is_jvm_side(spark, emb, trained):
+    """Scoring must not leave the JVM: no Python-eval nodes in the
+    top-k plan (the only Python stage in the whole tier is the encode
+    mapInPandas, which runs once at index-build time)."""
+    books, codes = trained
+    q = np.ones(64)
+    plan = pq_topk(codes, q, books) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan  # codes were materialized upstream
+    assert "TakeOrdered" in plan
+
+
+def test_rerank_recovers_exact_topk(spark, emb, trained):
+    """The exact re-rank stage: ADC shortlist of 100 (of 500) then
+    true inner-product scoring must recover nearly the exact top-10 —
+    recall@10 >= 0.9 averaged over 20 queries — and return EXACT
+    scores for what it ranks."""
+    from web3_flight_rpc_server_spark.operators.pq import pq_topk_rerank
+
+    books, codes = trained
+    vecs = {r.vec_id: np.array(r.embedding)
+            for r in emb.select("vec_id", "embedding").collect()}
+    ids = sorted(vecs)
+    hits = total = 0
+    for qid in ids[:20]:
+        q = vecs[qid]
+        exact = sorted(
+            (vid for vid in ids if vid != qid),
+            key=lambda v: (-float(np.dot(vecs[v], q)), v),
+        )[:10]
+        got = pq_topk_rerank(
+            codes.where(F.col("vec_id") != qid),
+            emb.where(F.col("vec_id") != qid), q, books,
+        ).collect()
+        for r in got:  # exact scores, not ADC approximations
+            assert abs(r.score - float(np.dot(vecs[r.vec_id], q))) < 1e-6
+        hits += len(set(exact) & {r.vec_id for r in got})
+        total += 10
+    recall = hits / total
+    assert recall >= 0.9, f"re-rank recall@10: {recall:.2f}"
