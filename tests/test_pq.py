@@ -138,3 +138,52 @@ def test_rerank_recovers_exact_topk(spark, emb, trained):
         total += 10
     recall = hits / total
     assert recall >= 0.9, f"re-rank recall@10: {recall:.2f}"
+
+
+def test_ivf_pq_composed_index(spark, emb, trained, tmp_path):
+    """IVF + PQ at rest: cell-partitioned codes prune at plan time
+    (PartitionFilters), full probe degrades exactly to global ADC,
+    and a partial probe equals ADC restricted to the probed cells."""
+    from web3_flight_rpc_server_spark.operators.ivf import (
+        assign_cells,
+        probe_cells_for,
+    )
+    from web3_flight_rpc_server_spark.operators.pq import (
+        ivf_pq_topk,
+        read_pq_codebooks,
+        write_ivf_pq_index,
+    )
+
+    books, codes = trained
+    path = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(emb, path, books, n_cells=8)
+    assert np.array_equal(read_pq_codebooks(spark, path), books)
+
+    q = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    # full probe == global ADC over all codes
+    full = [(r.vec_id, round(r.score, 9)) for r in
+            ivf_pq_topk(spark, path, q, k=10, n_probe=8).collect()]
+    global_ = [(r.vec_id, round(r.score, 9)) for r in
+               pq_topk(codes, q, books, k=10).collect()]
+    assert full == global_
+    # partial probe == ADC restricted to the probed cells
+    cells = probe_cells_for(q, 8, 3)
+    member_ids = {
+        r.vec_id for r in assign_cells(emb, 8).where(
+            F.col("cell").isin(cells)).select("vec_id").collect()
+    }
+    restricted = [(r.vec_id, round(r.score, 9)) for r in pq_topk(
+        codes.join(
+            spark.createDataFrame([(i,) for i in member_ids],
+                                  "vec_id long"),
+            "vec_id", "left_semi"),
+        q, books, k=10).collect()]
+    partial = [(r.vec_id, round(r.score, 9)) for r in
+               ivf_pq_topk(spark, path, q, k=10, n_probe=3).collect()]
+    assert partial == restricted
+    # the scan prunes: partition filter on cell in the plan
+    plan = ivf_pq_topk(spark, path, q, k=10, n_probe=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
