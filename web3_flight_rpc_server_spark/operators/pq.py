@@ -56,19 +56,26 @@ PQ_DEFAULT_K = 64
 def pq_train(embeddings: DataFrame, m: int = PQ_DEFAULT_M,
              k: int = PQ_DEFAULT_K, dim: int = 64,
              sample: int = 2048, seed: int = 7,
-             vec_col: str = "embedding") -> np.ndarray:
+             vec_col: str = "embedding",
+             order_col: str | None = "vec_id") -> np.ndarray:
     """Train PQ codebooks: plain Lloyd k-means per subvector on a
     deterministic sample. Returns (m, k, dim//m) float64 — small
     enough to embed as plan literals. The sample cap bounds the driver
-    collect; ``seed`` pins both the sample and the initialization so
-    retraining on the same corpus reproduces the same codebooks
-    (deterministic artifacts, the q_train_split discipline)."""
+    collect to O(sample x dim); ``order_col`` pins WHICH rows the
+    sample takes (the lowest ids, via TakeOrdered — a bare limit()
+    would float with partition layout and silently retrain different
+    codebooks on the same corpus), and ``seed`` pins the k-means
+    initialization — together retraining reproduces the codebooks
+    byte-identically (deterministic artifacts, the q_train_split
+    discipline). Pass ``order_col=None`` only when the input is
+    already a deterministic single-source slice."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    rows = (
-        embeddings.select(vec_col).limit(sample).collect()
-    )
+    sampled = embeddings
+    if order_col is not None:
+        sampled = sampled.orderBy(order_col)
+    rows = sampled.select(vec_col).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     if x.shape[0] < k:
         raise ValueError(
