@@ -219,3 +219,54 @@ def test_streaming_ingest_bootstrap_and_dedup(spark, tmp_path):
                .distinct().collect()}
     assert idx_ids == {1, 3, 11}
     assert verify_fp_bucket_stats(spark, path)
+
+
+def test_bucketed_chunks_tier_no_exchange_on_index_side(spark, tmp_path):
+    """The metastore bucketed-chunks tier: the probe join must shuffle
+    ONLY the probe side — the chunks table's pinned (chunk_idx, chunk)
+    hash partitioning satisfies the join's distribution requirement —
+    with identical pairs to the plain tier, and appends following the
+    manifest's tier into the table."""
+    rng_rows = [(i, B1 ^ (i * 0x9E3779B97F4A7C15 % 2 ** 63)) for i in
+                range(40)]
+    idx_rows = rng_rows + [(100, B1), (101, B2)]
+    probe_rows = [(200, _flip(B1, 2)), (201, _flip(B2, 3)),
+                  (202, 0x55AA55AA55AA55AA)]
+    plain_path = str(tmp_path / "idx_plain")
+    bt_path = str(tmp_path / "idx_bucketed")
+    table = "test_fp_chunks"
+    write_fingerprint_index(_fps(spark, idx_rows), plain_path,
+                            max_hamming=RADIUS)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_fingerprint_index(_fps(spark, idx_rows), bt_path,
+                                max_hamming=RADIUS, chunks_table=table,
+                                buckets=8)
+        probe = dedup_fingerprints_against_index(
+            _fps(spark, probe_rows), bt_path)
+        fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        plan = probe._jdf.queryExecution().explainString(fmt)
+        assert "Bucketed: true" in plan, "index side not read as bucketed"
+        assert plan.count("hashpartitioning(chunk_idx") == 1, plan
+        plain_probe = dedup_fingerprints_against_index(
+            _fps(spark, probe_rows), plain_path)
+        plain_plan = plain_probe._jdf.queryExecution().explainString(fmt)
+        assert plain_plan.count("hashpartitioning(chunk_idx") == 2
+        got = {(r.new_id, r.idx_id, r.hamming) for r in probe.collect()}
+        want = {(r.new_id, r.idx_id, r.hamming)
+                for r in plain_probe.collect()}
+        assert got == want
+        assert (200, 100, 2) in got and (201, 101, 3) in got
+        # append follows the manifest's tier into the table
+        before = spark.table(table).count()
+        write_fingerprint_index(_fps(spark, [(300, B3)]), bt_path,
+                                append=True)
+        assert spark.table(table).count() == before + RADIUS + 1
+        hits = dedup_fingerprints_against_index(
+            _fps(spark, [(400, B3)]), bt_path).collect()
+        assert any(r.idx_id == 300 and r.hamming == 0 for r in hits)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
