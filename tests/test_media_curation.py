@@ -224,3 +224,56 @@ def test_video_tier_with_demuxed_frames(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="frames"):
         media_curation_rejects(media, cfg)
+
+
+def test_incremental_ingest_against_persistent_index(spark, tmp_path):
+    """The production loop: batch 2 is curated against the persistent
+    per-modality indexes of batch 1's kept media (corpus_dup gate),
+    and a crash-replay of batch 2 converges — everything it admitted
+    now collides with itself at Hamming 0, nothing re-admits, the
+    index does not grow."""
+    from web3_flight_rpc_server_spark.pipelines.media_curation import (
+        ingest_media_batch,
+    )
+
+    idx = str(tmp_path / "media_index")
+    img0, img1 = _img(0), _img(1)
+    mel = _melody(0)
+    b1 = spark.createDataFrame(
+        [(1, "image", _png_encode(img0), None),
+         (2, "audio", _wav(mel), None)], MEDIA_SCHEMA)
+    rejects1, admitted1 = ingest_media_batch(b1, idx)
+    assert rejects1.isEmpty()
+    assert {r.media_id for r in admitted1.collect()} == {1, 2}
+
+    bright = np.clip(img0.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    b2 = spark.createDataFrame(
+        [(10, "image", _png_encode(bright), None),   # dup of kept 1
+         (11, "image", _png_encode(img1), None),     # fresh
+         (12, "audio", _wav(mel * 0.5), None),       # dup of kept 2
+         (13, "image", b"\x00junk", None)],          # triage reject
+        MEDIA_SCHEMA)
+    rejects2, admitted2 = ingest_media_batch(b2, idx)
+    got = {r.media_id: r.reject_reason for r in rejects2.collect()}
+    assert got == {10: "corpus_dup", 12: "corpus_dup",
+                   13: "unknown_format"}
+    assert {r.media_id for r in admitted2.collect()} == {11}
+
+    img_index_ids = {
+        r.id for r in spark.read.parquet(f"{idx}/image/chunks")
+        .select("id").distinct().collect()
+    }
+    assert img_index_ids == {1, 11}
+
+    # crash-replay of batch 2: converges, index unchanged
+    spark.catalog.refreshByPath(f"{idx}/image/chunks")
+    spark.catalog.refreshByPath(f"{idx}/audio/chunks")
+    rejects2r, admitted2r = ingest_media_batch(b2, idx)
+    gotr = {r.media_id: r.reject_reason for r in rejects2r.collect()}
+    assert gotr == {10: "corpus_dup", 11: "corpus_dup",
+                    12: "corpus_dup", 13: "unknown_format"}
+    assert admitted2r.isEmpty()
+    assert {
+        r.id for r in spark.read.parquet(f"{idx}/image/chunks")
+        .select("id").distinct().collect()
+    } == {1, 11}

@@ -226,3 +226,87 @@ def curate_media(media: DataFrame,
         .orderBy(F.coalesce(order_expr[F.col("stage")], F.lit(0)))
     )
     return curated, stats
+
+
+INGEST_REJECT_ORDER = REJECT_ORDER + ("corpus_dup",)
+
+
+def ingest_media_batch(media: DataFrame, index_path: str,
+                       cfg: MediaCurationConfig = MediaCurationConfig(),
+                       frames: DataFrame | None = None):
+    """One cycle of INCREMENTAL media curation: run the batch through
+    the full funnel (triage -> decode -> batch-internal near-dup),
+    then check the survivors' fingerprints against the PERSISTENT
+    per-modality fingerprint indexes of everything previously kept
+    (operators/fp_index.py under ``index_path/<modality>``), reject
+    collisions as ``corpus_dup`` (the batch funnel's first-failing-
+    gate order extends by one final gate), and append the admitted
+    fingerprints so the NEXT batch is checked against them too.
+
+    Returns (rejects, admitted): rejects is (media_id, reject_reason)
+    over INGEST_REJECT_ORDER; admitted the surviving ids.
+
+    Replay safety follows the fp-index contract twice over: a
+    replayed batch's fingerprints collide with their first copies at
+    Hamming 0 (-> corpus_dup, nothing re-admitted) and the index
+    append itself excludes already-present ids — so a crash-replay
+    converges to the same kept set and the index never duplicates.
+    Bootstraps empty indexes on first use."""
+    from ..operators.fp_index import (
+        dedup_fingerprints_against_index,
+        write_fingerprint_index,
+        _read_fp_manifest,
+    )
+
+    spark = media.sparkSession
+    tiers = {
+        "image": (lambda m: perceptual_hash(m, cfg.image_method),
+                  "phash", cfg.image_max_hamming),
+        "audio": (audio_fingerprint, "afp", cfg.audio_max_hamming),
+    }
+    if frames is not None:
+        tiers["video"] = (
+            lambda m: video_fingerprint_from_frames(
+                frames.join(m.select("media_id"), "media_id", "left_semi")
+            ),
+            "vfp", cfg.video_max_hamming,
+        )
+    rejects = media_curation_rejects(media, cfg, frames=frames)
+    survivors = media.join(
+        rejects.select("media_id"), "media_id", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    cap = (None if isinstance(cfg.max_bucket, _CapDefault)
+           else cfg.max_bucket)
+    admitted_parts = []
+    for modality in cfg.modalities:
+        fp_fn, fp_col, radius = tiers[modality]
+        path = index_path.rstrip("/") + "/" + modality
+        # the survivors of OTHER modalities produce no fingerprint row
+        # here (wrong-kind payloads decode to nothing), so one pass
+        # per modality over the survivor set is already tier-routed
+        fps = fp_fn(survivors).localCheckpoint(eager=True)
+        try:
+            _read_fp_manifest(spark, path)
+        except FileNotFoundError:
+            write_fingerprint_index(
+                spark.createDataFrame([], fps.schema), path,
+                max_hamming=radius, id_col="media_id", fp_col=fp_col,
+                max_bucket=cap,
+            )
+        hits = dedup_fingerprints_against_index(
+            fps, path, id_col="media_id"
+        ).select(
+            F.col("new_id").alias("media_id"),
+            F.lit("corpus_dup").alias("reject_reason"),
+        ).distinct().localCheckpoint(eager=True)
+        rejects = rejects.unionByName(hits)
+        admitted_fps = fps.join(hits.select("media_id"), "media_id",
+                                "left_anti").localCheckpoint(eager=True)
+        write_fingerprint_index(admitted_fps, path, append=True)
+        admitted_parts.append(admitted_fps.select("media_id"))
+
+    admitted = admitted_parts[0]
+    for extra in admitted_parts[1:]:
+        admitted = admitted.unionByName(extra)
+    return rejects, admitted
