@@ -270,3 +270,43 @@ def test_bucketed_chunks_tier_no_exchange_on_index_side(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_probe_one_row_per_pair_min_hamming(spark, tmp_path):
+    """An id appearing with SEVERAL distinct fingerprints (duplicate
+    probe ids, or a caller that violated id uniqueness across appends)
+    must still yield exactly ONE (new_id, idx_id) row, carrying the
+    MIN hamming — the r7 ADVICE contract fix; the old distinct was
+    keyed on the fingerprint pair and leaked one row per variant."""
+    path = str(tmp_path / "fpidx_dupid")
+    write_fingerprint_index(_fps(spark, [(1, B1)]), path,
+                            max_hamming=RADIUS)
+    # id 10 twice: hamming 4 and hamming 1 variants of B1
+    probe = _fps(spark, [(10, _flip(B1, 4)), (10, _flip(B1, 1)),
+                         (11, _flip(B1, 2))])
+    rows = dedup_fingerprints_against_index(probe, path).collect()
+    assert sorted((r.new_id, r.idx_id, r.hamming) for r in rows) == [
+        (10, 1, 1), (11, 1, 2)
+    ]
+    # and the index side too: same idx id under two fingerprints
+    path2 = str(tmp_path / "fpidx_dupidx")
+    write_fingerprint_index(
+        _fps(spark, [(1, B1), (1, _flip(B1, 3))]), path2,
+        max_hamming=RADIUS)
+    rows2 = dedup_fingerprints_against_index(
+        _fps(spark, [(20, B1)]), path2).collect()
+    assert [(r.new_id, r.idx_id, r.hamming) for r in rows2] == [(20, 1, 0)]
+
+
+def test_bucket_stats_apis_refuse_uncapped_index(spark, tmp_path):
+    """All three bucket-stats entry points on an index built WITHOUT a
+    cap raise the same descriptive ValueError instead of a raw
+    AnalysisException out of the missing bucket_stats/ read (r7
+    ADVICE)."""
+    path = str(tmp_path / "fpidx_uncapped")
+    write_fingerprint_index(_fps(spark, [(1, B1)]), path,
+                            max_hamming=RADIUS, max_bucket=None)
+    for fn in (fp_index_bucket_populations, fp_index_hot_buckets,
+               verify_fp_bucket_stats, rebuild_fp_bucket_stats):
+        with pytest.raises(ValueError, match="without a hot-bucket cap"):
+            fn(spark, path)

@@ -209,3 +209,35 @@ def test_compact_index_recovers_then_compacts(spark, tmp_path):
     os.rename(bands, bands + OLD_SUFFIX)
     compact_index(spark, path)
     assert snapshot() == before
+
+
+def test_promote_entry_race_evidence_vs_warning(spark, tmp_path, caplog):
+    """The tmp-missing + live-complete entry branch (a reader's
+    recovery completed the swap) distinguishes its two evidence
+    states (r7 ADVICE): with .old present the swap demonstrably ran —
+    clean it silently; with NO .old the state is indistinguishable
+    from a caller that never wrote tmp, so promote still returns
+    success (two concurrent readers can between them delete .old) but
+    logs a loud warning naming both possibilities."""
+    import logging
+
+    live = str(tmp_path / "data")
+    _write(spark, live, [(1, "a")])
+    # evidence case: .old left behind by the interrupted writer
+    _write(spark, live + OLD_SUFFIX, [(0, "z")])
+    with caplog.at_level(
+        logging.WARNING,
+        logger="web3_flight_rpc_server_spark.operators.fswap",
+    ):
+        promote_directory(spark, live)
+    assert not os.path.exists(live + OLD_SUFFIX)
+    assert caplog.records == []
+    # no-evidence case: same entry state but nothing under .old
+    with caplog.at_level(
+        logging.WARNING,
+        logger="web3_flight_rpc_server_spark.operators.fswap",
+    ):
+        promote_directory(spark, live)
+    assert any("tmp write never happened" in r.message
+               for r in caplog.records)
+    assert _rows(spark, live) == {(1, "a")}

@@ -337,3 +337,47 @@ def test_compact_index_preserves_probes_and_shrinks_files(
     # layout guard survives compaction (manifest untouched)
     with pytest.raises(ValueError, match="rebanding"):
         write_minhash_index(probe, path, num_hashes=64, append=True)
+
+
+def test_read_recovering_missing_race_requires_success(spark, tmp_path,
+                                                       monkeypatch):
+    """The 'missing'-race fallback (recovery saw nothing at any name
+    but live reappeared) re-reads live ONLY when it carries _SUCCESS,
+    like every other fswap path — a plain mode('overwrite') mid-write
+    (dir exists, marker not yet committed) must keep raising instead
+    of returning partial data (r7 ADVICE). Simulates the interleaving
+    by having the patched recovery materialize live and answer
+    'missing'."""
+    import os
+    import shutil
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from web3_flight_rpc_server_spark.operators import fswap
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        _read_recovering,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "id long, v string").coalesce(
+        1).write.parquet(src)
+
+    def _materialize(live, with_success):
+        def fake_recover(_spark, _live):
+            shutil.copytree(src, live)
+            if not with_success:
+                os.remove(os.path.join(live, "_SUCCESS"))
+            return "missing"
+        return fake_recover
+
+    live_ok = str(tmp_path / "live_ok")
+    monkeypatch.setattr(fswap, "recover_directory",
+                        _materialize(live_ok, with_success=True))
+    assert [tuple(r) for r in _read_recovering(spark, live_ok).collect()
+            ] == [(1, "a")]
+
+    live_partial = str(tmp_path / "live_partial")
+    monkeypatch.setattr(fswap, "recover_directory",
+                        _materialize(live_partial, with_success=False))
+    with pytest.raises(AnalysisException):
+        _read_recovering(spark, live_partial)

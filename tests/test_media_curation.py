@@ -277,3 +277,32 @@ def test_incremental_ingest_against_persistent_index(spark, tmp_path):
         r.id for r in spark.read.parquet(f"{idx}/image/chunks")
         .select("id").distinct().collect()
     } == {1, 11}
+
+
+def test_incremental_indexes_built_capped_by_default(spark, tmp_path):
+    """ingest_media_batch resolves the config's cap sentinel exactly
+    like every pair entry point (r7 ADVICE): the PERSISTENT
+    per-modality indexes carry DEFAULT_MAX_BUCKET in their manifests
+    (probes get the hot-bucket quarantine), an explicit None opts out,
+    and an explicit int pins that int."""
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+    )
+    from web3_flight_rpc_server_spark.operators.fp_index import (
+        _read_fp_manifest,
+    )
+    from web3_flight_rpc_server_spark.pipelines.media_curation import (
+        MediaCurationConfig,
+        ingest_media_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "image", _png_encode(_img(0)), None)], MEDIA_SCHEMA)
+    for cfg, want in (
+        (MediaCurationConfig(modalities=("image",)), DEFAULT_MAX_BUCKET),
+        (MediaCurationConfig(modalities=("image",), max_bucket=None), None),
+        (MediaCurationConfig(modalities=("image",), max_bucket=7), 7),
+    ):
+        idx = str(tmp_path / f"idx_{want}")
+        ingest_media_batch(batch, idx, cfg)
+        assert _read_fp_manifest(spark, f"{idx}/image").max_bucket == want

@@ -195,10 +195,21 @@ def write_fingerprint_index(fps: DataFrame, path: str,
         ).write.mode("overwrite").parquet(_sub(path, "manifest"))
 
 
+def _require_capped(path: str, m) -> None:
+    """Uncapped indexes (max_bucket=None) carry no bucket_stats/ dir;
+    fail with the same descriptive error everywhere instead of a raw
+    AnalysisException out of the parquet read (r7 ADVICE)."""
+    if m.max_bucket is None:
+        raise ValueError(
+            f"index at {path!r} was built without a hot-bucket cap"
+        )
+
+
 def fp_index_bucket_populations(spark: SparkSession,
                                 path: str) -> DataFrame:
     """Exact folded (chunk_idx, chunk, n) populations from the
     per-append deltas."""
+    _require_capped(path, _read_fp_manifest(spark, path))
     return (
         _read_recovering(spark, _sub(path, "bucket_stats"))
         .groupBy("chunk_idx", "chunk")
@@ -209,10 +220,7 @@ def fp_index_bucket_populations(spark: SparkSession,
 def fp_index_hot_buckets(spark: SparkSession, path: str) -> DataFrame:
     """Buckets past the manifest-pinned cap — what probes quarantine."""
     m = _read_fp_manifest(spark, path)
-    if m.max_bucket is None:
-        raise ValueError(
-            f"index at {path!r} was built without a hot-bucket cap"
-        )
+    _require_capped(path, m)
     return fp_index_bucket_populations(spark, path).where(
         F.col("n") > m.max_bucket
     )
@@ -223,6 +231,7 @@ def verify_fp_bucket_stats(spark: SparkSession, path: str) -> bool:
     run after any crash-replay (the chunks append and the stats append
     are not atomic; a crash between them undercounts forever)."""
     m = _read_fp_manifest(spark, path)
+    _require_capped(path, m)
     truth = _read_chunks(spark, path, m).groupBy("chunk_idx", "chunk").agg(
         F.count("*").alias("n")
     )
@@ -244,6 +253,7 @@ def rebuild_fp_bucket_stats(spark: SparkSession, path: str) -> None:
     from .fswap import TMP_SUFFIX, promote_directory, recover_directory
 
     m = _read_fp_manifest(spark, path)
+    _require_capped(path, m)
     live = _sub(path, "bucket_stats")
     recover_directory(spark, live)
     truth = _read_chunks(spark, path, m).groupBy("chunk_idx", "chunk").agg(
@@ -258,7 +268,10 @@ def dedup_fingerprints_against_index(new_fps: DataFrame, path: str,
                                      fp_col: str | None = None) -> DataFrame:
     """(new_id, idx_id, hamming) near-dup pairs between a new batch's
     fingerprints and the indexed corpus, within the manifest-pinned
-    radius. The radius (and therefore the chunk layout) is NOT
+    radius — exactly ONE row per (new_id, idx_id), carrying the MIN
+    hamming when an id appears with several distinct fingerprints
+    (duplicate probe ids, or index appends where the caller violated
+    id uniqueness). The radius (and therefore the chunk layout) is NOT
     caller-suppliable — a probe chunked differently would never
     collide and silently admit duplicates. Probe cost: the batch
     explodes into (radius+1) blocking rows per item and joins the
@@ -284,15 +297,20 @@ def dedup_fingerprints_against_index(new_fps: DataFrame, path: str,
         F.col("id").alias("idx_id"), F.col("fp").alias("fp_i"),
         "chunk_idx", "chunk",
     )
+    # one row per (new_id, idx_id), min hamming: collapses both the
+    # chunk-multiplicity of a single fingerprint pair AND duplicate
+    # probe ids carrying distinct fingerprints (r7 ADVICE — the old
+    # distinct was keyed on (new_id, idx_id, fp_n, fp_i) and leaked
+    # one row per fingerprint pair). One exchange instead of the old
+    # distinct-then-filter two.
     return (
         probe.join(idx, ["chunk_idx", "chunk"])
-        .select("new_id", "idx_id", "fp_n", "fp_i")
-        .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_i")))
         )
         .where(F.col("hamming") <= m.max_hamming)
-        .select("new_id", "idx_id", "hamming")
+        .groupBy("new_id", "idx_id")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 

@@ -42,8 +42,12 @@ accordingly.
 
 from __future__ import annotations
 
+import logging
+
 OLD_SUFFIX = ".old"
 TMP_SUFFIX = ".compacting"
+
+_log = logging.getLogger(__name__)
 
 
 def _hadoop(spark, path: str):
@@ -85,7 +89,28 @@ def promote_directory(spark, live: str, tmp: str | None = None) -> None:
             and _success_marker(fs, jvm, live)
         ):
             if fs.exists(old_p):
+                # positive swap evidence: step 1 ran (live was moved
+                # aside) and someone else completed step 2 — finish
+                # the cleanup ourselves.
                 fs.delete(old_p, True)
+            else:
+                # no local evidence a swap was ever in flight: either
+                # a concurrent recovery completed AND cleaned the swap
+                # (two readers can between them delete .old — pinned
+                # in tests/test_concurrency_drill.py), or the caller
+                # never wrote tmp at all (wrong tmp path / skipped
+                # write) and this "success" is a no-op against stale
+                # live data. The states are indistinguishable from
+                # filesystem evidence alone, so return success for
+                # the benign race but say so loudly (r7 ADVICE).
+                _log.warning(
+                    "promote_directory(%r): tmp %r absent but live is "
+                    "complete and no %s remains — satisfied by a "
+                    "concurrent recovery, OR the tmp write never "
+                    "happened (caller bug); verify the compaction "
+                    "actually wrote tmp if this promote was expected "
+                    "to change data", live, tmp, OLD_SUFFIX,
+                )
             return
         # tmp half-written (no _SUCCESS), or nothing whole anywhere:
         # promoting would be the one unrecoverable mistake — refuse.

@@ -145,11 +145,16 @@ def _read_recovering(spark: SparkSession, live: str) -> DataFrame:
         # tmp->live and deleted .old before recover's tmp/.old checks —
         # the dataset is whole yet recover saw nothing at any name.
         # Re-check the live path before declaring the dataset gone
-        # (r6 ADVICE, operators/fswap.py entry-race twin).
-        from .fswap import _hadoop
+        # (r6 ADVICE, operators/fswap.py entry-race twin). Require the
+        # _SUCCESS marker like every other fswap path: the race this
+        # targets (a completed promote) only ever renames COMPLETE
+        # tmps into place, so live-without-_SUCCESS here is a plain
+        # mode("overwrite") mid-write — reading it would return
+        # partial data (r7 ADVICE).
+        from .fswap import _hadoop, _success_marker
 
-        fs, _, live_p = _hadoop(spark, live)
-        if fs.exists(live_p):
+        fs, jvm, live_p = _hadoop(spark, live)
+        if fs.exists(live_p) and _success_marker(fs, jvm, live):
             spark.catalog.refreshByPath(live)
             return spark.read.parquet(live)
         raise

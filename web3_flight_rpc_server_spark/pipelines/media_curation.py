@@ -58,6 +58,7 @@ from ..operators.dedup import (
     _CAP_DEFAULT,
     _CapDefault,
     _persisted,
+    _resolve_cap,
     fingerprint_hot_buckets,
     fingerprint_pairs,
 )
@@ -276,8 +277,14 @@ def ingest_media_batch(media: DataFrame, index_path: str,
         rejects.select("media_id"), "media_id", "left_anti"
     ).localCheckpoint(eager=True)
 
-    cap = (None if isinstance(cfg.max_bucket, _CapDefault)
-           else cfg.max_bucket)
+    # resolve the sentinel exactly like every pair entry point does
+    # (DEFAULT_MAX_BUCKET unless the caller opted out explicitly), so
+    # the PERSISTENT index probes keep the same hot-bucket quarantine
+    # the batch-internal joins get — an uncapped index would let one
+    # pathological flat-image/template bucket push the incremental
+    # probe toward all-pairs at exactly the scale the cap exists for
+    # (r7 ADVICE).
+    cap = _resolve_cap(cfg.max_bucket)
     admitted_parts = []
     for modality in cfg.modalities:
         fp_fn, fp_col, radius = tiers[modality]
