@@ -63,6 +63,9 @@ HEADLINE = [
                                # in-situ variant DID pay assignment in-query,
                                # so the 1.53->0.48 cold drop is a path change,
                                # not a like-for-like speedup.)
+    "q_semantic_dedup",        # SemDeDup cell-blocked embedding near-dup
+                               # (top-2-of-8 anchor cells, one reused
+                               # exchange, codegen'd dot verify)
     "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint
     "q_repetition",            # Gopher repeated-bigram gate (2 hash aggs)
     "q_curation_funnel",       # full curation pipeline (gates->dedup->LSH->

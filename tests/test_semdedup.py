@@ -1,0 +1,193 @@
+"""SemDeDup tier (operators/semdedup.py): cell-blocked semantic
+near-dup over embeddings. Contracts: precision 1 vs the brute-force
+tier (every emitted pair re-verifies), recall ~1 at the production
+near-dup regime on planted clusters, keep-set = connected-components
+canonical, opt-in max_cell quarantine with ledger, top_m=1 blocking ==
+the IVF cell assignment, and the plan stays an equi-join with one
+reused exchange (never a cross product)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.ivf import cell_of
+from web3_flight_rpc_server_spark.operators.semdedup import (
+    assign_top_cells,
+    semantic_dedup_keep,
+    semantic_neardup_pairs,
+    top_cells,
+)
+from web3_flight_rpc_server_spark.operators.similarity import (
+    neardup_pairs_bruteforce,
+)
+
+DIM = 16
+
+
+def _corpus(spark, vectors):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _planted(n_clusters=4, per_cluster=5, noise=0.02, extra=10):
+    """Clusters of near-identical unit vectors (pairwise cosine
+    >= ~0.99) around well-separated random directions, plus isolated
+    extras."""
+    rng = np.random.default_rng(7)
+    out = []
+    for c in range(n_clusters):
+        base = rng.normal(size=DIM)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + noise * rng.normal(size=DIM)
+            out.append(v / np.linalg.norm(v))
+    for _ in range(extra):
+        v = rng.normal(size=DIM)
+        out.append(v / np.linalg.norm(v))
+    return out
+
+
+def test_neardup_regime_recall_and_precision(spark):
+    """At the SemDeDup operating point (cosine >= 0.9) near-identical
+    vectors share cells and the blocked tier reproduces the
+    brute-force pair set exactly on the planted corpus; precision is 1
+    by construction (exact verify) so blocked is always a subset."""
+    emb = _corpus(spark, _planted())
+    blocked = {
+        (r.d1, r.d2)
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.9, n_cells=8, dim=DIM, top_m=2
+        ).collect()
+    }
+    brute = {
+        (r.d1, r.d2)
+        for r in neardup_pairs_bruteforce(emb, threshold=0.9).collect()
+    }
+    assert blocked <= brute, "blocked tier emitted a false positive"
+    # every planted cluster is 5 mutually-near vectors = 10 pairs
+    assert len(brute) == 4 * 10
+    recall = len(blocked) / len(brute)
+    assert recall == 1.0, f"recall {recall} on planted near-identical pairs"
+
+
+def test_keep_set_is_components_canonical(spark):
+    """(id, keep, cluster_id): min id of each semantic cluster kept,
+    other members dropped, isolated vectors kept with null cluster."""
+    emb = _corpus(spark, _planted(n_clusters=2, per_cluster=3, extra=4))
+    verdict = {r.vec_id: (r.keep, r.cluster_id)
+               for r in semantic_dedup_keep(
+                   emb, threshold=0.9, n_cells=8, dim=DIM).collect()}
+    assert len(verdict) == 10
+    # clusters are ids 0-2 and 3-5 by construction
+    assert verdict[0] == (True, 0) and verdict[3] == (True, 3)
+    for loser in (1, 2):
+        assert verdict[loser] == (False, 0)
+    for loser in (4, 5):
+        assert verdict[loser] == (False, 3)
+    for iso in (6, 7, 8, 9):
+        assert verdict[iso] == (True, None)
+
+
+def test_max_cell_quarantine_excludes_and_reports(spark):
+    """An engineered hot cell (one direction duplicated past the cap)
+    is excluded from the join and surfaced in the ledger; pairs in
+    other cells are unaffected. The cap is OPT-IN for this tier —
+    cells are expected to hold ~n/K vectors by construction (module
+    docstring documents the divergence from the fingerprint tiers'
+    default-on cap)."""
+    rng = np.random.default_rng(11)
+    hot_base = rng.normal(size=DIM)
+    hot_base /= np.linalg.norm(hot_base)
+    cold_base = -hot_base  # opposite direction: a different cell
+    vecs = [hot_base + 0.01 * rng.normal(size=DIM) for _ in range(12)]
+    vecs += [cold_base + 0.01 * rng.normal(size=DIM) for _ in range(3)]
+    emb = _corpus(spark, [v / np.linalg.norm(v) for v in vecs])
+
+    pairs, ledger = semantic_neardup_pairs(
+        emb, threshold=0.9, n_cells=8, dim=DIM, top_m=1,
+        max_cell=6, with_quarantine=True,
+    )
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    led = ledger.collect()
+    assert len(led) >= 1 and all(r.n_vectors > 6 for r in led)
+    hot_cells = {r.cell for r in led}
+    # expected = uncapped pairs minus those whose shared cell is hot
+    # (derive membership from the same assignment the operator uses —
+    # a noisy vector may legitimately fall in a neighboring cell)
+    cell_by_id = {
+        r.vec_id: r.cell
+        for r in assign_top_cells(emb, 8, DIM, 1).collect()
+    }
+    uncapped = {
+        (r.d1, r.d2)
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.9, n_cells=8, dim=DIM, top_m=1).collect()
+    }
+    want = {
+        (a, b) for (a, b) in uncapped
+        if not (cell_by_id[a] in hot_cells and cell_by_id[a] == cell_by_id[b])
+    }
+    assert got == want, "cap must drop exactly the hot-cell pairs"
+    # the engineered hot cluster really was capped: its pairs are
+    # (mostly) gone from the capped result
+    hot_pairs = {(a, b) for (a, b) in uncapped if a < 12 and b < 12}
+    assert len(hot_pairs) >= 45
+    assert len(hot_pairs & got) < len(hot_pairs) // 2
+    # cold cluster fully intact
+    cold = {(a, b) for (a, b) in uncapped if a >= 12 and b >= 12}
+    assert cold and cold <= got
+
+
+def test_top1_blocking_matches_ivf_cell(spark):
+    """top_cells(..., top_m=1)[0] == operators/ivf.py:cell_of — the
+    SemDeDup blocking at m=1 IS the IVF assignment (same anchors,
+    same tie-break), which is what lets the partitioned ANN index
+    double as the dedup blocking at rest."""
+    rng = np.random.default_rng(3)
+    emb = _corpus(spark, [rng.normal(size=DIM) for _ in range(200)])
+    mismatch = emb.select(
+        F.element_at(
+            top_cells(F.col("embedding"), 8, DIM, 1), 1
+        ).alias("m1"),
+        cell_of(F.col("embedding"), 8, DIM).alias("ivf"),
+    ).where(F.col("m1") != F.col("ivf"))
+    assert mismatch.count() == 0
+
+
+def test_plan_equi_join_reused_exchange_no_cartesian(spark):
+    """The candidate join is an equi-join on the cell id over ONE
+    exchange reused by both sides — never a cross product, and the
+    K x dim assignment literals stay out of the join stage (the 64 KB
+    codegen contract in the operator docstring)."""
+    emb = _corpus(spark, _planted())
+    pairs = semantic_neardup_pairs(emb, threshold=0.9, n_cells=8, dim=DIM)
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = pairs._jdf.queryExecution().explainString(fmt)
+    assert "CartesianProduct" not in plan
+    # AQE applies exchange reuse at execution time — assert on the
+    # final adaptive plan, not the pre-execution sketch
+    pairs.collect()
+    final = pairs._jdf.queryExecution().explainString(fmt)
+    assert "ReusedExchange" in final, (
+        "assignment exchange not shared by both join sides"
+    )
+
+
+def test_top_m_multi_assignment_recovers_boundary_pairs(spark):
+    """top_m=2 finds at least every pair top_m=1 finds, and on a loose
+    threshold it strictly improves recall on this corpus (boundary
+    pairs straddling two cells) — the multi-assignment lever the
+    module documents."""
+    rng = np.random.default_rng(5)
+    emb = _corpus(spark, [rng.normal(size=DIM) for _ in range(150)])
+    m1 = {(r.d1, r.d2) for r in semantic_neardup_pairs(
+        emb, threshold=0.2, n_cells=8, dim=DIM, top_m=1).collect()}
+    m2 = {(r.d1, r.d2) for r in semantic_neardup_pairs(
+        emb, threshold=0.2, n_cells=8, dim=DIM, top_m=2).collect()}
+    brute = {(r.d1, r.d2) for r in neardup_pairs_bruteforce(
+        emb, threshold=0.2).collect()}
+    assert m1 <= m2 <= brute
+    assert len(m2) > len(m1), "top_m=2 added no boundary pairs"

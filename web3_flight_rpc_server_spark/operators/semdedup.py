@@ -1,0 +1,196 @@
+"""SemDeDup-style SEMANTIC near-dup over embedding columns (C12 x C10:
+the embedding analog of the fingerprint dedup tiers).
+
+Exact all-pairs cosine is quadratic (operators/similarity.py:
+neardup_pairs_bruteforce is the fenced ground truth). The scale shape
+here is the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+cluster the corpus, then look for near-duplicates ONLY within a
+cluster — pairs straddling a cluster boundary are deliberately
+sacrificed, turning O(n^2) into O(sum of cluster^2) ~ O(n^2/K).
+
+This implementation reuses the IVF machinery instead of training
+k-means: every vector is assigned to its ``top_m`` nearest of K
+DETERMINISTIC literal anchors (operators/ivf.py — the same anchors,
+products and fold order the partitioned ANN index uses, so a DuckDB
+oracle can replicate the blocking bit for bit). ``top_m > 1`` is the
+standard multi-assignment recall lever: a pair collides when the two
+vectors' top-m cell sets intersect, which catches most boundary
+stragglers at m^2/K of the all-pairs cost. Candidates are then
+exact-verified with the codegen'd fixed-dimension cosine — the tier
+never emits a false positive, only misses.
+
+Recall regimes (measured in tests/test_semdedup.py): at a true
+near-dup threshold (cosine >= ~0.9, the SemDeDup operating point)
+near-identical vectors land in the same argmax cell almost surely and
+recall is ~1; at loose thresholds (>= 0.3 on an isotropic corpus)
+within-cell recall is the documented ~0.5-0.7 — that regime is what
+the brute-force tier is for.
+
+Cell-size cap: K is the CAPACITY parameter — size it so n/K fits the
+within-cell join budget (the 100 TB deployment picks K ~ n/1000, same
+economics as the paper). Because a cell's expected population is n/K
+by construction, this tier intentionally does NOT default to the
+fingerprint tiers' DEFAULT_MAX_BUCKET hot-bucket cap (a 5000-row cap
+with undersized K would quarantine every cell): ``max_cell=None`` by
+default, and an explicit ``max_cell`` enables the same
+exclude-and-ledger quarantine contract as the fingerprint tiers for
+genuinely skewed corpora (one templated/degenerate direction
+swallowing a cell).
+
+Reference parity: the reference has no vector surface at all; this is
+north-star C12 scope (SURVEY.md §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_cells(vec_col: Column, n_cells: int = 8, dim: int = 64,
+              top_m: int = 2) -> Column:
+    """Array of the ``top_m`` nearest-anchor cell ids, ordered by
+    score desc with smallest-index tie-break — element 1 equals
+    operators/ivf.py:cell_of exactly (same struct-max contract), so
+    ``top_m=1`` blocking is precisely the IVF cell assignment."""
+    from .ivf import _anchors, _dot_literal
+
+    anchors = _anchors(n_cells, dim)
+    scores = F.array(*[_dot_literal(vec_col, a) for a in anchors])
+    # sort (score asc, -i asc) = (score asc, i desc); the last m
+    # reversed are (score desc, i asc) — ties pick the smaller cell,
+    # matching cell_of's array_max struct pick.
+    ranked = F.array_sort(
+        F.zip_with(
+            scores,
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda v, i: F.struct(v.alias("v"), (-i).alias("ni")),
+        )
+    )
+    return F.transform(
+        F.reverse(F.slice(ranked, -top_m, top_m)),
+        lambda s: (-s["ni"]).cast("int"),
+    )
+
+
+def assign_top_cells(embeddings: DataFrame, n_cells: int = 8,
+                     dim: int = 64, top_m: int = 2,
+                     vec_col: str = "embedding") -> DataFrame:
+    """One (id, vec, cell) row per assignment — ``top_m`` rows per
+    vector."""
+    return embeddings.withColumn(
+        "cell",
+        F.explode(top_cells(F.col(vec_col), n_cells, dim, top_m)),
+    )
+
+
+def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
+                           n_cells: int = 8, dim: int = 64,
+                           top_m: int = 2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           max_cell: int | None = None,
+                           with_quarantine: bool = False):
+    """(d1, d2, cos) pairs with cosine >= ``threshold`` whose top-m
+    cell sets intersect (d1 < d2, one row per pair). Cost: the
+    self-join is an equi-join on the cell id — never a cross product —
+    touching ~m^2/K of the all-pairs space; every candidate is
+    exact-verified (codegen'd fixed-dim cosine), so precision is 1 by
+    construction and only boundary pairs are missed.
+
+    ``max_cell`` (opt-in — see module docstring for why this tier's
+    default differs from the fingerprint tiers') excludes cells whose
+    population exceeds it BEFORE the join and, with
+    ``with_quarantine=True``, returns ``(pairs, ledger)`` where ledger
+    is the excluded (cell, n_vectors) set — recall loss reported, not
+    hidden, same contract as fingerprint_pairs."""
+    from .similarity import dot_fixed, l2_norm_fixed
+
+    # Norm ONCE per vector, before the explode and the exchange — a
+    # vector participates in many candidate pairs, so folding its
+    # norm into the per-pair cosine would recompute it per candidate
+    # (and, with the K x dim assignment literals, blow the join
+    # stage's whole-stage-codegen method past the JVM's 64 KB limit —
+    # observed "Code grows beyond 64 KB" fallback to interpreted
+    # execution at K=8, dim=64). The per-pair verify below is then
+    # just the dim-term dot product over pre-computed norms:
+    # dot/(n1*n2) — the same products and fold order as
+    # cosine_fixed, bit-identical values.
+    celled = assign_top_cells(
+        embeddings.select(
+            id_col, vec_col,
+            l2_norm_fixed(F.col(vec_col), dim).alias("nrm"),
+        ),
+        n_cells, dim, top_m, vec_col,
+    )
+    # Materialize the assignment behind its own exchange: this is the
+    # scale plan anyway — the self-join co-partitions on the cell id
+    # and the identical child plan makes the second side a
+    # ReusedExchange, so the corpus shuffles ONCE; it also keeps the
+    # K x dim assignment literals out of the join stage's codegen.
+    celled = celled.repartition("cell")
+    quarantine = None
+    if max_cell is not None:
+        celled = celled.persist()
+        pops = celled.groupBy("cell").agg(
+            F.count("*").alias("n_vectors")
+        )
+        quarantine = pops.where(F.col("n_vectors") > max_cell)
+        celled = celled.join(
+            F.broadcast(quarantine.select("cell")), "cell", "left_anti"
+        )
+    l, r = celled.alias("l"), celled.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("d1"),
+            F.col(f"r.{id_col}").alias("d2"),
+            F.col(f"l.{vec_col}").alias("v1"),
+            F.col(f"r.{vec_col}").alias("v2"),
+            F.col("l.nrm").alias("n1"),
+            F.col("r.nrm").alias("n2"),
+        )
+        .distinct()
+    )
+    pairs = cands.select(
+        "d1", "d2",
+        (dot_fixed(F.col("v1"), F.col("v2"), dim)
+         / (F.col("n1") * F.col("n2"))).alias("cos"),
+    ).where(F.col("cos") >= threshold)
+    if with_quarantine:
+        return pairs, quarantine
+    return pairs
+
+
+def semantic_dedup_keep(embeddings: DataFrame, threshold: float,
+                        n_cells: int = 8, dim: int = 64, top_m: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        max_cell: int | None = None) -> DataFrame:
+    """SemDeDup keep/drop verdict per vector: pairs -> connected
+    components -> keep the MIN id of each semantic cluster (the same
+    canonical choice as every dedup tier here; the paper keeps an
+    arbitrary representative and measured the choice immaterial).
+    Returns (id, keep, cluster_id) for EVERY input vector —
+    cluster_id null for vectors with no semantic duplicate."""
+    from .components import connected_components
+
+    pairs = semantic_neardup_pairs(
+        embeddings, threshold, n_cells, dim, top_m, id_col, vec_col,
+        max_cell,
+    )
+    comp = connected_components(pairs.select("d1", "d2"))
+    return (
+        embeddings.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            (F.col("cluster_id").isNull()
+             | (F.col("cluster_id") == F.col(id_col))).alias("keep"),
+            "cluster_id",
+        )
+    )

@@ -306,19 +306,20 @@ def _fp_index_probe_oracle(max_hamming: int = 3) -> str:
     """
 
 
-@query("q_fp_index_probe", oracle=_fp_index_probe_oracle(), declared=False)
+@query("q_fp_index_probe", oracle=_fp_index_probe_oracle())
 def q_fp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup serving from the PERSISTENT fingerprint
     index (operators/fp_index.py): even-id documents' SimHash
     fingerprints are indexed once per process (fp_index_for scratch
     cache, the q_ivf_topk amortization), odd-id documents probe it —
     the '1M new uploads vs the indexed corpus' shape, driver-attested.
-    Declared with the md5-bridge hash so the DuckDB oracle recomputes
+    Built with the md5-bridge hash so the DuckDB oracle recomputes
     identical fingerprints and brute-forces the even-vs-odd pairs; a
     hash match therefore covers the index's manifest-pinned chunk
     blocking and in-row bit_count verify, not just the fingerprint
-    math. Undeclared (driver window is full; oracle-checked by
-    tests/test_oracle_parity.py's whole-registry parametrize)."""
+    math. DECLARED since r8 (the r7 tier earns its driver
+    attestation; slot from the q_scalar_subquery/q_blocklist_filter
+    cession)."""
     from ..operators.fp_index import (
         dedup_fingerprints_against_index,
         fp_index_for,

@@ -399,12 +399,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
+    declared=False,
 )
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term-blocklist quality gate (the C4 'bad word list' pass):
     per-language counts of documents whose token sets avoid the
     blocklist. arrays_overlap is a codegen'd set probe; the whole
-    query is one scan and one tiny aggregation exchange."""
+    query is one scan and one tiny aggregation exchange.
+
+    Undeclared since r8 (slot ceded to the semantic-dedup/fp-index
+    rotation; C20 stays driver-attested by q_contamination, the same
+    gate also runs declared inside q_curation_funnel's routing oracle,
+    and this query stays oracle-checked in
+    tests/test_oracle_parity.py)."""
     docs = tables.load_table(spark, sf_dir, "documents")
     flagged = F.arrays_overlap(
         tokens("text"), F.array(*[F.lit(w) for w in _BLOCKLIST])

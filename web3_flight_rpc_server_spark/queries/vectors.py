@@ -188,6 +188,72 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall.crossJoin(precision)
 
 
+def _semdedup_oracle(threshold: float = 0.3, n_cells: int = 8,
+                     top_m: int = 2) -> str:
+    """DuckDB re-derives the SAME top-m cell assignment as the engine
+    from the literal anchors (cell_scores_sql — identical IEEE
+    products and fold order, so the per-cell scores and therefore the
+    rank order agree bit for bit; ties broken by smaller cell index in
+    both engines), joins on shared cells, and exact-verifies cosine.
+    A hash match therefore covers the SemDeDup blocking mechanism
+    itself, not just the cosine arithmetic."""
+    from ..operators.ivf import cell_scores_sql
+
+    scores = cell_scores_sql("embedding", n_cells)
+    return f"""
+    WITH scored AS (
+        SELECT vec_id, {scores} AS s FROM embeddings
+    ),
+    topm AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, (u.i - 1) AS cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY s[u.i] DESC, u.i ASC
+                   ) AS rk
+            FROM scored, UNNEST(range(1, {n_cells + 1})) AS u(i)
+        ) ranked
+        WHERE rk <= {top_m}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM topm a JOIN topm b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT c.d1, c.d2,
+           floor((list_cosine_similarity(e1.embedding::DOUBLE[],
+                                         e2.embedding::DOUBLE[]))
+                 * 10000 + 0.5) / 10000 AS cos
+    FROM cand c
+    JOIN embeddings e1 ON e1.vec_id = c.d1
+    JOIN embeddings e2 ON e2.vec_id = c.d2
+    WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                                 e2.embedding::DOUBLE[]) >= {threshold}
+    """
+
+
+@query("q_semantic_dedup", oracle=_semdedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (operators/semdedup.py):
+    top-2-of-8 nearest-anchor cell blocking, equi-join on the cell id,
+    exact codegen'd cosine verify at >= 0.3 — the embedding analog of
+    the fingerprint dedup tiers (O(m^2/K) of all-pairs instead of the
+    fenced quadratic q_embedding_neardup). DECLARED since r8: the
+    oracle replicates the anchor arithmetic bit for bit (see
+    _semdedup_oracle), so the driver hash check covers the blocking.
+    At this loose threshold on the near-isotropic fixture the blocked
+    tier finds ~2/3 of the brute-force pairs (boundary misses are the
+    documented SemDeDup trade); at the production near-dup regime
+    (cosine >= 0.9) recall is ~1 — measured in
+    tests/test_semdedup.py."""
+    from ..operators.semdedup import semantic_neardup_pairs
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_neardup_pairs(emb, threshold=0.3, n_cells=8,
+                                   dim=64, top_m=2)
+    return pairs.select("d1", "d2", round4(pairs.cos).alias("cos"))
+
+
 @query(
     "q_centroid",
     oracle="""
