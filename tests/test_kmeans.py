@@ -1,0 +1,158 @@
+"""Distributed Lloyd's k-means (operators/kmeans.py): recovers
+planted blobs, matches a numpy reference run from the same init,
+tolerates empty cells, assigns consistently across its three
+assignment surfaces (fit pass / assign_trained_cells /
+trained_cell_scores literals), and measurably improves SemDeDup
+blocking recall over untrained anchors on a clustered corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.kmeans import (
+    KMeansModel,
+    assign_trained_cells,
+    kmeans_fit,
+    trained_cell_scores,
+)
+from web3_flight_rpc_server_spark.operators.semdedup import (
+    semantic_neardup_pairs,
+    top_cells,
+)
+from web3_flight_rpc_server_spark.operators.similarity import (
+    neardup_pairs_bruteforce,
+)
+
+DIM = 16
+
+
+def _corpus(spark, vectors):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _blobs(n_blobs=4, per_blob=40, spread=0.05, seed=2):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(n_blobs, DIM)) * 2.0
+    vecs, labels = [], []
+    for b in range(n_blobs):
+        for _ in range(per_blob):
+            vecs.append(means[b] + spread * rng.normal(size=DIM))
+            labels.append(b)
+    return means, np.array(vecs), labels
+
+
+def _numpy_lloyd(x, init, iters):
+    c = init.copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cell = np.argmin(d2, axis=1)
+        for j in range(len(c)):
+            if (cell == j).any():
+                c[j] = x[cell == j].mean(axis=0)
+    return c
+
+
+def test_recovers_planted_blobs(spark):
+    means, x, _ = _blobs()
+    model = kmeans_fit(_corpus(spark, x), k=4, max_iter=15, tol=1e-6)
+    assert model.n_iter <= 15 and np.isfinite(model.inertia)
+    # every true mean has a fitted centroid within a fraction of the
+    # blob spread (float32 storage costs ~1e-7, Lloyd noise ~spread/n)
+    d = np.sqrt(
+        ((means[:, None, :] - model.centroids[None, :, :]) ** 2).sum(axis=2)
+    )
+    assert (d.min(axis=1) < 0.05).all(), d.min(axis=1)
+    # k distinct centroids (no collapsed/duplicate cells on blobs)
+    assert len({tuple(np.round(c, 6)) for c in model.centroids}) == 4
+
+
+def test_matches_numpy_lloyd_from_same_init(spark):
+    _, x, _ = _blobs(n_blobs=3, per_blob=25, seed=5)
+    x32 = x.astype(np.float32).astype(np.float64)  # what Spark stores
+    init = x32[[0, 30, 60]]
+    model = kmeans_fit(
+        _corpus(spark, x), k=3, max_iter=4, tol=0.0, init=init
+    )
+    ref = _numpy_lloyd(x32, init, model.n_iter)
+    assert np.allclose(model.centroids, ref, atol=1e-9), (
+        np.abs(model.centroids - ref).max()
+    )
+
+
+def test_empty_cell_keeps_centroid(spark):
+    _, x, _ = _blobs(n_blobs=2, per_blob=20, seed=9)
+    far = np.full(DIM, 100.0)
+    init = np.vstack([x[0], x[25], far])
+    model = kmeans_fit(
+        _corpus(spark, x), k=3, max_iter=5, tol=0.0, init=init
+    )
+    assert np.isfinite(model.centroids).all()
+    assert np.allclose(model.centroids[2], far), (
+        "empty cell must keep its previous centroid, not NaN or drift"
+    )
+
+
+def test_assignment_surfaces_agree(spark):
+    means, x, _ = _blobs(seed=13)
+    emb = _corpus(spark, x)
+    model = kmeans_fit(emb, k=4, max_iter=8)
+    rows = assign_trained_cells(emb, model).select(
+        "vec_id", "embedding", "cell"
+    ).collect()
+    # numpy reference argmin on the same float32-stored vectors
+    c = model.centroids
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        want = int(np.argmin(((v - c) ** 2).sum(axis=1)))
+        assert r.cell == want
+    # the literal-expression score path picks the same cell
+    lit = emb.select(
+        "vec_id",
+        F.element_at(
+            top_cells(F.col("embedding"), top_m=1, centroids=model), 1
+        ).alias("cell"),
+    ).collect()
+    lit_by_id = {r.vec_id: r.cell for r in lit}
+    for r in rows:
+        assert lit_by_id[r.vec_id] == r.cell
+
+
+def test_trained_blocking_beats_untrained_anchors(spark):
+    """The measurable SemDeDup claim: on a CLUSTERED corpus at a
+    semantic (not near-identical) threshold, trained centroids put
+    each cluster in one cell — blocking recall 1.0 at top_m=1 — while
+    the untrained pseudo-random anchors split clusters across cells
+    and miss pairs."""
+    rng = np.random.default_rng(21)
+    means = rng.normal(size=(5, DIM))
+    means = 1.2 * means / np.linalg.norm(means, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for b in range(5):
+        for _ in range(30):
+            vecs.append(means[b] + 0.3 * rng.normal(size=DIM))
+            labels.append(b)
+    emb = _corpus(spark, np.array(vecs))
+    thr = 0.6
+    brute = {(r.d1, r.d2) for r in
+             neardup_pairs_bruteforce(emb, threshold=thr).collect()}
+    # recall is judged on INTRA-cluster pairs — inter-cluster pairs
+    # above the threshold exist on this fixture and NO within-cell
+    # blocking (trained or not) can see them; that is the documented
+    # SemDeDup trade, not a blocking-quality signal
+    intra = {(a, b) for (a, b) in brute if labels[a] == labels[b]}
+    assert len(intra) > 300, "fixture must have intra-cluster pairs"
+    model = kmeans_fit(emb, k=5, max_iter=10)
+    trained = {(r.d1, r.d2) for r in semantic_neardup_pairs(
+        emb, threshold=thr, dim=DIM, top_m=1, centroids=model).collect()}
+    untrained = {(r.d1, r.d2) for r in semantic_neardup_pairs(
+        emb, threshold=thr, n_cells=5, dim=DIM, top_m=1).collect()}
+    assert trained <= brute and untrained <= brute
+    r_trained = len(trained & intra) / len(intra)
+    r_untrained = len(untrained & intra) / len(intra)
+    # measured 0.99 vs 0.71 on this fixture; floors leave noise room
+    assert r_trained > r_untrained, (r_trained, r_untrained)
+    assert r_trained >= 0.95, r_trained
+    assert r_untrained <= 0.85, r_untrained

@@ -1,0 +1,239 @@
+"""Distributed Lloyd's k-means over embedding columns — the TRAINED
+centroid source for the C12 family (IVF-style cell layouts and the
+SemDeDup blocking). operators/ivf.py deliberately uses deterministic
+UNTRAINED pseudo-random anchors (reproducible across engines, zero
+training pass — the right trade for the oracle-checked queries); this
+module supplies the paper-faithful alternative when cell quality
+matters more than oracle replicability: k-means centroids put each
+real cluster in one cell, so SemDeDup recall at top_m=1 approaches 1
+on clustered corpora where random anchors split clusters (measured in
+tests/test_kmeans.py).
+
+Execution shape per Lloyd iteration (the 100 TB contract):
+
+- one corpus scan; assignment is numpy matmul inside ``mapInPandas``
+  (Arrow batches, BLAS) — at training-grade K (hundreds to thousands)
+  the K x dim literal-expression trick the query path uses would blow
+  whole-stage codegen, and a vectorized Pandas UDF is the documented
+  fast path for exactly this shape
+- each batch emits PRE-AGGREGATED (cell, dim, partial_sum) rows plus
+  per-cell counts and inertia — K x (dim+2) rows per batch, so the
+  shuffle moves kilobytes regardless of corpus size (map-side combine
+  done in numpy)
+- centroid update is a driver-side fold of K x dim doubles (bounded:
+  K centroids, never corpus rows)
+
+Convergence: stop when the max centroid L2 shift <= ``tol`` or after
+``max_iter`` rounds. Empty cells keep their previous centroid (no
+reseeding — deterministic, and a dead centroid stays harmlessly dead).
+
+Determinism: init is a hash-ordered sample (xxhash64 of the vector —
+partitioning-invariant), assignment ties break to the lowest cell
+index, and iteration counts are data-dependent only. Final SUMS are
+float folds over shuffled partials, so centroids are stable to
+~1e-12 across runs rather than bit-identical — which is why the
+oracle-checked queries stay on the untrained literal anchors and this
+model is verified by property tests instead of the DuckDB hash gate.
+
+Train on a deterministic hash-sample (``train_split`` economics) when
+the corpus is large: k-means quality saturates far below full-corpus
+n, and the fit cost is iterations x scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class KMeansModel:
+    centroids: np.ndarray          # (k, dim) float64
+    n_iter: int
+    shift: float                   # max centroid L2 movement, last iter
+    inertia: float                 # sum of squared distances, last pass
+
+    @property
+    def k(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def dim(self) -> int:
+        return int(self.centroids.shape[1])
+
+
+def _init_centroids(embeddings: DataFrame, k: int,
+                    vec_col: str) -> np.ndarray:
+    """Deterministic, partitioning-invariant init: the k vectors with
+    the smallest xxhash64 — a uniform hash-sample of distinct rows (a
+    seeded RNG over partitions would change with the partitioning)."""
+    rows = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64("v"), "v")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"k={k} centroids requested but the corpus has only "
+            f"{len(rows)} rows"
+        )
+    return np.array([list(r.v) for r in rows], dtype=np.float64)
+
+
+def _iteration_stats(vectors: DataFrame, cents: np.ndarray,
+                     vec_col: str):
+    """One assignment pass: (new_sums (k,dim), counts (k,),
+    inertia). Map-side combined in numpy; the shuffle carries
+    k x (dim+2) rows per Arrow batch."""
+    import pandas as pd
+
+    k, dim = cents.shape
+    c = cents  # closure; broadcast by value with the task
+    c_sq = (c * c).sum(axis=1)
+
+    def stats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c.
+            # np.argmin breaks ties to the lowest index — the same
+            # contract as the literal-anchor argmax pick.
+            d2 = -2.0 * (x @ c.T) + c_sq[None, :]
+            cell = np.argmin(d2, axis=1)
+            x_sq = (x * x).sum(axis=1)
+            inertia = float(
+                (x_sq + d2[np.arange(len(cell)), cell]).sum()
+            )
+            sums = np.zeros((k, dim))
+            np.add.at(sums, cell, x)
+            counts = np.bincount(cell, minlength=k).astype(np.float64)
+            cells = np.repeat(np.arange(k), dim)
+            ds = np.tile(np.arange(dim), k)
+            out = pd.DataFrame(
+                {"cell": cells, "d": ds, "val": sums.ravel()}
+            )
+            extra = pd.DataFrame(
+                {
+                    "cell": list(range(k)) + [-1],
+                    "d": [-1] * k + [-2],
+                    "val": list(counts) + [inertia],
+                }
+            )
+            yield pd.concat([out, extra], ignore_index=True)
+
+    agg = (
+        vectors.mapInPandas(stats, "cell int, d int, val double")
+        .groupBy("cell", "d")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    sums = np.zeros((k, dim))
+    counts = np.zeros(k)
+    inertia = 0.0
+    for r in agg:
+        if r.d == -2:
+            inertia = float(r.val)
+        elif r.d == -1:
+            counts[r.cell] = r.val
+        else:
+            sums[r.cell, r.d] = r.val
+    return sums, counts, inertia
+
+
+def kmeans_fit(embeddings: DataFrame, k: int,
+               vec_col: str = "embedding",
+               max_iter: int = 20, tol: float = 1e-4,
+               init: np.ndarray | None = None) -> KMeansModel:
+    """Fit k centroids with Lloyd iterations (module docstring has the
+    execution shape). ``init`` overrides the hash-sample start (shape
+    (k, dim)) — pass a previous model's centroids to warm-start a
+    refit on grown data."""
+    vectors = embeddings.select(vec_col).persist()
+    try:
+        cents = (
+            np.array(init, dtype=np.float64)
+            if init is not None
+            else _init_centroids(vectors, k, vec_col)
+        )
+        if cents.shape[0] != k:
+            raise ValueError(
+                f"init has {cents.shape[0]} centroids, k={k} requested"
+            )
+        shift = float("inf")
+        inertia = float("nan")
+        it = 0
+        for it in range(1, max_iter + 1):
+            sums, counts, inertia = _iteration_stats(
+                vectors, cents, vec_col
+            )
+            new = cents.copy()  # empty cells keep their centroid
+            nz = counts > 0
+            new[nz] = sums[nz] / counts[nz, None]
+            shift = float(np.sqrt(((new - cents) ** 2).sum(axis=1)).max())
+            cents = new
+            if shift <= tol:
+                break
+        return KMeansModel(cents, it, shift, inertia)
+    finally:
+        vectors.unpersist()
+
+
+def assign_trained_cells(embeddings: DataFrame, model: KMeansModel,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Add the nearest-trained-centroid cell id. Same Arrow/numpy
+    assignment as the fit pass (and the same lowest-index tie-break),
+    so downstream layouts agree with training exactly."""
+    c = model.centroids
+    c_sq = (c * c).sum(axis=1)
+    cols = embeddings.columns
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = -2.0 * (x @ c.T) + c_sq[None, :]
+            out = pdf.copy()
+            out["cell"] = np.argmin(d2, axis=1).astype(np.int32)
+            yield out
+
+    # a FRESH StructType — StructType.add would mutate the input
+    # DataFrame's cached schema object in place, and mapInPandas
+    # resolves its input columns against that
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(embeddings.schema.fields)
+        + [StructField("cell", IntegerType(), False)]
+    )
+    return embeddings.mapInPandas(assign, schema=schema)
+
+
+def trained_cell_scores(vec_col: Column, model: KMeansModel) -> Column:
+    """The k NEGATED squared distances (up to the constant ||x||^2) as
+    a literal-expression score array — ``x.c_i - ||c_i||^2 / 2`` —
+    for query-path use where the trained K is small enough for
+    codegen (probe selection, SemDeDup blocking via
+    operators/semdedup.py's ``centroids=`` parameter). argmax of
+    these scores == argmin euclidean distance, ties to the lower
+    index, matching assign_trained_cells."""
+    from .ivf import _dot_literal
+
+    c = model.centroids
+    c_sq = (c * c).sum(axis=1)
+    return F.array(
+        *[
+            _dot_literal(vec_col, a) - float(sq) / 2.0
+            for a, sq in zip(c, c_sq)
+        ]
+    )

@@ -48,15 +48,30 @@ from pyspark.sql import functions as F
 
 
 def top_cells(vec_col: Column, n_cells: int = 8, dim: int = 64,
-              top_m: int = 2) -> Column:
+              top_m: int = 2, centroids=None) -> Column:
     """Array of the ``top_m`` nearest-anchor cell ids, ordered by
     score desc with smallest-index tie-break — element 1 equals
     operators/ivf.py:cell_of exactly (same struct-max contract), so
-    ``top_m=1`` blocking is precisely the IVF cell assignment."""
-    from .ivf import _anchors, _dot_literal
+    ``top_m=1`` blocking is precisely the IVF cell assignment.
 
-    anchors = _anchors(n_cells, dim)
-    scores = F.array(*[_dot_literal(vec_col, a) for a in anchors])
+    ``centroids`` (a KMeansModel from operators/kmeans.py) swaps the
+    untrained pseudo-random anchors for TRAINED centroids: scoring
+    becomes negated euclidean distance (trained_cell_scores), element
+    1 == assign_trained_cells' cell, and ``n_cells`` is taken from the
+    model. Trained blocking is the paper-faithful SemDeDup — real
+    clusters land whole in one cell (recall gain measured in
+    tests/test_kmeans.py); untrained stays the default because the
+    DuckDB oracle can replicate it bit for bit."""
+    if centroids is not None:
+        from .kmeans import trained_cell_scores
+
+        n_cells = centroids.k
+        scores = trained_cell_scores(vec_col, centroids)
+    else:
+        from .ivf import _anchors, _dot_literal
+
+        anchors = _anchors(n_cells, dim)
+        scores = F.array(*[_dot_literal(vec_col, a) for a in anchors])
     # sort (score asc, -i asc) = (score asc, i desc); the last m
     # reversed are (score desc, i asc) — ties pick the smaller cell,
     # matching cell_of's array_max struct pick.
@@ -75,12 +90,14 @@ def top_cells(vec_col: Column, n_cells: int = 8, dim: int = 64,
 
 def assign_top_cells(embeddings: DataFrame, n_cells: int = 8,
                      dim: int = 64, top_m: int = 2,
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     centroids=None) -> DataFrame:
     """One (id, vec, cell) row per assignment — ``top_m`` rows per
     vector."""
     return embeddings.withColumn(
         "cell",
-        F.explode(top_cells(F.col(vec_col), n_cells, dim, top_m)),
+        F.explode(top_cells(F.col(vec_col), n_cells, dim, top_m,
+                            centroids)),
     )
 
 
@@ -90,7 +107,8 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            max_cell: int | None = None,
-                           with_quarantine: bool = False):
+                           with_quarantine: bool = False,
+                           centroids=None):
     """(d1, d2, cos) pairs with cosine >= ``threshold`` whose top-m
     cell sets intersect (d1 < d2, one row per pair). Cost: the
     self-join is an equi-join on the cell id — never a cross product —
@@ -121,7 +139,7 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
             id_col, vec_col,
             l2_norm_fixed(F.col(vec_col), dim).alias("nrm"),
         ),
-        n_cells, dim, top_m, vec_col,
+        n_cells, dim, top_m, vec_col, centroids,
     )
     # Materialize the assignment behind its own exchange: this is the
     # scale plan anyway — the self-join co-partitions on the cell id
@@ -170,7 +188,8 @@ def semantic_dedup_keep(embeddings: DataFrame, threshold: float,
                         n_cells: int = 8, dim: int = 64, top_m: int = 2,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        max_cell: int | None = None) -> DataFrame:
+                        max_cell: int | None = None,
+                        centroids=None) -> DataFrame:
     """SemDeDup keep/drop verdict per vector: pairs -> connected
     components -> keep the MIN id of each semantic cluster (the same
     canonical choice as every dedup tier here; the paper keeps an
@@ -181,7 +200,7 @@ def semantic_dedup_keep(embeddings: DataFrame, threshold: float,
 
     pairs = semantic_neardup_pairs(
         embeddings, threshold, n_cells, dim, top_m, id_col, vec_col,
-        max_cell,
+        max_cell, centroids=centroids,
     )
     comp = connected_components(pairs.select("d1", "d2"))
     return (
