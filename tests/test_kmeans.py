@@ -156,3 +156,81 @@ def test_trained_blocking_beats_untrained_anchors(spark):
     assert r_trained > r_untrained, (r_trained, r_untrained)
     assert r_trained >= 0.95, r_trained
     assert r_untrained <= 0.85, r_untrained
+
+
+def test_trained_ivf_index_roundtrip_and_pruning(spark, tmp_path):
+    """write_trained_ivf_index + trained_ivf_topk: full probe equals
+    the exact brute-force top-k; partial probe equals the
+    cell-restricted exact ranking; the probe list prunes partitions at
+    PLAN time (PartitionFilters in the formatted explain); appends
+    land in the manifest's cells and a retrained model is refused."""
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        read_trained_ivf_manifest,
+        trained_ivf_topk,
+        trained_probe_cells,
+        write_trained_ivf_index,
+    )
+    from web3_flight_rpc_server_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    means, x, _ = _blobs(n_blobs=4, per_blob=30, seed=17)
+    emb = _corpus(spark, x)
+    model = kmeans_fit(emb, k=4, max_iter=8)
+    path = str(tmp_path / "tivf")
+    write_trained_ivf_index(emb, model, path)
+
+    # the corpus stores float32 — feed BOTH paths the same stored
+    # precision or the cosines differ in the last ulp
+    qv = [float(np.float32(v)) for v in x[0]]
+    qdf = _corpus(spark, [x[0]]).select("embedding")
+    exact = [
+        (r.vec_id, round(r.cos, 9))
+        for r in cosine_topk(emb, qdf, k=10, dim=DIM).collect()
+    ]
+    full = trained_ivf_topk(spark, path, qv, k=10, n_probe=model.k)
+    got = [(r.vec_id, round(r.cos, 9)) for r in full.collect()]
+    assert got == exact
+
+    partial = trained_ivf_topk(spark, path, qv, k=10, n_probe=1)
+    probes = trained_probe_cells(qv, model, 1)
+    cells = assign_trained_cells(emb, model).select("vec_id", "cell")
+    allowed = {r.vec_id for r in cells.collect() if r.cell in probes}
+    assert {r.vec_id for r in partial.collect()} <= allowed
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = partial._jdf.queryExecution().explainString(fmt)
+    # the scan itself must report the IN filter on the partition
+    # column — pruning at plan time, not a post-scan Filter
+    assert any(
+        "PartitionFilters" in ln and "cell" in ln
+        and ("IN" in ln or "=" in ln)
+        for ln in plan.splitlines()
+    ), plan
+
+    # append under the manifest's centroids: new rows land in the
+    # same cells a one-shot build would choose
+    extra = _corpus(spark, x[:5] + 10.0)  # shifted copies, ids 0-4
+    extra = extra.withColumn("vec_id", F.col("vec_id") + 1000)
+    write_trained_ivf_index(extra, model, path, append=True)
+    m2, vcol = read_trained_ivf_manifest(spark, path)
+    assert vcol == "embedding"
+    assert np.array_equal(m2.centroids, model.centroids)
+    spark.catalog.refreshByPath(path)
+    on_disk = spark.read.parquet(path)
+    want = {
+        r.vec_id: r.cell
+        for r in assign_trained_cells(
+            extra, model).select("vec_id", "cell").collect()
+    }
+    got_cells = {
+        r.vec_id: r.cell
+        for r in on_disk.where(F.col("vec_id") >= 1000)
+        .select("vec_id", "cell").collect()
+    }
+    assert got_cells == want
+
+    # retrained (different) centroids are refused on append
+    retrained = KMeansModel(model.centroids + 0.5, 1, 0.0, 0.0)
+    with pytest.raises(ValueError, match="different centroids"):
+        write_trained_ivf_index(extra, retrained, path, append=True)

@@ -193,7 +193,6 @@ def assign_trained_cells(embeddings: DataFrame, model: KMeansModel,
     so downstream layouts agree with training exactly."""
     c = model.centroids
     c_sq = (c * c).sum(axis=1)
-    cols = embeddings.columns
 
     def assign(batches):
         for pdf in batches:
@@ -237,3 +236,102 @@ def trained_cell_scores(vec_col: Column, model: KMeansModel) -> Column:
             for a, sq in zip(c, c_sq)
         ]
     )
+
+
+def write_trained_ivf_index(embeddings: DataFrame, model: KMeansModel,
+                            path: str, vec_col: str = "embedding",
+                            append: bool = False) -> None:
+    """Materialize the TRAINED twin of operators/ivf.py's
+    cell-partitioned layout: one directory per nearest-centroid cell,
+    centroids persisted in ``_kmeans_manifest/`` (underscore-prefixed
+    so Spark's partition discovery ignores it). Assignment is paid
+    once at write time; queries prune to their probe cells'
+    directories at plan time — identical economics to the untrained
+    index, with the trained cells' better locality (a real cluster is
+    one directory, not several).
+
+    ``append=True`` assigns the new batch under the MANIFEST's
+    centroids — appending under even slightly different centroids
+    would scatter vectors into wrong directories and silently lose
+    recall, so a centroid mismatch (bit compare) is refused; retrain
+    means rebuild."""
+    spark = embeddings.sparkSession
+    if append:
+        m_model, m_vec = read_trained_ivf_manifest(spark, path)
+        if m_vec != vec_col or not np.array_equal(
+            m_model.centroids, model.centroids
+        ):
+            raise ValueError(
+                f"trained IVF index at {path!r} was built under "
+                "different centroids/vec_col — appending would assign "
+                "new vectors into wrong cell directories; rebuild "
+                "instead of appending after a retrain"
+            )
+    assign_trained_cells(embeddings, model, vec_col).write.partitionBy(
+        "cell"
+    ).mode("append" if append else "overwrite").parquet(path)
+    if not append:
+        rows = [
+            (int(i), [float(x) for x in c], vec_col)
+            for i, c in enumerate(model.centroids)
+        ]
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>, vec_col string"
+        ).write.mode("overwrite").parquet(
+            path.rstrip("/") + "/_kmeans_manifest"
+        )
+
+
+def read_trained_ivf_manifest(spark, path: str):
+    """(KMeansModel, vec_col) recorded at build time; FileNotFoundError
+    when absent."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        rows = spark.read.parquet(
+            path.rstrip("/") + "/_kmeans_manifest"
+        ).collect()
+    except AnalysisException as exc:
+        raise FileNotFoundError(
+            f"no trained-IVF manifest at {path!r}"
+        ) from exc
+    rows.sort(key=lambda r: r.cell)
+    cents = np.array([list(r.centroid) for r in rows], dtype=np.float64)
+    return (
+        KMeansModel(cents, 0, 0.0, float("nan")),
+        str(rows[0].vec_col),
+    )
+
+
+def trained_probe_cells(query_vec, model: KMeansModel,
+                        n_probe: int = 4) -> list[int]:
+    """Driver-side probe selection against trained centroids: the
+    n_probe nearest by euclidean distance, ties to the lower cell id —
+    the same argmin contract as assign_trained_cells, so a vector
+    always probes its own cell first."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((model.centroids - q[None, :]) ** 2).sum(axis=1)
+    order = sorted(range(model.k), key=lambda c: (d2[c], c))
+    return [int(c) for c in order[:n_probe]]
+
+
+def trained_ivf_topk(spark, path: str, query_vec, k: int = 10,
+                     n_probe: int = 4,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Top-k over a write_trained_ivf_index layout: the probe list is
+    a literal IN-filter on the partition column (PartitionFilters at
+    plan time — non-probed cells never listed, opened, or scheduled),
+    exact codegen'd cosine re-rank inside the probed cells. Same
+    (id, cos) contract as cosine_topk / ivf_topk_partitioned. Layout
+    always comes from the manifest — there is no caller-supplied
+    geometry to get wrong."""
+    from .similarity import cosine_fixed
+
+    model, vec_col = read_trained_ivf_manifest(spark, path)
+    probes = trained_probe_cells(query_vec, model, n_probe)
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    scanned = spark.read.parquet(path).where(F.col("cell").isin(probes))
+    scored = scanned.select(
+        id_col, cosine_fixed(F.col(vec_col), qlit, model.dim).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
