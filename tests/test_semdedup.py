@@ -191,3 +191,144 @@ def test_top_m_multi_assignment_recovers_boundary_pairs(spark):
         emb, threshold=0.2).collect()}
     assert m1 <= m2 <= brute
     assert len(m2) > len(m1), "top_m=2 added no boundary pairs"
+
+
+def _blobs16(n_blobs, per_blob, spread, seed):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(n_blobs, DIM)) * 2.0
+    vecs = []
+    for b in range(n_blobs):
+        for _ in range(per_blob):
+            vecs.append(means[b] + spread * rng.normal(size=DIM))
+    return np.array(vecs)
+
+
+def test_index_probe_equals_asymmetric_ground_truth(spark, tmp_path):
+    """dedup_embeddings_against_index == the numpy definition of the
+    asymmetric blocking: a (new, idx) pair is reported iff cosine >=
+    threshold AND the index vector's at-rest cell is among the probe
+    vector's top-m trained cells — and exactly once per pair."""
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        assign_trained_cells,
+        kmeans_fit,
+        write_trained_ivf_index,
+    )
+    from web3_flight_rpc_server_spark.operators.semdedup import (
+        dedup_embeddings_against_index,
+    )
+
+    x = _blobs16(3, 30, 0.4, seed=31)
+    idx_v, new_v = x[:60], x[60:]
+    idx_emb = _corpus(spark, idx_v)
+    new_emb = spark.createDataFrame(
+        [(1000 + i, [float(v) for v in vec]) for i, vec in enumerate(new_v)],
+        "vec_id long, embedding array<float>",
+    )
+    model = kmeans_fit(idx_emb, k=3, max_iter=8)
+    path = str(tmp_path / "semidx")
+    write_trained_ivf_index(idx_emb, model, path)
+
+    thr = 0.8
+    got = {
+        (r.new_id, r.idx_id)
+        for r in dedup_embeddings_against_index(
+            new_emb, path, thr, top_m=2).collect()
+    }
+    # numpy ground truth on the stored float32 values
+    xi = idx_v.astype(np.float32).astype(np.float64)
+    xn = new_v.astype(np.float32).astype(np.float64)
+    c = model.centroids
+    idx_cell = np.argmin(
+        ((xi[:, None, :] - c[None, :, :]) ** 2).sum(axis=2), axis=1)
+    d2n = ((xn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    top2 = np.argsort(d2n, axis=1, kind="stable")[:, :2]
+    cos = (xn @ xi.T) / (
+        np.linalg.norm(xn, axis=1)[:, None]
+        * np.linalg.norm(xi, axis=1)[None, :]
+    )
+    want = {
+        (1000 + n, i)
+        for n in range(len(xn))
+        for i in range(len(xi))
+        if cos[n, i] >= thr and idx_cell[i] in top2[n]
+    }
+    assert got == want
+    # exactly one row per pair
+    rows = dedup_embeddings_against_index(
+        new_emb, path, thr, top_m=2).collect()
+    assert len(rows) == len({(r.new_id, r.idx_id) for r in rows})
+    # and the scan pruned to the probe cells at plan time
+    fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("formatted")
+    plan = dedup_embeddings_against_index(
+        new_emb, path, thr, top_m=2
+    )._jdf.queryExecution().explainString(fmt)
+    assert any(
+        "PartitionFilters" in ln and "cell" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_ingest_embeddings_two_batches_and_replay(spark, tmp_path):
+    """The incremental loop: batch 2 is checked against batch 1's
+    admitted vectors (index hit -> rejected), batch-internal dups
+    resolve to the min id, fresh vectors append — and a crash-replay
+    of batch 2 admits nothing and leaves the index unchanged."""
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        kmeans_fit,
+        write_trained_ivf_index,
+    )
+    from web3_flight_rpc_server_spark.operators.semdedup import (
+        ingest_embeddings,
+    )
+
+    rng = np.random.default_rng(41)
+    base_a = rng.normal(size=DIM) * 2.0
+    base_b = -base_a
+    base_c = rng.normal(size=DIM) * 2.0 + 4.0
+
+    def near(base, eps=0.01):
+        return base + eps * rng.normal(size=DIM)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(v) for v in vec]) for i, vec in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    b1 = mk([(1, near(base_a)), (2, near(base_b))])
+    # the model can be trained on any representative corpus; use b1
+    model = kmeans_fit(b1, k=2, max_iter=5)
+    path = str(tmp_path / "ingidx")
+    write_trained_ivf_index(
+        spark.createDataFrame([], b1.schema), model, path)
+
+    adm1, dups1 = ingest_embeddings(b1, path, threshold=0.95)
+    assert {r.vec_id for r in adm1.collect()} == {1, 2}
+    assert dups1.isEmpty()
+
+    b2 = mk([
+        (10, near(base_a)),   # dup of kept 1 -> index hit
+        (11, near(base_c)),   # fresh direction
+        (12, near(base_c)),   # batch-internal dup of 11 (loses to min)
+    ])
+    adm2, dups2 = ingest_embeddings(b2, path, threshold=0.95)
+    assert {r.vec_id for r in adm2.collect()} == {11}
+    pair_ids = {(r.new_id, r.idx_id) for r in dups2.collect()}
+    assert pair_ids == {(10, 1), (12, 11)}
+    spark.catalog.refreshByPath(path)
+    on_disk = {r.vec_id for r in
+               spark.read.parquet(path).select("vec_id").collect()}
+    assert on_disk == {1, 2, 11}
+
+    # crash-replay of batch 2: everything collides at cosine ~1,
+    # nothing re-admits, index unchanged
+    adm2r, dups2r = ingest_embeddings(b2, path, threshold=0.95)
+    assert adm2r.isEmpty()
+    replay_pairs = {(r.new_id, r.idx_id) for r in dups2r.collect()}
+    assert (10, 1) in replay_pairs and (11, 11) in replay_pairs
+    assert (12, 11) in replay_pairs
+    spark.catalog.refreshByPath(path)
+    assert {r.vec_id for r in
+            spark.read.parquet(path).select("vec_id").collect()
+            } == {1, 2, 11}

@@ -213,3 +213,148 @@ def semantic_dedup_keep(embeddings: DataFrame, threshold: float,
             "cluster_id",
         )
     )
+
+
+def _read_trained_index_data(spark, index_path: str):
+    """The trained index's data rows, or None while the index is
+    empty (a bootstrap empty partitioned write leaves only the
+    manifest — there are no parquet footers to infer from)."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(index_path)
+    except AnalysisException:
+        return None
+
+
+def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
+                                   threshold: float, top_m: int = 2,
+                                   id_col: str = "vec_id") -> DataFrame:
+    """(new_id, idx_id, cos) semantic near-dup pairs between a new
+    batch and the PERSISTENT trained index
+    (operators/kmeans.py:write_trained_ivf_index) — the embedding twin
+    of operators/fp_index.py's probe. Blocking is asymmetric like the
+    fingerprint probe: the BATCH side explodes into its ``top_m``
+    nearest trained cells, the index side stays in its one at-rest
+    cell, and a pair is a candidate when the index vector's cell is
+    among the probe vector's top-m — at least the recall of symmetric
+    top-1 blocking, at probe-side-only explosion cost. The scan is
+    pruned at plan time to the UNION of the batch's probe cells (a
+    bounded <= K literal IN-list collected driver-side), so a small
+    batch against a huge index touches only the directories it can
+    match in; only the probe side is new data — the index never
+    re-shuffles. Exactly one row per (new_id, idx_id): the index
+    vector lives in one cell, so the exploded probe meets it at most
+    once. Geometry (centroids, vec_col, dim) always comes from the
+    index manifest."""
+    from .kmeans import read_trained_ivf_manifest
+    from .similarity import dot_fixed, l2_norm_fixed
+
+    spark = new_emb.sparkSession
+    model, vec_col = read_trained_ivf_manifest(spark, index_path)
+    dim = model.dim
+    if _read_trained_index_data(spark, index_path) is None:
+        # bootstrap: the index exists (manifest written) but holds no
+        # vectors yet — an empty partitioned write leaves no parquet
+        # footers to read, so answer the probe directly
+        return new_emb.select(
+            F.col(id_col).alias("new_id"),
+            F.col(id_col).alias("idx_id"),
+            F.lit(0.0).alias("cos"),
+        ).limit(0)
+    probe = assign_top_cells(
+        new_emb.select(
+            F.col(id_col).alias("new_id"),
+            F.col(vec_col).alias("__vn"),
+            l2_norm_fixed(F.col(vec_col), dim).alias("__nn"),
+        ),
+        top_m=top_m, vec_col="__vn", centroids=model,
+    )
+    probe_cells = sorted(
+        r.cell for r in probe.select("cell").distinct().collect()
+    )
+    idx = (
+        _read_trained_index_data(spark, index_path)
+        .where(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("idx_id"),
+            F.col(vec_col).alias("__vi"),
+            l2_norm_fixed(F.col(vec_col), dim).alias("__ni"),
+            "cell",
+        )
+    )
+    return (
+        probe.join(idx, "cell")
+        .select(
+            "new_id", "idx_id",
+            (dot_fixed(F.col("__vn"), F.col("__vi"), dim)
+             / (F.col("__nn") * F.col("__ni"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def ingest_embeddings(new_emb: DataFrame, index_path: str,
+                      threshold: float, top_m: int = 2,
+                      id_col: str = "vec_id"):
+    """One cycle of INCREMENTAL semantic dedup: resolve the batch's
+    internal near-dups (trained blocking, min-id keeper — the same
+    canonical choice as every dedup tier), probe the survivors against
+    the persistent index, admit only vectors that duplicate neither,
+    and append the admitted vectors to the index so the NEXT batch is
+    checked against them too. Returns (admitted_ids, dup_pairs) with
+    dup_pairs in the fp-index ingest shape: index hits as
+    (new_id, idx_id, cos) unioned with batch-internal pairs mapped to
+    (loser, keeper, cos).
+
+    Replay safety mirrors operators/fp_index.py:ingest_fingerprints: a
+    replayed batch's vectors meet their first copies at cosine 1.0
+    (>= any sane threshold -> rejected), and the append itself
+    excludes ids already present in the index, so a crash-replay
+    converges to the same kept set and the index never duplicates."""
+    from .kmeans import (
+        read_trained_ivf_manifest,
+        write_trained_ivf_index,
+    )
+
+    spark = new_emb.sparkSession
+    model, vec_col = read_trained_ivf_manifest(spark, index_path)
+    batch = new_emb.localCheckpoint(eager=True)
+
+    internal = semantic_neardup_pairs(
+        batch, threshold, dim=model.dim, top_m=top_m,
+        id_col=id_col, vec_col=vec_col, centroids=model,
+    ).localCheckpoint(eager=True)
+    # min-id resolution: d1 < d2 by construction, so d2 is the loser
+    losers = internal.select(F.col("d2").alias(id_col)).distinct()
+    survivors = batch.join(losers, id_col, "left_anti")
+
+    index_hits = dedup_embeddings_against_index(
+        survivors, index_path, threshold, top_m, id_col
+    ).localCheckpoint(eager=True)
+    dup_new = index_hits.select(F.col("new_id").alias(id_col)).distinct()
+    admitted = survivors.join(dup_new, id_col, "left_anti")
+
+    # exclude ids already present (replayed appends must be no-ops);
+    # column-pruned id scan, broadcast against the bounded batch
+    idx_data = _read_trained_index_data(spark, index_path)
+    if idx_data is not None:
+        present = idx_data.select(F.col(id_col)).distinct()
+        to_append = admitted.join(present, id_col, "left_anti")
+    else:
+        to_append = admitted
+    to_append = to_append.localCheckpoint(eager=True)
+    write_trained_ivf_index(
+        to_append.select(id_col, vec_col), model, index_path,
+        vec_col=vec_col, append=True,
+    )
+    spark.catalog.refreshByPath(index_path)
+
+    dup_pairs = index_hits.unionByName(
+        internal.select(
+            F.col("d2").alias("new_id"),
+            F.col("d1").alias("idx_id"),
+            "cos",
+        )
+    )
+    return admitted.select(id_col), dup_pairs
