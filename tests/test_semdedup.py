@@ -332,3 +332,59 @@ def test_ingest_embeddings_two_batches_and_replay(spark, tmp_path):
     assert {r.vec_id for r in
             spark.read.parquet(path).select("vec_id").collect()
             } == {1, 2, 11}
+
+
+def test_streaming_ingest_embeddings(spark, tmp_path):
+    """Stream twin: bootstraps an empty trained index from the given
+    model, admits non-dups across micro-batches, rejects a later
+    batch's semantic dup of an earlier batch's survivor, and hands
+    survivors to on_admitted."""
+    from web3_flight_rpc_server_spark.operators.kmeans import kmeans_fit
+    from web3_flight_rpc_server_spark.operators.semdedup import (
+        streaming_ingest_embeddings,
+    )
+
+    rng = np.random.default_rng(51)
+    base_a = rng.normal(size=DIM) * 2.0
+    base_b = -base_a
+
+    def near(base, eps=0.01):
+        return [float(v) for v in base + eps * rng.normal(size=DIM)]
+
+    path = str(tmp_path / "semidx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    b1 = spark.createDataFrame(
+        [(1, near(base_a)), (2, near(base_a)), (3, near(base_b))], schema
+    )
+    b1.write.parquet(src)
+    sample = b1  # representative enough for the 2-direction fixture
+    model = kmeans_fit(sample, k=2, max_iter=5)
+
+    seen = []
+
+    def on_admitted(df, batch_id):
+        seen.append({r.vec_id for r in df.collect()})
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_ingest_embeddings(
+        stream, path, ckpt, threshold=0.95, model=model,
+        on_admitted=on_admitted,
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(10, near(base_a)), (11, near(base_b + 8.0))], schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    admitted_all = set().union(*seen)
+    # batch 1: 1+2 internal pair (min wins) + 3; batch 2: 10 collides
+    # with indexed 1, 11 is a fresh direction
+    assert admitted_all == {1, 3, 11}
+    spark.catalog.refreshByPath(path)
+    assert {r.vec_id for r in
+            spark.read.parquet(path).select("vec_id").collect()
+            } == {1, 3, 11}

@@ -358,3 +358,61 @@ def ingest_embeddings(new_emb: DataFrame, index_path: str,
         )
     )
     return admitted.select(id_col), dup_pairs
+
+
+def streaming_ingest_embeddings(stream_emb: DataFrame, index_path: str,
+                                checkpoint_dir: str, threshold: float,
+                                model=None, top_m: int = 2,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                on_admitted=None):
+    """Continuous semantic dedup: every micro-batch of the embedding
+    stream is deduped against the trained index (and against itself)
+    and its survivors appended — ``readStream ->
+    foreachBatch(ingest_embeddings)``, the embedding twin of
+    operators/fp_index.py:streaming_ingest_fingerprints. Returns the
+    started StreamingQuery.
+
+    Bootstrap: when ``index_path`` has no manifest, ``model`` (a
+    KMeansModel) is REQUIRED and an empty index is written under its
+    centroids — unlike the fingerprint layout there is no defaultable
+    geometry; train on a representative sample first. When a manifest
+    exists, it wins and ``model`` is ignored (the manifest's centroids
+    are the only ones the at-rest cells are valid under).
+
+    Replay safety is ingest_embeddings' contract: replayed vectors
+    meet their first copies at cosine 1.0 (rejected) and the append
+    excludes present ids. ``on_admitted(ids_df, batch_id)`` runs under
+    foreachBatch's at-least-once delivery."""
+    from .kmeans import read_trained_ivf_manifest, write_trained_ivf_index
+
+    spark = stream_emb.sparkSession
+    try:
+        read_trained_ivf_manifest(spark, index_path)
+    except FileNotFoundError:
+        if model is None:
+            raise ValueError(
+                f"no trained index at {index_path!r} and no model "
+                "given to bootstrap one — fit centroids on a "
+                "representative sample first (operators/kmeans.py)"
+            )
+        empty = spark.createDataFrame(
+            [], stream_emb.select(id_col, vec_col).schema
+        )
+        write_trained_ivf_index(empty, model, index_path, vec_col)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        admitted, _dups = ingest_embeddings(
+            batch_df.select(id_col, vec_col), index_path, threshold,
+            top_m, id_col,
+        )
+        if on_admitted is not None:
+            on_admitted(admitted, batch_id)
+
+    return (
+        stream_emb.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
