@@ -64,8 +64,8 @@ HEADLINE = [
                                # so the 1.53->0.48 cold drop is a path change,
                                # not a like-for-like speedup.)
     "q_semantic_dedup",        # SemDeDup cell-blocked embedding near-dup
-                               # (top-2-of-8 anchor cells, one reused
-                               # exchange, codegen'd dot verify)
+                               # (top-2-of-8 anchor cells, per-cell
+                               # gallery matmul + codegen fold confirm)
     "q_text_pipeline",         # lang/quality gates -> dedup -> fingerprint
     "q_repetition",            # Gopher repeated-bigram gate (2 hash aggs)
     "q_curation_funnel",       # full curation pipeline (gates->dedup->LSH->

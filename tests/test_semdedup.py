@@ -3,8 +3,9 @@ near-dup over embeddings. Contracts: precision 1 vs the brute-force
 tier (every emitted pair re-verifies), recall ~1 at the production
 near-dup regime on planted clusters, keep-set = connected-components
 canonical, opt-in max_cell quarantine with ledger, top_m=1 blocking ==
-the IVF cell assignment, and the plan stays an equi-join with one
-reused exchange (never a cross product)."""
+the IVF cell assignment, numpy assignment == the literal-expression
+arithmetic exactly, and the plan is propose-then-confirm: one cell
+exchange into a per-cell gallery matmul, never a cross product."""
 
 from __future__ import annotations
 
@@ -156,23 +157,20 @@ def test_top1_blocking_matches_ivf_cell(spark):
     assert mismatch.count() == 0
 
 
-def test_plan_equi_join_reused_exchange_no_cartesian(spark):
-    """The candidate join is an equi-join on the cell id over ONE
-    exchange reused by both sides — never a cross product, and the
-    K x dim assignment literals stay out of the join stage (the 64 KB
-    codegen contract in the operator docstring)."""
+def test_plan_gallery_matmul_shape_no_cartesian(spark):
+    """The propose-then-confirm shape: never a cross product; the
+    corpus reaches the per-cell gallery matmul through exactly ONE
+    cell exchange (the groupBy feeding FlatMapGroupsInPandas); the
+    confirm stage re-scores only proposed pairs."""
     emb = _corpus(spark, _planted())
     pairs = semantic_neardup_pairs(emb, threshold=0.9, n_cells=8, dim=DIM)
     fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
     plan = pairs._jdf.queryExecution().explainString(fmt)
     assert "CartesianProduct" not in plan
-    # AQE applies exchange reuse at execution time — assert on the
-    # final adaptive plan, not the pre-execution sketch
-    pairs.collect()
-    final = pairs._jdf.queryExecution().explainString(fmt)
-    assert "ReusedExchange" in final, (
-        "assignment exchange not shared by both join sides"
+    assert "FlatMapGroupsInPandas" in plan, "gallery matmul stage missing"
+    assert plan.count("hashpartitioning(cell") == 1, (
+        "corpus must shuffle on the cell id exactly once"
     )
 
 
@@ -388,3 +386,34 @@ def test_streaming_ingest_embeddings(spark, tmp_path):
     assert {r.vec_id for r in
             spark.read.parquet(path).select("vec_id").collect()
             } == {1, 3, 11}
+
+
+def test_numpy_assignment_matches_expression_exactly(spark):
+    """assign_top_cells' Arrow/numpy fold must agree with the
+    top_cells literal-expression form EXACTLY (same IEEE ops, same
+    order, same tie-break) — untrained anchors AND trained centroids —
+    because the DuckDB oracle derives the blocking from the expression
+    arithmetic."""
+    from web3_flight_rpc_server_spark.operators.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(61)
+    emb = _corpus(spark, [rng.normal(size=DIM) for _ in range(300)])
+    for centroids in (None, kmeans_fit(emb, k=5, max_iter=4)):
+        got = {
+            (r.vec_id, r.cell)
+            for r in assign_top_cells(
+                emb, 8, DIM, 2, centroids=centroids).collect()
+        }
+        want = {
+            (r.vec_id, r.cell)
+            for r in emb.select(
+                "vec_id",
+                F.explode(
+                    top_cells(F.col("embedding"), 8, DIM, 2, centroids)
+                ).alias("cell"),
+            ).collect()
+        }
+        assert got == want, (
+            "numpy and expression assignments diverged "
+            f"(trained={centroids is not None})"
+        )

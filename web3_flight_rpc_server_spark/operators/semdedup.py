@@ -92,13 +92,74 @@ def assign_top_cells(embeddings: DataFrame, n_cells: int = 8,
                      dim: int = 64, top_m: int = 2,
                      vec_col: str = "embedding",
                      centroids=None) -> DataFrame:
-    """One (id, vec, cell) row per assignment — ``top_m`` rows per
-    vector."""
-    return embeddings.withColumn(
-        "cell",
-        F.explode(top_cells(F.col(vec_col), n_cells, dim, top_m,
-                            centroids)),
+    """One row per (vector, assigned cell) — ``top_m`` rows per
+    vector, all input columns preserved. Arrow/numpy execution: the
+    K x dim literal-expression assignment is correct but janino
+    chokes on the generated method (multi-second compile attempts,
+    then interpreted fallback — measured ~8 s for a 2k-row corpus at
+    K=8, dim=64), while the numpy twin computes the SAME fold in
+    milliseconds and BIT FOR BIT: the score fold accumulates one
+    dimension at a time in float64 (``acc = acc + x_i * a_i`` — the
+    exact left-fold order of operators/ivf.py:_dot_literal,
+    vectorized over rows instead of unrolled over dims), the trained
+    bias subtracts once at the end exactly like trained_cell_scores,
+    and the ranking is a stable argsort of the negated scores —
+    (score desc, index asc), the expression form's tie-break.
+    Identical IEEE operations in the same order means the numpy
+    cells, the expression cells (top_cells — kept as the plan-side
+    form and the cross-engine arithmetic contract), and the DuckDB
+    oracle's cells agree exactly (pinned in tests/test_semdedup.py).
+    """
+    import numpy as np
+
+    if centroids is not None:
+        anchors = centroids.centroids
+        bias = (anchors * anchors).sum(axis=1) / 2.0
+    else:
+        from .ivf import _anchors
+
+        anchors = _anchors(n_cells, dim)
+        bias = None
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(embeddings.schema.fields)
+        + [StructField("cell", IntegerType(), False)]
     )
+    m = top_m
+    # plain ndarrays captured BY VALUE in the closure: the worker-side
+    # function must not reference this package (cloudpickle serializes
+    # nested functions by value, but module-level helpers by module
+    # reference, and the driver contract runs from a foreign cwd where
+    # executors cannot import the package) — same rule as the SYNM
+    # decode paths
+    anchors_v = np.asarray(anchors, dtype=np.float64)
+    bias_v = None if bias is None else np.asarray(bias, dtype=np.float64)
+
+    def assign(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]]
+            )
+            scores = _np.empty((len(x), len(anchors_v)), dtype=_np.float64)
+            for j in range(len(anchors_v)):
+                acc = _np.zeros(len(x), dtype=_np.float64)
+                a = anchors_v[j]
+                for i in range(len(a)):
+                    acc = acc + x[:, i] * float(a[i])
+                scores[:, j] = acc if bias_v is None else acc - bias_v[j]
+            top = _np.argsort(-scores, axis=1, kind="stable")[:, :m]
+            idx = _np.repeat(_np.arange(len(pdf)), m)
+            out = pdf.iloc[idx].copy()
+            out["cell"] = top.ravel().astype(_np.int32)
+            yield out
+
+    return embeddings.mapInPandas(assign, out_schema)
 
 
 def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
@@ -110,43 +171,43 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
                            with_quarantine: bool = False,
                            centroids=None):
     """(d1, d2, cos) pairs with cosine >= ``threshold`` whose top-m
-    cell sets intersect (d1 < d2, one row per pair). Cost: the
-    self-join is an equi-join on the cell id — never a cross product —
-    touching ~m^2/K of the all-pairs space; every candidate is
-    exact-verified (codegen'd fixed-dim cosine), so precision is 1 by
-    construction and only boundary pairs are missed.
+    cell sets intersect (d1 < d2, one row per pair).
 
-    ``max_cell`` (opt-in — see module docstring for why this tier's
-    default differs from the fingerprint tiers') excludes cells whose
-    population exceeds it BEFORE the join and, with
-    ``with_quarantine=True``, returns ``(pairs, ledger)`` where ledger
-    is the excluded (cell, n_vectors) set — recall loss reported, not
-    hidden, same contract as fingerprint_pairs."""
-    from .similarity import dot_fixed, l2_norm_fixed
+    Execution is the textbook SemDeDup shape, propose-then-confirm:
 
-    # Norm ONCE per vector, before the explode and the exchange — a
-    # vector participates in many candidate pairs, so folding its
-    # norm into the per-pair cosine would recompute it per candidate
-    # (and, with the K x dim assignment literals, blow the join
-    # stage's whole-stage-codegen method past the JVM's 64 KB limit —
-    # observed "Code grows beyond 64 KB" fallback to interpreted
-    # execution at K=8, dim=64). The per-pair verify below is then
-    # just the dim-term dot product over pre-computed norms:
-    # dot/(n1*n2) — the same products and fold order as
-    # cosine_fixed, bit-identical values.
+    - PROPOSE: one exchange groups each cell's vectors and a per-cell
+      ``applyInPandas`` computes the within-cell pairwise similarity
+      as ONE numpy gallery matmul (X @ X.T), emitting only (d1, d2)
+      above ``threshold - 1e-9``. The epsilon covers BLAS-vs-fold
+      summation differences (~1e-15 relative), so no fold-qualifying
+      pair is ever missed. A cell is a single matmul task — O((n/K)^2)
+      FLOPs in BLAS, never a row-at-a-time join. (The earlier
+      expression-join verify ran the dim-term fold per candidate pair
+      inside one giant codegen method; past the JVM's ~8 KB JIT limit
+      it executes bytecode-INTERPRETED — measured 24 s for 1M
+      candidates at sf0.1 vs sub-second for the gallery matmul.)
+    - CONFIRM: the proposed pairs (output-sized, tiny) rejoin the
+      corpus and the final cosine is the codegen'd fixed-dim fold —
+      values and the >= threshold decision are therefore BIT-IDENTICAL
+      to a naive fold-verified join, which is what keeps the DuckDB
+      oracle hash-parity.
+
+    Precision is 1 by construction (exact confirm); only boundary
+    pairs are missed. ``max_cell`` (opt-in — see module docstring for
+    why this tier's default differs from the fingerprint tiers')
+    excludes cells whose population exceeds it BEFORE the matmul and,
+    with ``with_quarantine=True``, returns ``(pairs, ledger)`` where
+    ledger is the excluded (cell, n_vectors) set — recall loss
+    reported, not hidden, same contract as fingerprint_pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import cosine_fixed
+
     celled = assign_top_cells(
-        embeddings.select(
-            id_col, vec_col,
-            l2_norm_fixed(F.col(vec_col), dim).alias("nrm"),
-        ),
+        embeddings.select(id_col, vec_col),
         n_cells, dim, top_m, vec_col, centroids,
     )
-    # Materialize the assignment behind its own exchange: this is the
-    # scale plan anyway — the self-join co-partitions on the cell id
-    # and the identical child plan makes the second side a
-    # ReusedExchange, so the corpus shuffles ONCE; it also keeps the
-    # K x dim assignment literals out of the join stage's codegen.
-    celled = celled.repartition("cell")
     quarantine = None
     if max_cell is not None:
         celled = celled.persist()
@@ -157,28 +218,49 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
         celled = celled.join(
             F.broadcast(quarantine.select("cell")), "cell", "left_anti"
         )
-    l, r = celled.alias("l"), celled.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.cell") == F.col("r.cell"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+
+    eps_threshold = threshold - 1e-9
+    id_dt = embeddings.schema[id_col].dataType.simpleString()
+
+    def propose(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"d1": [], "d2": []}).astype(
+                pdf[id_col].dtype
+            )
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
         )
-        .select(
-            F.col(f"l.{id_col}").alias("d1"),
-            F.col(f"r.{id_col}").alias("d2"),
-            F.col(f"l.{vec_col}").alias("v1"),
-            F.col(f"r.{vec_col}").alias("v2"),
-            F.col("l.nrm").alias("n1"),
-            F.col("r.nrm").alias("n2"),
+        nrm = np.linalg.norm(x, axis=1)
+        s = (x @ x.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = s[iu, ju] >= eps_threshold
+        ids = pdf[id_col].to_numpy()
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pd.DataFrame(
+            {"d1": np.minimum(a, b), "d2": np.maximum(a, b)}
         )
-        .distinct()
+
+    proposed = (
+        celled.groupBy("cell")
+        .applyInPandas(propose, schema=f"d1 {id_dt}, d2 {id_dt}")
+        .distinct()  # a pair sharing two top-m cells proposes twice
     )
-    pairs = cands.select(
-        "d1", "d2",
-        (dot_fixed(F.col("v1"), F.col("v2"), dim)
-         / (F.col("n1") * F.col("n2"))).alias("cos"),
-    ).where(F.col("cos") >= threshold)
+    side1 = embeddings.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("__v1")
+    )
+    side2 = embeddings.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("__v2")
+    )
+    pairs = (
+        proposed.join(side1, "d1")
+        .join(side2, "d2")
+        .select(
+            "d1", "d2",
+            cosine_fixed(F.col("__v1"), F.col("__v2"), dim).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
     if with_quarantine:
         return pairs, quarantine
     return pairs

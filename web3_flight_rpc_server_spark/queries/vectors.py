@@ -235,12 +235,14 @@ def _semdedup_oracle(threshold: float = 0.3, n_cells: int = 8,
 @query("q_semantic_dedup", oracle=_semdedup_oracle())
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (operators/semdedup.py):
-    top-2-of-8 nearest-anchor cell blocking, equi-join on the cell id,
-    exact codegen'd cosine verify at >= 0.3 — the embedding analog of
-    the fingerprint dedup tiers (O(m^2/K) of all-pairs instead of the
-    fenced quadratic q_embedding_neardup). DECLARED since r8: the
-    oracle replicates the anchor arithmetic bit for bit (see
-    _semdedup_oracle), so the driver hash check covers the blocking.
+    top-2-of-8 nearest-anchor cell blocking, per-cell numpy gallery
+    matmul proposes candidates with an epsilon margin, codegen'd
+    fixed-dim fold confirms at >= 0.3 (bit-identical to a naive
+    fold-verified join) — the embedding analog of the fingerprint
+    dedup tiers (O(m^2/K) of all-pairs instead of the fenced quadratic
+    q_embedding_neardup). DECLARED since r8: the oracle replicates the
+    anchor arithmetic bit for bit (see _semdedup_oracle), so the
+    driver hash check covers the blocking.
     At this loose threshold on the near-isotropic fixture the blocked
     tier finds ~2/3 of the brute-force pairs (boundary misses are the
     documented SemDeDup trade); at the production near-dup regime
