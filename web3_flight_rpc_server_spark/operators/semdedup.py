@@ -173,24 +173,26 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
     """(d1, d2, cos) pairs with cosine >= ``threshold`` whose top-m
     cell sets intersect (d1 < d2, one row per pair).
 
-    Execution is the textbook SemDeDup shape, propose-then-confirm:
+    Execution is the textbook SemDeDup shape, propose-then-confirm,
+    both inside ONE per-cell ``applyInPandas`` stage:
 
-    - PROPOSE: one exchange groups each cell's vectors and a per-cell
-      ``applyInPandas`` computes the within-cell pairwise similarity
-      as ONE numpy gallery matmul (X @ X.T), emitting only (d1, d2)
-      above ``threshold - 1e-9``. The epsilon covers BLAS-vs-fold
+    - PROPOSE: each cell's within-cell pairwise similarity is ONE
+      numpy gallery matmul (X @ X.T in BLAS) and only pairs above
+      ``threshold - 1e-9`` survive. The epsilon covers BLAS-vs-fold
       summation differences (~1e-15 relative), so no fold-qualifying
       pair is ever missed. A cell is a single matmul task — O((n/K)^2)
-      FLOPs in BLAS, never a row-at-a-time join. (The earlier
-      expression-join verify ran the dim-term fold per candidate pair
-      inside one giant codegen method; past the JVM's ~8 KB JIT limit
-      it executes bytecode-INTERPRETED — measured 24 s for 1M
-      candidates at sf0.1 vs sub-second for the gallery matmul.)
-    - CONFIRM: the proposed pairs (output-sized, tiny) rejoin the
-      corpus and the final cosine is the codegen'd fixed-dim fold —
-      values and the >= threshold decision are therefore BIT-IDENTICAL
-      to a naive fold-verified join, which is what keeps the DuckDB
-      oracle hash-parity.
+      FLOPs in BLAS, never a row-at-a-time join.
+    - CONFIRM: the surviving pairs (output-sized) are re-scored with
+      the EXACT FOLD ARITHMETIC — per-dimension sequential float64
+      accumulation for the dot and both norms, vectorized over pairs —
+      which is bit-identical to the cosine_fixed expression fold, so
+      emitted values and the >= threshold decision match a naive
+      fold-verified join exactly and the DuckDB oracle hash-parity
+      holds. (A codegen-expression confirm was tried first: the
+      dim-term fold in one generated method exceeds the JVM's ~8 KB
+      JIT limit and runs bytecode-interpreted — 24 s for 1M candidates
+      at sf0.1 — and janino burns multi-second compile attempts per
+      query even on the output-sized confirm join.)
 
     Precision is 1 by construction (exact confirm); only boundary
     pairs are missed. ``max_cell`` (opt-in — see module docstring for
@@ -199,11 +201,6 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
     with ``with_quarantine=True``, returns ``(pairs, ledger)`` where
     ledger is the excluded (cell, n_vectors) set — recall loss
     reported, not hidden, same contract as fingerprint_pairs."""
-    import numpy as np
-    import pandas as pd
-
-    from .similarity import cosine_fixed
-
     celled = assign_top_cells(
         embeddings.select(id_col, vec_col),
         n_cells, dim, top_m, vec_col, centroids,
@@ -220,46 +217,55 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
         )
 
     eps_threshold = threshold - 1e-9
+    thr = threshold
+    d = dim
+    id_name, vec_name = id_col, vec_col
     id_dt = embeddings.schema[id_col].dataType.simpleString()
 
-    def propose(pdf: pd.DataFrame) -> pd.DataFrame:
+    def propose_confirm(pdf):
+        import numpy as _np
+        import pandas as _pd
+
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"d1": [], "d2": []}).astype(
-                pdf[id_col].dtype
-            )
-        x = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            return _pd.DataFrame({"d1": [], "d2": [], "cos": []})
+        x = _np.stack(
+            [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_name]]
         )
-        nrm = np.linalg.norm(x, axis=1)
-        s = (x @ x.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(n, k=1)
+        nrm = _np.linalg.norm(x, axis=1)
+        s = (x @ x.T) / _np.outer(nrm, nrm)
+        iu, ju = _np.triu_indices(n, k=1)
         hit = s[iu, ju] >= eps_threshold
-        ids = pdf[id_col].to_numpy()
-        a, b = ids[iu[hit]], ids[ju[hit]]
-        return pd.DataFrame(
-            {"d1": np.minimum(a, b), "d2": np.maximum(a, b)}
+        ii, jj = iu[hit], ju[hit]
+        if not len(ii):
+            return _pd.DataFrame({"d1": [], "d2": [], "cos": []})
+        # exact confirm: same IEEE ops in the same order as the
+        # cosine_fixed fold (sequential over dims, vectorized over
+        # the surviving pairs)
+        a, b = x[ii], x[jj]
+        dot = _np.zeros(len(ii))
+        na = _np.zeros(len(ii))
+        nb = _np.zeros(len(ii))
+        for i in range(d):
+            dot = dot + a[:, i] * b[:, i]
+            na = na + a[:, i] * a[:, i]
+            nb = nb + b[:, i] * b[:, i]
+        cos = dot / (_np.sqrt(na) * _np.sqrt(nb))
+        keep = cos >= thr
+        ids = pdf[id_name].to_numpy()
+        p, q = ids[ii[keep]], ids[jj[keep]]
+        return _pd.DataFrame(
+            {"d1": _np.minimum(p, q), "d2": _np.maximum(p, q),
+             "cos": cos[keep]}
         )
 
-    proposed = (
-        celled.groupBy("cell")
-        .applyInPandas(propose, schema=f"d1 {id_dt}, d2 {id_dt}")
-        .distinct()  # a pair sharing two top-m cells proposes twice
-    )
-    side1 = embeddings.select(
-        F.col(id_col).alias("d1"), F.col(vec_col).alias("__v1")
-    )
-    side2 = embeddings.select(
-        F.col(id_col).alias("d2"), F.col(vec_col).alias("__v2")
-    )
     pairs = (
-        proposed.join(side1, "d1")
-        .join(side2, "d2")
-        .select(
-            "d1", "d2",
-            cosine_fixed(F.col("__v1"), F.col("__v2"), dim).alias("cos"),
+        celled.groupBy("cell")
+        .applyInPandas(
+            propose_confirm, schema=f"d1 {id_dt}, d2 {id_dt}, cos double"
         )
-        .where(F.col("cos") >= threshold)
+        .distinct()  # a pair sharing two top-m cells emits twice,
+                     # with bit-identical cos (same arithmetic)
     )
     if with_quarantine:
         return pairs, quarantine
