@@ -334,9 +334,16 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
     re-shuffles. Exactly one row per (new_id, idx_id): the index
     vector lives in one cell, so the exploded probe meets it at most
     once. Geometry (centroids, vec_col, dim) always comes from the
-    index manifest."""
+    index manifest.
+
+    Execution is the same cross-gallery matmul shape as
+    semantic_neardup_pairs (and for the same measured reason — a
+    per-candidate expression fold runs bytecode-interpreted): the
+    probe's and index's cells are COGROUPED, each shared cell is one
+    numpy X_probe @ X_index.T proposal at ``threshold - 1e-9``, and
+    survivors are confirmed with the exact per-dimension fold —
+    bit-identical values to a fold-verified join."""
     from .kmeans import read_trained_ivf_manifest
-    from .similarity import dot_fixed, l2_norm_fixed
 
     spark = new_emb.sparkSession
     model, vec_col = read_trained_ivf_manifest(spark, index_path)
@@ -351,12 +358,9 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
             F.lit(0.0).alias("cos"),
         ).limit(0)
     probe = assign_top_cells(
-        new_emb.select(
-            F.col(id_col).alias("new_id"),
-            F.col(vec_col).alias("__vn"),
-            l2_norm_fixed(F.col(vec_col), dim).alias("__nn"),
-        ),
-        top_m=top_m, vec_col="__vn", centroids=model,
+        new_emb.select(F.col(id_col).alias("pid"),
+                       F.col(vec_col).alias("pvec")),
+        top_m=top_m, vec_col="pvec", centroids=model,
     )
     probe_cells = sorted(
         r.cell for r in probe.select("cell").distinct().collect()
@@ -365,20 +369,60 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
         _read_trained_index_data(spark, index_path)
         .where(F.col("cell").isin(probe_cells))
         .select(
-            F.col(id_col).alias("idx_id"),
-            F.col(vec_col).alias("__vi"),
-            l2_norm_fixed(F.col(vec_col), dim).alias("__ni"),
+            F.col(id_col).alias("iid"),
+            F.col(vec_col).alias("ivec"),
             "cell",
         )
     )
-    return (
-        probe.join(idx, "cell")
-        .select(
-            "new_id", "idx_id",
-            (dot_fixed(F.col("__vn"), F.col("__vi"), dim)
-             / (F.col("__nn") * F.col("__ni"))).alias("cos"),
+    eps_threshold = threshold - 1e-9
+    thr = threshold
+    d = dim
+    id_dt = new_emb.schema[id_col].dataType.simpleString()
+
+    def probe_cell(left, right):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame({"new_id": [], "idx_id": [], "cos": []})
+        if not len(left) or not len(right):
+            return empty
+        xp = _np.stack(
+            [_np.asarray(v, dtype=_np.float64) for v in left["pvec"]]
         )
-        .where(F.col("cos") >= threshold)
+        xi = _np.stack(
+            [_np.asarray(v, dtype=_np.float64) for v in right["ivec"]]
+        )
+        s = (xp @ xi.T) / _np.outer(
+            _np.linalg.norm(xp, axis=1), _np.linalg.norm(xi, axis=1)
+        )
+        ii, jj = _np.nonzero(s >= eps_threshold)
+        if not len(ii):
+            return empty
+        a, b = xp[ii], xi[jj]
+        dot = _np.zeros(len(ii))
+        na = _np.zeros(len(ii))
+        nb = _np.zeros(len(ii))
+        for i in range(d):
+            dot = dot + a[:, i] * b[:, i]
+            na = na + a[:, i] * a[:, i]
+            nb = nb + b[:, i] * b[:, i]
+        cos = dot / (_np.sqrt(na) * _np.sqrt(nb))
+        keep = cos >= thr
+        return _pd.DataFrame(
+            {
+                "new_id": left["pid"].to_numpy()[ii[keep]],
+                "idx_id": right["iid"].to_numpy()[jj[keep]],
+                "cos": cos[keep],
+            }
+        )
+
+    return (
+        probe.groupBy("cell")
+        .cogroup(idx.groupBy("cell"))
+        .applyInPandas(
+            probe_cell,
+            schema=f"new_id {id_dt}, idx_id {id_dt}, cos double",
+        )
     )
 
 
