@@ -256,6 +256,93 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round4(pairs.cos).alias("cos"))
 
 
+def _semantic_keep_oracle(threshold: float = 0.3, n_cells: int = 8,
+                          top_m: int = 2) -> str:
+    """The keep-set twin of _semdedup_oracle: the same bit-replicated
+    blocking and verify produce the pair set, a recursive transitive
+    closure labels components with their min id (the q_dedup_clusters
+    pattern), and every vector gets a keep verdict — 1 for isolated
+    vectors and cluster canonicals, 0 for the other members. keep is
+    BIGINT (nullable-BOOLEAN outputs hash-mismatch across the pandas
+    bridges — the q_zscore lesson)."""
+    from ..operators.ivf import cell_scores_sql
+
+    scores = cell_scores_sql("embedding", n_cells)
+    return f"""
+    WITH RECURSIVE scored AS (
+        SELECT vec_id, {scores} AS s FROM embeddings
+    ),
+    topm AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, (u.i - 1) AS cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY s[u.i] DESC, u.i ASC
+                   ) AS rk
+            FROM scored, UNNEST(range(1, {n_cells + 1})) AS u(i)
+        ) ranked
+        WHERE rk <= {top_m}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM topm a JOIN topm b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.d1, c.d2
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.d1
+        JOIN embeddings e2 ON e2.vec_id = c.d2
+        WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                                     e2.embedding::DOUBLE[])
+              >= {threshold}
+    ),
+    edges AS (
+        SELECT d1 AS s, d2 AS d FROM pairs
+        UNION ALL
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+        SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT emb.vec_id,
+           CAST(CASE WHEN comp.cluster_id IS NULL
+                       OR comp.cluster_id = emb.vec_id
+                THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           comp.cluster_id
+    FROM embeddings emb
+    LEFT JOIN comp ON comp.node = emb.vec_id
+    """
+
+
+@query("q_semantic_keep", oracle=_semantic_keep_oracle(), declared=False)
+def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop verdict per vector
+    (operators/semdedup.py:semantic_dedup_keep): the q_semantic_dedup
+    pair tier -> connected components -> keep the min id of each
+    semantic cluster, isolated vectors kept with null cluster.
+    Undeclared (the driver window is full; oracle-checked at sf0.001
+    by tests/test_oracle_parity.py's whole-registry parametrize) —
+    the DuckDB twin recomputes the identical blocking+verify and a
+    WITH RECURSIVE transitive closure, so a hash match covers the
+    whole keep decision end to end."""
+    from ..operators.semdedup import semantic_dedup_keep
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    verdict = semantic_dedup_keep(emb, threshold=0.3, n_cells=8,
+                                  dim=64, top_m=2)
+    return verdict.select(
+        "vec_id",
+        F.col("keep").cast("long").alias("keep"),
+        "cluster_id",
+    )
+
+
 @query(
     "q_centroid",
     oracle="""
