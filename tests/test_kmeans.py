@@ -234,3 +234,34 @@ def test_trained_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     retrained = KMeansModel(model.centroids + 0.5, 1, 0.0, 0.0)
     with pytest.raises(ValueError, match="different centroids"):
         write_trained_ivf_index(extra, retrained, path, append=True)
+
+
+def test_duplicate_heavy_corpus_keeps_all_centroids_alive(spark):
+    """Exact-duplicate rows (the norm on dedup corpora — benchdata
+    plants 10x copies) must not seed duplicate centroids: identical
+    seeds tie every assignment to the lower index and the twin stays
+    dead forever (the r8 BASELINE collapse). Init samples DISTINCT
+    vectors, so all k cells stay live on a 10x-duplicated corpus, for
+    both init methods."""
+    _, base, _ = _blobs(n_blobs=4, per_blob=5, seed=23)
+    dup = np.repeat(base, 10, axis=0)  # 200 rows, 20 distinct
+    emb = _corpus(spark, dup)
+    for method in ("hash", "pp"):
+        model = kmeans_fit(emb, k=4, max_iter=6, init_method=method)
+        cents = {tuple(np.round(c, 9)) for c in model.centroids}
+        assert len(cents) == 4, f"{method}: duplicate/dead centroids"
+        cells = assign_trained_cells(emb, model).select("cell")
+        pops = {r.cell for r in cells.distinct().collect()}
+        assert pops == {0, 1, 2, 3}, f"{method}: dead cell ({pops})"
+
+
+def test_pp_init_is_deterministic(spark):
+    """Two pp fits on the same corpus produce identical centroids
+    (fixed-seed D^2 selection over the hash-ordered sample)."""
+    _, x, _ = _blobs(n_blobs=3, per_blob=20, seed=29)
+    emb = _corpus(spark, x)
+    m1 = kmeans_fit(emb, k=6, max_iter=3, init_method="pp")
+    m2 = kmeans_fit(emb, k=6, max_iter=3, init_method="pp")
+    assert np.allclose(m1.centroids, m2.centroids, atol=1e-12)
+    with pytest.raises(ValueError, match="init_method"):
+        kmeans_fit(emb, k=2, init_method="nope")

@@ -68,11 +68,16 @@ class KMeansModel:
 
 def _init_centroids(embeddings: DataFrame, k: int,
                     vec_col: str) -> np.ndarray:
-    """Deterministic, partitioning-invariant init: the k vectors with
-    the smallest xxhash64 — a uniform hash-sample of distinct rows (a
-    seeded RNG over partitions would change with the partitioning)."""
+    """Deterministic, partitioning-invariant init: the k DISTINCT
+    vectors with the smallest xxhash64 — a uniform hash-sample (a
+    seeded RNG over partitions would change with the partitioning).
+    DISTINCT matters on real dedup corpora: exact-duplicate rows are
+    the norm there (benchdata plants 10x copies), and two identical
+    initial centroids tie every assignment to the lower index — the
+    higher one starts empty and stays dead forever."""
     rows = (
         embeddings.select(F.col(vec_col).alias("v"))
+        .distinct()
         .orderBy(F.xxhash64("v"), "v")
         .limit(k)
         .collect()
@@ -80,9 +85,48 @@ def _init_centroids(embeddings: DataFrame, k: int,
     if len(rows) < k:
         raise ValueError(
             f"k={k} centroids requested but the corpus has only "
-            f"{len(rows)} rows"
+            f"{len(rows)} distinct vectors"
         )
     return np.array([list(r.v) for r in rows], dtype=np.float64)
+
+
+def _init_centroids_pp(embeddings: DataFrame, k: int, vec_col: str,
+                       sample_n: int = 8192) -> np.ndarray:
+    """k-means++ seeding on a deterministic hash-sample: collect the
+    ``sample_n`` distinct vectors with the smallest xxhash64 (bounded
+    driver memory, partitioning-invariant), then run the classic
+    D^2-weighted selection in numpy with a FIXED-SEED generator over
+    that deterministically-ordered sample — same corpus, same
+    centroids, on any cluster layout. Spread-out seeds subdivide dense
+    modes into balanced sub-cells instead of leaving dead centroids,
+    which is exactly the capacity property SemDeDup blocking needs
+    (the hash init on the 2-mode benchdata corpus left 18 of 20
+    centroids dead — BASELINE.md r8)."""
+    rows = (
+        embeddings.select(F.col(vec_col).alias("v"))
+        .distinct()
+        .orderBy(F.xxhash64("v"), "v")
+        .limit(sample_n)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"k={k} centroids requested but the corpus has only "
+            f"{len(rows)} distinct vectors"
+        )
+    x = np.array([list(r.v) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(0x5EED)
+    cents = [x[0]]  # smallest-hash vector: deterministic first seed
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d2.sum()
+        if total <= 0.0:  # all remaining mass coincides with a seed
+            pick = int(np.argmax(d2))
+        else:
+            pick = int(rng.choice(len(x), p=d2 / total))
+        cents.append(x[pick])
+        d2 = np.minimum(d2, ((x - x[pick]) ** 2).sum(axis=1))
+    return np.array(cents, dtype=np.float64)
 
 
 def _iteration_stats(vectors: DataFrame, cents: np.ndarray,
@@ -151,18 +195,27 @@ def _iteration_stats(vectors: DataFrame, cents: np.ndarray,
 def kmeans_fit(embeddings: DataFrame, k: int,
                vec_col: str = "embedding",
                max_iter: int = 20, tol: float = 1e-4,
-               init: np.ndarray | None = None) -> KMeansModel:
+               init: np.ndarray | None = None,
+               init_method: str = "hash") -> KMeansModel:
     """Fit k centroids with Lloyd iterations (module docstring has the
-    execution shape). ``init`` overrides the hash-sample start (shape
+    execution shape). ``init`` overrides the seeding entirely (shape
     (k, dim)) — pass a previous model's centroids to warm-start a
-    refit on grown data."""
+    refit on grown data. ``init_method``: "hash" (k distinct
+    smallest-hash vectors — cheapest, fine for spread corpora) or
+    "pp" (k-means++ on a deterministic driver sample — subdivides
+    dense modes into balanced sub-cells; pick this when the fit feeds
+    SemDeDup blocking or an IVF layout, where cell BALANCE is the
+    point)."""
+    if init_method not in ("hash", "pp"):
+        raise ValueError(f"unknown init_method {init_method!r}")
     vectors = embeddings.select(vec_col).persist()
     try:
-        cents = (
-            np.array(init, dtype=np.float64)
-            if init is not None
-            else _init_centroids(vectors, k, vec_col)
-        )
+        if init is not None:
+            cents = np.array(init, dtype=np.float64)
+        elif init_method == "pp":
+            cents = _init_centroids_pp(vectors, k, vec_col)
+        else:
+            cents = _init_centroids(vectors, k, vec_col)
         if cents.shape[0] != k:
             raise ValueError(
                 f"init has {cents.shape[0]} centroids, k={k} requested"
