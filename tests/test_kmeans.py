@@ -255,6 +255,52 @@ def test_duplicate_heavy_corpus_keeps_all_centroids_alive(spark):
         assert pops == {0, 1, 2, 3}, f"{method}: dead cell ({pops})"
 
 
+def test_init_scan_is_bounded_and_partitioning_invariant(spark):
+    """Seed selection must not exchange the full corpus (VERDICT r8):
+    on a corpus large enough to trip the hash pre-filter, the
+    pre-distinct seed scan keeps a sliver of the rows, and the fitted
+    centroids are IDENTICAL across arbitrary repartitionings (the
+    predicate hashes the vector value, not the row position)."""
+    from web3_flight_rpc_server_spark.operators.kmeans import _seed_scan
+
+    rng = np.random.default_rng(31)
+    n = 12000
+    x = rng.normal(size=(n, DIM))
+    emb = _corpus(spark, x)
+
+    filtered, d = _seed_scan(emb, need=4, vec_col="embedding")
+    assert d > 1, "fixture must be large enough to engage the filter"
+    n_pool = filtered.count()
+    # the exchange input is the sampled sliver, not the corpus
+    assert n_pool < n / (d / 2), (n_pool, d)
+    assert n_pool >= 4, "pool must still hold enough seeds"
+    # the filter itself must be in the pool's plan (pushed into the
+    # scan side, before any exchange)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan, plan
+
+    m_a = kmeans_fit(emb.repartition(13), k=4, max_iter=3, tol=0.0)
+    m_b = kmeans_fit(emb.repartition(3), k=4, max_iter=3, tol=0.0)
+    assert np.array_equal(m_a.centroids, m_b.centroids)
+    m_pp_a = kmeans_fit(emb.repartition(7), k=4, max_iter=2, tol=0.0,
+                        init_method="pp")
+    m_pp_b = kmeans_fit(emb.repartition(2), k=4, max_iter=2, tol=0.0,
+                        init_method="pp")
+    assert np.array_equal(m_pp_a.centroids, m_pp_b.centroids)
+
+
+def test_init_filter_skipped_on_small_corpus(spark):
+    """Small corpora (approx distinct count below need x oversample)
+    must behave exactly as before the filter existed: d == 1, no
+    predicate, k distinct smallest-hash seeds."""
+    from web3_flight_rpc_server_spark.operators.kmeans import _seed_scan
+
+    _, x, _ = _blobs(n_blobs=2, per_blob=10, seed=37)
+    emb = _corpus(spark, x)
+    _, d = _seed_scan(emb, need=4, vec_col="embedding")
+    assert d == 1
+
+
 def test_pp_init_is_deterministic(spark):
     """Two pp fits on the same corpus produce identical centroids
     (fixed-seed D^2 selection over the hash-ordered sample)."""

@@ -66,22 +66,86 @@ class KMeansModel:
         return int(self.centroids.shape[1])
 
 
+# below this many distinct vectors the init's full distinct() is
+# already cheap — the hash pre-filter exists to bound the exchange on
+# LARGE corpora, where it drops the distinct() input by D x
+_MIN_FILTER_CORPUS = 10_000
+
+
+def _seed_scan(embeddings: DataFrame, need: int, vec_col: str,
+               oversample: int = 8):
+    """The bounded seed-selection scan: ``(filtered_df, divisor)``
+    where filtered_df is the vector projection pre-filtered by a
+    deterministic hash predicate (``pmod(xxhash64(v), D) == 0``) sized
+    so ~``oversample * need`` distinct vectors survive. The later
+    ``distinct()`` then exchanges only the surviving sliver — without
+    this, seed selection ran distinct() over the ENTIRE corpus, a
+    full-corpus exchange paid before the first Lloyd iteration that
+    dwarfs the bounded K x dim iteration shuffle at 100 TB (VERDICT
+    r8 #1). The predicate hashes the VECTOR VALUE, never a row
+    position, so the survivor set — and therefore the chosen seeds —
+    is invariant to partitioning. Sizing D takes one extra corpus
+    scan (approx_count_distinct: map-side HLL partials, a
+    sketch-sized shuffle); corpora under ``_MIN_FILTER_CORPUS``
+    distinct vectors (where the full distinct() is already cheap and
+    seed-pool thinning would only add sampling variance) skip the
+    filter entirely and behave exactly as before."""
+    sel = embeddings.select(F.col(vec_col).alias("v"))
+    n_approx = int(
+        sel.agg(F.approx_count_distinct("v").alias("n")).first()["n"]
+    )
+    if n_approx < _MIN_FILTER_CORPUS:
+        return sel, 1
+    d = max(1, n_approx // (need * oversample))
+    if d > 1:
+        return (
+            sel.where(F.pmod(F.xxhash64("v"), F.lit(int(d))) == 0),
+            int(d),
+        )
+    return sel, 1
+
+
+def _sample_distinct(embeddings: DataFrame, need: int, vec_col: str,
+                     min_required: int) -> list:
+    """The ``need`` distinct vectors with the smallest xxhash64 among
+    the hash-filtered seed pool (_seed_scan) — deterministic and
+    partitioning-invariant. The filter undersampling below
+    ``min_required`` is astronomically unlikely (survivors are
+    Binomial with mean >= 8 x need), but if it happens — or the
+    corpus genuinely has few distinct vectors — the unfiltered pool
+    is retried so the caller's error talks about the corpus, not the
+    filter. The fallback triggers on data only, never on
+    partitioning, so determinism holds."""
+    filtered, d = _seed_scan(embeddings, need, vec_col)
+    rows = (
+        filtered.distinct()
+        .orderBy(F.xxhash64("v"), "v")
+        .limit(need)
+        .collect()
+    )
+    if len(rows) < min_required and d > 1:
+        rows = (
+            embeddings.select(F.col(vec_col).alias("v"))
+            .distinct()
+            .orderBy(F.xxhash64("v"), "v")
+            .limit(need)
+            .collect()
+        )
+    return rows
+
+
 def _init_centroids(embeddings: DataFrame, k: int,
                     vec_col: str) -> np.ndarray:
     """Deterministic, partitioning-invariant init: the k DISTINCT
-    vectors with the smallest xxhash64 — a uniform hash-sample (a
-    seeded RNG over partitions would change with the partitioning).
-    DISTINCT matters on real dedup corpora: exact-duplicate rows are
-    the norm there (benchdata plants 10x copies), and two identical
-    initial centroids tie every assignment to the lower index — the
-    higher one starts empty and stays dead forever."""
-    rows = (
-        embeddings.select(F.col(vec_col).alias("v"))
-        .distinct()
-        .orderBy(F.xxhash64("v"), "v")
-        .limit(k)
-        .collect()
-    )
+    vectors with the smallest xxhash64 among the hash-filtered seed
+    pool (_seed_scan bounds the distinct() exchange to ~8k vectors —
+    a uniform hash-sample either way; a seeded RNG over partitions
+    would change with the partitioning). DISTINCT matters on real
+    dedup corpora: exact-duplicate rows are the norm there (benchdata
+    plants 10x copies), and two identical initial centroids tie every
+    assignment to the lower index — the higher one starts empty and
+    stays dead forever."""
+    rows = _sample_distinct(embeddings, k, vec_col, min_required=k)
     if len(rows) < k:
         raise ValueError(
             f"k={k} centroids requested but the corpus has only "
@@ -101,14 +165,11 @@ def _init_centroids_pp(embeddings: DataFrame, k: int, vec_col: str,
     modes into balanced sub-cells instead of leaving dead centroids,
     which is exactly the capacity property SemDeDup blocking needs
     (the hash init on the 2-mode benchdata corpus left 18 of 20
-    centroids dead — BASELINE.md r8)."""
-    rows = (
-        embeddings.select(F.col(vec_col).alias("v"))
-        .distinct()
-        .orderBy(F.xxhash64("v"), "v")
-        .limit(sample_n)
-        .collect()
-    )
+    centroids dead — BASELINE.md r8). The sample comes from the same
+    bounded hash-filtered pool as the plain init (_seed_scan), so the
+    distinct() exchange is ~8 x sample_n vectors, never the corpus."""
+    rows = _sample_distinct(embeddings, sample_n, vec_col,
+                            min_required=k)
     if len(rows) < k:
         raise ValueError(
             f"k={k} centroids requested but the corpus has only "
