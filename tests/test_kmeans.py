@@ -236,6 +236,211 @@ def test_trained_ivf_index_roundtrip_and_pruning(spark, tmp_path):
         write_trained_ivf_index(extra, retrained, path, append=True)
 
 
+def _probe_snapshot(spark, path, probe_df, threshold=0.6):
+    from web3_flight_rpc_server_spark.operators.semdedup import (
+        dedup_embeddings_against_index,
+    )
+
+    return {
+        (r.new_id, r.idx_id, r.cos)  # exact floats — bit parity
+        for r in dedup_embeddings_against_index(
+            probe_df, path, threshold=threshold
+        ).collect()
+    }
+
+
+def _count_data_files(path):
+    import os
+
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        if "_kmeans_manifest" in root or ".compacting" in root:
+            continue
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_compact_trained_index_probe_bit_identical(spark, tmp_path):
+    """compact_trained_ivf_index folds an append-heavy trained index's
+    small files while preserving the manifest, the cell partitioning,
+    and every probe result bit for bit; retrained-centroid appends
+    stay refused afterwards (VERDICT r8 next-round #1)."""
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        compact_trained_ivf_index,
+        read_trained_ivf_manifest,
+        write_trained_ivf_index,
+    )
+
+    _, x, _ = _blobs(n_blobs=4, per_blob=30, seed=41)
+    emb = _corpus(spark, x)
+    model = kmeans_fit(emb, k=4, max_iter=8)
+    path = str(tmp_path / "tivf")
+    write_trained_ivf_index(emb.where(F.col("vec_id") < 40), model, path)
+    for lo, hi in ((40, 70), (70, 100), (100, 120)):
+        batch = emb.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        write_trained_ivf_index(batch, model, path, append=True)
+
+    probe = _corpus(spark, x[:6] + 0.01).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    before_files = _count_data_files(path)
+    before = _probe_snapshot(spark, path, probe)
+    assert before, "planted near-copies must hit the index"
+
+    n_before, n_after = compact_trained_ivf_index(spark, path)
+    assert n_before == before_files and n_after < n_before
+
+    spark.catalog.refreshByPath(path)
+    assert _probe_snapshot(spark, path, probe) == before
+    # manifest centroids preserved bit for bit; retrain still refused
+    m2, vcol = read_trained_ivf_manifest(spark, path)
+    assert vcol == "embedding"
+    assert np.array_equal(m2.centroids, model.centroids)
+    retrained = KMeansModel(model.centroids + 0.25, 1, 0.0, 0.0)
+    with pytest.raises(ValueError, match="different centroids"):
+        write_trained_ivf_index(probe, retrained, path, append=True)
+    # cell partitioning preserved: every row still under its cell dir
+    on_disk = spark.read.parquet(path)
+    want = {
+        r.vec_id: r.cell
+        for r in assign_trained_cells(emb.where(F.col("vec_id") < 120),
+                                      model).select("vec_id", "cell")
+        .collect()
+    }
+    got = {r.vec_id: r.cell
+           for r in on_disk.select("vec_id", "cell").collect()}
+    assert got == want
+
+
+def test_compact_trained_index_crash_drills(spark, tmp_path):
+    """Every crash window leaves a state the next compaction/probe
+    self-heals from — the fswap drill set applied to the trained
+    index (mirrors tests/test_fswap.py)."""
+    import os
+    import shutil
+
+    from web3_flight_rpc_server_spark.operators.fswap import (
+        OLD_SUFFIX,
+        TMP_SUFFIX,
+    )
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        compact_trained_ivf_index,
+        write_trained_ivf_index,
+    )
+
+    _, x, _ = _blobs(n_blobs=3, per_blob=20, seed=43)
+    emb = _corpus(spark, x)
+    model = kmeans_fit(emb, k=3, max_iter=6)
+    path = str(tmp_path / "tivf")
+    write_trained_ivf_index(emb.where(F.col("vec_id") < 30), model, path)
+    write_trained_ivf_index(
+        emb.where(F.col("vec_id") >= 30), model, path, append=True
+    )
+    probe = _corpus(spark, x[:4] + 0.01).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    want = _probe_snapshot(spark, path, probe)
+    assert want
+
+    # crash BEFORE the swap started (complete tmp written, promote
+    # never ran): compaction recovers (discards stale tmp), re-runs
+    shutil.copytree(path, path + TMP_SUFFIX)
+    compact_trained_ivf_index(spark, path)
+    spark.catalog.refreshByPath(path)
+    assert _probe_snapshot(spark, path, probe) == want
+    assert not os.path.exists(path + TMP_SUFFIX)
+
+    # crash BETWEEN swap steps 1 and 2 (live renamed aside, complete
+    # tmp): the next PROBE self-heals forward in-line
+    shutil.copytree(path, path + TMP_SUFFIX)
+    os.rename(path, path + OLD_SUFFIX)
+    spark.catalog.refreshByPath(path)
+    assert _probe_snapshot(spark, path, probe) == want
+    assert os.path.exists(path)
+    assert not os.path.exists(path + OLD_SUFFIX)
+
+    # crash MID-TMP-WRITE (no root _SUCCESS in tmp, live intact):
+    # compaction discards the junk and proceeds
+    shutil.copytree(path, path + TMP_SUFFIX)
+    os.remove(os.path.join(path + TMP_SUFFIX, "_SUCCESS"))
+    compact_trained_ivf_index(spark, path)
+    spark.catalog.refreshByPath(path)
+    assert _probe_snapshot(spark, path, probe) == want
+
+    # appends recover a stranded index before writing (the fswap
+    # contract: never recreate a missing live over .old history)
+    os.rename(path, path + OLD_SUFFIX)
+    extra = _corpus(spark, x[:2] + 3.0).withColumn(
+        "vec_id", F.col("vec_id") + 9000
+    )
+    write_trained_ivf_index(extra, model, path, append=True)
+    spark.catalog.refreshByPath(path)
+    assert not os.path.exists(path + OLD_SUFFIX)
+    ids = {r.vec_id for r in spark.read.parquet(path)
+           .select("vec_id").collect()}
+    assert {9000, 9001} <= ids and 0 in ids, "history + append both live"
+
+
+def test_compact_empty_trained_index_is_noop(spark, tmp_path):
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        compact_trained_ivf_index,
+        write_trained_ivf_index,
+    )
+
+    _, x, _ = _blobs(n_blobs=2, per_blob=10, seed=47)
+    emb = _corpus(spark, x)
+    model = kmeans_fit(emb, k=2, max_iter=4)
+    path = str(tmp_path / "tivf")
+    write_trained_ivf_index(emb.limit(0), model, path)
+    assert compact_trained_ivf_index(spark, path) == (0, 0)
+
+
+def test_ingest_then_compact_replay_still_rejected(spark, tmp_path):
+    """The incremental semantic loop's replay contract survives
+    compaction: ingest two batches, compact, replay batch 2 — every
+    replayed vector meets its first copy at cosine 1.0 and is
+    rejected, and the index row set is unchanged."""
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        compact_trained_ivf_index,
+        write_trained_ivf_index,
+    )
+    from web3_flight_rpc_server_spark.operators.semdedup import (
+        ingest_embeddings,
+    )
+
+    _, x, _ = _blobs(n_blobs=3, per_blob=20, seed=53)
+    emb = _corpus(spark, x)
+    model = kmeans_fit(emb, k=3, max_iter=6)
+    path = str(tmp_path / "tivf")
+    write_trained_ivf_index(emb.limit(0), model, path)
+
+    b1 = emb.where(F.col("vec_id") < 30)
+    b2 = emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 45))
+    ingest_embeddings(b1, path, threshold=0.95)
+    admitted2, _ = ingest_embeddings(b2, path, threshold=0.95)
+    n_admitted2 = admitted2.count()
+    spark.catalog.refreshByPath(path)
+    rows_before = {
+        r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+
+    compact_trained_ivf_index(spark, path)
+    spark.catalog.refreshByPath(path)
+
+    readmitted, dups = ingest_embeddings(b2, path, threshold=0.95)
+    assert readmitted.count() == 0, "replayed batch must be rejected"
+    assert n_admitted2 > 0
+    hit_cos = {r.cos for r in dups.collect()}
+    assert 1.0 in hit_cos, "replays meet their first copies at cos 1.0"
+    spark.catalog.refreshByPath(path)
+    rows_after = {
+        r.vec_id for r in spark.read.parquet(path).select("vec_id").collect()
+    }
+    assert rows_after == rows_before
+
+
 def test_duplicate_heavy_corpus_keeps_all_centroids_alive(spark):
     """Exact-duplicate rows (the norm on dedup corpora — benchdata
     plants 10x copies) must not seed duplicate centroids: identical

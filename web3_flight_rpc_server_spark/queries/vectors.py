@@ -41,24 +41,29 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("vec_id", round4(topk.cos).alias("cos"))
 
 
-@query(
-    "q_embedding_neardup",
-    oracle="""
-    SELECT a.vec_id AS d1, b.vec_id AS d2,
-           floor((list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]))
-                 * 10000 + 0.5) / 10000 AS cos
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-          >= 0.3
-    """,
-    declared=False,
-)
+def _neardup_oracle() -> str:
+    from ..operators.similarity import cosine_fold_sql
+
+    cos = cosine_fold_sql("a.embedding", "b.embedding", 64)
+    return f"""
+    SELECT d1, d2, floor(cosv * 10000 + 0.5) / 10000 AS cos
+    FROM (
+        SELECT a.vec_id AS d1, b.vec_id AS d2, {cos} AS cosv
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    WHERE cosv >= 0.3
+    """
+
+
+@query("q_embedding_neardup", oracle=_neardup_oracle(), declared=False)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs at cosine >= 0.3 (the corpus
     maxes at ~0.51 so the threshold has margin). Brute-force tier;
-    q_ann_lsh is the scale path.
+    q_ann_lsh is the scale path. The oracle's >= 0.3 keep decision
+    uses the fold-twin cosine (cosine_fold_sql), bit-identical to the
+    engine's HOF fold — not list_cosine_similarity, whose summation
+    order is unspecified (r8 ADVICE).
 
     Undeclared (bench/parity-visible only) since round 2: the fenced
     quadratic baseline ceded its CORRECTNESS slot to q_repetition;
@@ -194,12 +199,17 @@ def _semdedup_oracle(threshold: float = 0.3, n_cells: int = 8,
     from the literal anchors (cell_scores_sql — identical IEEE
     products and fold order, so the per-cell scores and therefore the
     rank order agree bit for bit; ties broken by smaller cell index in
-    both engines), joins on shared cells, and exact-verifies cosine.
-    A hash match therefore covers the SemDeDup blocking mechanism
-    itself, not just the cosine arithmetic."""
+    both engines), joins on shared cells, and exact-verifies cosine
+    with the FOLD-twin expression (cosine_fold_sql — same sequential
+    arithmetic as the engine's confirm, so the >= threshold keep
+    decision is also bit-replicated; r8 ADVICE closed the
+    list_cosine_similarity ulp-at-threshold exposure). A hash match
+    therefore covers blocking AND verify end to end."""
     from ..operators.ivf import cell_scores_sql
+    from ..operators.similarity import cosine_fold_sql
 
     scores = cell_scores_sql("embedding", n_cells)
+    cos = cosine_fold_sql("e1.embedding", "e2.embedding", 64)
     return f"""
     WITH scored AS (
         SELECT vec_id, {scores} AS s FROM embeddings
@@ -219,16 +229,16 @@ def _semdedup_oracle(threshold: float = 0.3, n_cells: int = 8,
         SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
         FROM topm a JOIN topm b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+        SELECT c.d1, c.d2, {cos} AS cosv
+        FROM cand c
+        JOIN embeddings e1 ON e1.vec_id = c.d1
+        JOIN embeddings e2 ON e2.vec_id = c.d2
     )
-    SELECT c.d1, c.d2,
-           floor((list_cosine_similarity(e1.embedding::DOUBLE[],
-                                         e2.embedding::DOUBLE[]))
-                 * 10000 + 0.5) / 10000 AS cos
-    FROM cand c
-    JOIN embeddings e1 ON e1.vec_id = c.d1
-    JOIN embeddings e2 ON e2.vec_id = c.d2
-    WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
-                                 e2.embedding::DOUBLE[]) >= {threshold}
+    SELECT d1, d2, floor(cosv * 10000 + 0.5) / 10000 AS cos
+    FROM verified
+    WHERE cosv >= {threshold}
     """
 
 
@@ -241,8 +251,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold-verified join) — the embedding analog of the fingerprint
     dedup tiers (O(m^2/K) of all-pairs instead of the fenced quadratic
     q_embedding_neardup). DECLARED since r8: the oracle replicates the
-    anchor arithmetic bit for bit (see _semdedup_oracle), so the
-    driver hash check covers the blocking.
+    anchor arithmetic AND the verify fold bit for bit (see
+    _semdedup_oracle), so the driver hash check covers the blocking
+    and the threshold keep decision.
     At this loose threshold on the near-isotropic fixture the blocked
     tier finds ~2/3 of the brute-force pairs (boundary misses are the
     documented SemDeDup trade); at the production near-dup regime
@@ -259,15 +270,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_keep_oracle(threshold: float = 0.3, n_cells: int = 8,
                           top_m: int = 2) -> str:
     """The keep-set twin of _semdedup_oracle: the same bit-replicated
-    blocking and verify produce the pair set, a recursive transitive
-    closure labels components with their min id (the q_dedup_clusters
-    pattern), and every vector gets a keep verdict — 1 for isolated
-    vectors and cluster canonicals, 0 for the other members. keep is
-    BIGINT (nullable-BOOLEAN outputs hash-mismatch across the pandas
-    bridges — the q_zscore lesson)."""
+    blocking and fold-twin verify produce the pair set, a recursive
+    transitive closure labels components with their min id (the
+    q_dedup_clusters pattern), and every vector gets a keep verdict —
+    1 for isolated vectors and cluster canonicals, 0 for the other
+    members. keep is BIGINT (nullable-BOOLEAN outputs hash-mismatch
+    across the pandas bridges — the q_zscore lesson)."""
     from ..operators.ivf import cell_scores_sql
+    from ..operators.similarity import cosine_fold_sql
 
     scores = cell_scores_sql("embedding", n_cells)
+    cos = cosine_fold_sql("e1.embedding", "e2.embedding", 64)
     return f"""
     WITH RECURSIVE scored AS (
         SELECT vec_id, {scores} AS s FROM embeddings
@@ -293,9 +306,7 @@ def _semantic_keep_oracle(threshold: float = 0.3, n_cells: int = 8,
         FROM cand c
         JOIN embeddings e1 ON e1.vec_id = c.d1
         JOIN embeddings e2 ON e2.vec_id = c.d2
-        WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
-                                     e2.embedding::DOUBLE[])
-              >= {threshold}
+        WHERE {cos} >= {threshold}
     ),
     edges AS (
         SELECT d1 AS s, d2 AS d FROM pairs
