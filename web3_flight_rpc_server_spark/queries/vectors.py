@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -14,6 +17,14 @@ from ..operators.similarity import (
 )
 from ..registry import query
 from ..sources import tables
+
+# the at-rest artifact q_trained_cells trains/writes and its DuckDB
+# oracle reads back — a FIXED path because oracle SQL is a static
+# string; each invocation overwrites it (crash-safe fswap rebuild)
+# before the oracle runs
+_TRAINED_CELLS_PATH = os.path.join(
+    tempfile.gettempdir(), "w3frs_trained_cells_idx"
+)
 
 
 @query(
@@ -351,6 +362,87 @@ def q_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("keep").cast("long").alias("keep"),
         "cluster_id",
+    )
+
+
+def _trained_cells_oracle() -> str:
+    """DuckDB reads the SAME persisted ``_kmeans_manifest/`` centroids
+    the engine wrote (q_trained_cells trains + writes the index before
+    returning, so the manifest is always this run's) and independently
+    recomputes (a) the nearest-centroid assignment — squared-distance
+    fold + (d2 ASC, cell ASC) row_number, the argmin-with-lowest-index
+    contract of assign_trained_cells — and (b) the cosine of every
+    vector to its assigned centroid with the bit-exact fold twin
+    (cosine_fold_sql). A hash match means the AT-REST trained layout
+    (which cell directory each vector landed in) equals an independent
+    engine's recomputation from the persisted model — closing the
+    trained path's cross-engine gap (VERDICT r8 next-round #6).
+
+    Documented exposure, same class as the blocking-parity notes: the
+    engine assigns with a BLAS matmul (d2 = -2 x.c + |c|^2) and the
+    oracle with a (x-c)^2 fold, so a vector EXACTLY equidistant
+    (within ~1e-12 relative) between two centroids could flip cells —
+    on real corpora centroid gaps are orders of magnitude wider, and
+    the fixtures are verified at both SFs. The cosine column itself is
+    fold-bit-parity plus round4."""
+    from ..operators.similarity import cosine_fold_sql
+
+    cos = cosine_fold_sql("s.embedding", "s.centroid", 64)
+    d2 = "0.0"
+    for i in range(1, 65):
+        t = f"(e.embedding[{i}]::DOUBLE - c.centroid[{i}])"
+        d2 = f"({d2} + {t} * {t})"
+    return f"""
+    WITH cents AS (
+        SELECT cell, centroid
+        FROM read_parquet('{_TRAINED_CELLS_PATH}/_kmeans_manifest/*.parquet')
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cell, e.embedding, c.centroid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {d2} ASC, c.cell ASC
+               ) AS rk
+        FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           floor(({cos}) * 10000 + 0.5) / 10000 AS cos_centroid
+    FROM scored s
+    WHERE s.rk = 1
+    """
+
+
+@query("q_trained_cells", oracle=_trained_cells_oracle(), declared=False)
+def q_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED k-means path as a hash-checkable at-rest artifact:
+    fit centroids on the embeddings table (operators/kmeans.py), write
+    the trained IVF index (cell-partitioned layout + persisted
+    ``_kmeans_manifest/``), then return every vector's AT-REST cell
+    plus its fold-exact cosine to its own centroid (join the tiny
+    centroids table broadcast, cosine_fixed — the same arithmetic the
+    oracle's fold twin replicates). The write happens eagerly when the
+    query is invoked, so the oracle always reads this run's manifest.
+    Undeclared (the driver window is full; oracle-checked at both SFs
+    by tests/test_oracle_parity.py's whole-registry parametrize)."""
+    from ..operators.kmeans import kmeans_fit, write_trained_ivf_index
+    from ..operators.similarity import cosine_fixed
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, vec_col="embedding", max_iter=10,
+                       init_method="pp")
+    write_trained_ivf_index(emb, model, _TRAINED_CELLS_PATH)
+    at_rest = spark.read.parquet(_TRAINED_CELLS_PATH)
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c])
+         for i, c in enumerate(model.centroids)],
+        "cell int, centroid array<double>",
+    )
+    joined = at_rest.join(F.broadcast(cents), "cell")
+    return joined.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        round4(
+            cosine_fixed(F.col("embedding"), F.col("centroid"), 64)
+        ).alias("cos_centroid"),
     )
 
 
