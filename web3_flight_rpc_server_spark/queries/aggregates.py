@@ -153,6 +153,7 @@ def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
+    declared=False,
 )
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group, plus the C9 approx
@@ -161,7 +162,13 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     [p-0.01, p+0.01] quantile envelope — rank error at accuracy 10000
     is <= n/10000 ranks, far inside a 2-percentile window at every SF.
     Replaces the rows-only q_percentile_approx with an oracle-failable
-    accuracy assertion."""
+    accuracy assertion.
+
+    Undeclared since r9: ceded its slot to q_chunk in the rotation
+    toward pretraining assembly — its approx-vs-exact contract stays
+    driver-attested by the declared q_hist_quantile (C9 keeps 5
+    declared rows), and this query remains oracle-checked by
+    tests/test_oracle_parity.py's whole-registry parametrize."""
     ev = tables.load_table(spark, sf_dir, "events")
 
     def envelope(p: float) -> F.Column:

@@ -98,12 +98,19 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM b
     GROUP BY lang
     """,
+    declared=False,
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified downsampling with per-language keep rates (the
     deterministic twin of ``df.sampleBy``): dominant-language docs keep
     4/16 hash buckets, mid languages 8/16, tail languages all. Output
-    audits the realized per-stratum fractions."""
+    audits the realized per-stratum fractions.
+
+    Undeclared since r9: ceded its slot to q_pack in the rotation
+    toward pretraining assembly (C19 stays driver-attested via
+    q_train_split + q_mixture + q_pack + q_chunk); still
+    oracle-checked by tests/test_oracle_parity.py's whole-registry
+    parametrize."""
     docs = tables.load_table(spark, sf_dir, "documents")
     bucket = F.expr(_BUCKET_SPARK)
     rate = F.coalesce(
@@ -162,16 +169,17 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pack",
     oracle=None,  # set immediately below (needs the operator's helper)
-    declared=False,
 )
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining (concatenate-and-cut at a
     512-token budget): each document's (start_bin, start_offset) in
     the packed stream via a two-phase distributed prefix sum — no
-    single-partition global window (operators/packing.py). Undeclared
-    (C19's driver slots are q_train_split / q_sample_stratified);
-    parity-run against the single-window DuckDB oracle in
-    tests/test_oracle_parity.py."""
+    single-partition global window (operators/packing.py). DECLARED
+    since r9 (the r9 window rotation toward pretraining assembly:
+    took q_sample_stratified's slot; previously undeclared
+    parity-run + fuzzed since r4) — the oracle is the single-window
+    DuckDB prefix sum, so the hash gate covers the distributed
+    two-phase arithmetic end to end."""
     from ..operators.packing import pack_sequences
 
     docs = tables.load_table(spark, sf_dir, "documents")
@@ -194,15 +202,15 @@ _set_pack_oracle()
 @query(
     "q_chunk",
     oracle=None,  # set immediately below (needs the operator's helper)
-    declared=False,
 )
 def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-token document chunking (128-token windows,
     16-token overlap): the long-document complement of q_pack's
-    concatenate-and-cut (operators/chunking.py). Undeclared (the
-    driver window is full); parity-run against the window-arithmetic
-    DuckDB oracle in tests/test_oracle_parity.py and fuzzed on
-    generated corpora in tests/test_oracle_fuzz.py."""
+    concatenate-and-cut (operators/chunking.py). DECLARED since r9
+    (the r9 window rotation toward pretraining assembly: took
+    q_percentile's slot; previously undeclared parity-run + fuzzed
+    since r4) — still fuzzed on generated corpora in
+    tests/test_oracle_fuzz.py."""
     from ..operators.chunking import chunk_documents
 
     docs = tables.load_table(spark, sf_dir, "documents")
