@@ -11,9 +11,14 @@ how production pipelines report funnel losses):
     3. exact_dup   not the min-id doc of its exact-text group
     4. near_dup    MinHash-LSH pairs -> connected components ->
                    not the canonical (min-id) doc of its cluster
-    5. contaminated >= 50% 3-gram shingle overlap with the held-out
+    5. semantic_dup OPTIONAL (corpora with embeddings): SemDeDup
+                   keep-set over the survivors' embeddings
+                   (operators/semdedup.py) — not the canonical
+                   (min-id) member of its semantic cluster; docs
+                   without an embedding pass
+    6. contaminated >= 50% 3-gram shingle overlap with the held-out
                    benchmark bucket
-    6. blocklist   token set intersects the term blocklist
+    7. blocklist   token set intersects the term blocklist
 
 Scale shape: stages 1-2 and 6 are expression gates in the document
 scan (no shuffle); stage 3 shuffles only (doc_id, md5(text)) pairs —
@@ -45,7 +50,8 @@ from ..operators.dedup import (
 from ..sources import tables
 
 REJECT_ORDER = (
-    "lang", "quality", "exact_dup", "near_dup", "contaminated", "blocklist"
+    "lang", "quality", "exact_dup", "near_dup", "semantic_dup",
+    "contaminated", "blocklist",
 )
 
 
@@ -65,6 +71,23 @@ class CurationConfig:
     # bigram metrics are the batch q_repetition query; this bound is
     # the per-row approximation a stream can evaluate without state.
     max_dup_bigram_frac: float = 1.0
+    # Semantic (SemDeDup) gate parameters — active only when the
+    # caller passes an embeddings DataFrame to curation_rejects. The
+    # default threshold is the SemDeDup production operating point
+    # (cosine >= 0.9: near-identical content under paraphrase/format
+    # noise that lexical n-grams miss); K/top_m are the blocking
+    # capacity dials (operators/semdedup.py module docstring), and
+    # semantic_max_cell opts in the exclude-and-ledger quarantine for
+    # genuinely skewed embedding corpora — excluded cells mean those
+    # semantic dups go UNDETECTED (admitted), the same
+    # recall-loss-reported-not-hidden contract as lsh_max_bucket;
+    # fetch the ledger via semantic_neardup_pairs(with_quarantine=...)
+    # when auditing.
+    semantic_threshold: float = 0.9
+    semantic_n_cells: int = 8
+    semantic_dim: int = 64
+    semantic_top_m: int = 2
+    semantic_max_cell: int | None = None
     # Hot-bucket cap for the LSH tier's band-bucket join
     # (operators/dedup.py:lsh_candidate_pairs): a band bucket holding
     # m docs contributes m^2/2 candidates, and template-heavy corpora
@@ -106,7 +129,8 @@ def _quality(text_col, toks) -> Column:
 
 def curation_rejects(docs: DataFrame,
                      cfg: CurationConfig = CurationConfig(),
-                     pairs_fn=None, with_quarantine: bool = False):
+                     pairs_fn=None, with_quarantine: bool = False,
+                     embeddings: DataFrame | None = None):
     """(doc_id, reject_reason) for every rejected doc — the funnel's
     loss ledger. Docs absent from the result survive every gate.
 
@@ -116,6 +140,19 @@ def curation_rejects(docs: DataFrame,
     funnel admits a SQL oracle. The quality gate compares the
     4-decimal-rounded score, keeping the threshold decision identical
     across engines.
+
+    ``embeddings`` (doc_id, embedding) activates the OPTIONAL
+    semantic_dup gate between near_dup and contaminated: the SemDeDup
+    keep-set (operators/semdedup.py:semantic_dedup_keep, min-id
+    canonical — the same choice as every dedup tier) computed over
+    the near_dup SURVIVORS' embeddings only (stage scoping: a doc
+    already rejected lexically cannot drag its semantic twin down),
+    under cfg.semantic_* (threshold/K/top_m/max_cell). Docs without
+    an embedding row pass the gate — the funnel can't judge what it
+    can't see, and says so by admitting rather than silently
+    dropping. First-failing-gate ledger semantics are unchanged
+    (pinned per-doc against the _semantic_keep_oracle-reusing DuckDB
+    twin in tests/test_curation.py).
 
     ``with_quarantine=True`` returns ``(rejects, quarantine)`` where
     quarantine is the LSH hot-bucket ledger (band, bucket, n_docs) the
@@ -208,6 +245,28 @@ def curation_rejects(docs: DataFrame,
     )
     s4 = s3.join(near_losers.select("doc_id"), "doc_id", "left_anti")
 
+    # semantic near-dup (optional): SemDeDup keep-set over the
+    # SURVIVORS' embeddings — the semi-join scopes the clustering to
+    # docs still in the funnel, and docs with no embedding row simply
+    # never appear in the verdict (left-anti on losers admits them)
+    if embeddings is not None:
+        from ..operators.semdedup import semantic_dedup_keep
+
+        emb4 = embeddings.select("doc_id", "embedding").join(
+            s4.select("doc_id"), "doc_id", "left_semi"
+        )
+        verdict = semantic_dedup_keep(
+            emb4, cfg.semantic_threshold, cfg.semantic_n_cells,
+            cfg.semantic_dim, cfg.semantic_top_m, id_col="doc_id",
+            vec_col="embedding", max_cell=cfg.semantic_max_cell,
+        )
+        sem_losers = verdict.where(~F.col("keep")).select(
+            "doc_id", F.lit("semantic_dup").alias("reject_reason")
+        )
+        s4 = s4.join(sem_losers.select("doc_id"), "doc_id", "left_anti")
+    else:
+        sem_losers = None
+
     # decontamination: benchmark shingles broadcast, linear probe
     from ..queries.sampling import _BUCKET_SPARK
 
@@ -246,19 +305,24 @@ def curation_rejects(docs: DataFrame,
         .unionByName(contam)
         .unionByName(block_bad)
     )
+    if sem_losers is not None:
+        rejects = rejects.unionByName(sem_losers)
     return (rejects, quarantine) if with_quarantine else rejects
 
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
-           cfg: CurationConfig = CurationConfig()) -> tuple[DataFrame, DataFrame]:
+           cfg: CurationConfig = CurationConfig(),
+           embeddings: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over the documents table. Returns
     (curated, stats): curated docs carry quality features and a
     deterministic md5-bucket train/val split; stats is the per-stage
     funnel ledger (kept + each reject_reason with counts). With
     ``out_dir`` the curated set is also written partitioned by split
-    (the layout a downstream trainer shards by)."""
+    (the layout a downstream trainer shards by). ``embeddings``
+    (doc_id, embedding) activates the optional semantic_dup gate —
+    see curation_rejects."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    rejects = curation_rejects(docs, cfg)
+    rejects = curation_rejects(docs, cfg, embeddings=embeddings)
 
     marked = docs.join(rejects, "doc_id", "left")
     stats = (
