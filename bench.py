@@ -72,6 +72,10 @@ HEADLINE = [
                                # components->decontam->blocklist), per-doc ledger
     "q_train_split",           # deterministic hash-bucket split
     "q_scalar_subquery",       # subquery planning
+    "q_pack",                  # pretraining sequence packing (two-phase
+                               # distributed prefix sum; DECLARED r9)
+    "q_chunk",                 # overlapping fixed-token chunking
+                               # (map-only posexplode; DECLARED r9)
 ]
 
 # Queries whose fn() runs EAGER Spark jobs at plan-build time (the

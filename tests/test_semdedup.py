@@ -406,6 +406,77 @@ def test_streaming_ingest_embeddings(spark, tmp_path):
             } == {1, 3, 11}
 
 
+def test_streaming_ingest_auto_compaction(spark, tmp_path):
+    """compact_every=N folds the per-batch appended small files inside
+    the foreachBatch cycle (micro-batches are serial, so compaction
+    never races an append by construction): after several batches the
+    data-file count is bounded by the compaction, probes stay correct,
+    and later batches still dedup against everything admitted before
+    the compaction."""
+    import os
+
+    from web3_flight_rpc_server_spark.operators.kmeans import kmeans_fit
+    from web3_flight_rpc_server_spark.operators.semdedup import (
+        streaming_ingest_embeddings,
+    )
+
+    rng = np.random.default_rng(57)
+    base_a = rng.normal(size=DIM) * 2.0
+    base_b = -base_a
+
+    def near(base, eps=0.01):
+        return [float(v) for v in base + eps * rng.normal(size=DIM)]
+
+    path = str(tmp_path / "semidx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<float>"
+    b1 = spark.createDataFrame(
+        [(1, near(base_a)), (2, near(base_b))], schema
+    )
+    b1.write.parquet(src)
+    model = kmeans_fit(b1, k=2, max_iter=5)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = streaming_ingest_embeddings(
+        stream, path, ckpt, threshold=0.95, model=model, compact_every=1,
+    )
+
+    def n_files():
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            if "_kmeans_manifest" in root or ".compacting" in root:
+                continue
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    try:
+        q.processAllAvailable()
+        for i in range(3):  # three more batches, each a fresh direction
+            fresh = rng.normal(size=DIM) * (3.0 + i)
+            spark.createDataFrame(
+                [(100 + i, [float(v) for v in fresh])], schema
+            ).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        compacted_files = n_files()
+        # a semantic dup of batch 1's survivor must still be rejected
+        # AFTER compactions (the folded index is the same row set)
+        spark.createDataFrame(
+            [(500, near(base_a))], schema
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.catalog.refreshByPath(path)
+    ids = {r.vec_id for r in
+           spark.read.parquet(path).select("vec_id").collect()}
+    assert ids == {1, 2, 100, 101, 102}, ids
+    # every cell folded to one file per compaction pass: the count is
+    # bounded by live cells (+1 for the post-compaction 500-reject
+    # cycle's no-op), NOT by the number of batches
+    assert compacted_files <= model.k, compacted_files
+
+
 def test_numpy_assignment_matches_expression_exactly(spark):
     """assign_top_cells' Arrow/numpy fold must agree with the
     top_cells literal-expression form EXACTLY (same IEEE ops, same

@@ -526,7 +526,8 @@ def streaming_ingest_embeddings(stream_emb: DataFrame, index_path: str,
                                 model=None, top_m: int = 2,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
-                                on_admitted=None):
+                                on_admitted=None,
+                                compact_every: int | None = None):
     """Continuous semantic dedup: every micro-batch of the embedding
     stream is deduped against the trained index (and against itself)
     and its survivors appended — ``readStream ->
@@ -544,7 +545,17 @@ def streaming_ingest_embeddings(stream_emb: DataFrame, index_path: str,
     Replay safety is ingest_embeddings' contract: replayed vectors
     meet their first copies at cosine 1.0 (rejected) and the append
     excludes present ids. ``on_admitted(ids_df, batch_id)`` runs under
-    foreachBatch's at-least-once delivery."""
+    foreachBatch's at-least-once delivery.
+
+    ``compact_every=N`` runs compact_trained_ivf_index every N
+    micro-batches, INSIDE the foreachBatch callback — micro-batches
+    execute serially, so the compaction's "never concurrent with an
+    append" contract holds by construction instead of by operator
+    discipline. Compaction is layout hygiene (probes bit-identical
+    before/after), so a replayed batch re-running it is harmless, and
+    a crash mid-compaction self-heals through the fswap recovery on
+    the next probe/append. The trigger is ``batch_id % N == N - 1``
+    (batch_id is stable across replays, so the cadence is too)."""
     from .kmeans import read_trained_ivf_manifest, write_trained_ivf_index
 
     spark = stream_emb.sparkSession
@@ -571,6 +582,12 @@ def streaming_ingest_embeddings(stream_emb: DataFrame, index_path: str,
         )
         if on_admitted is not None:
             on_admitted(admitted, batch_id)
+        if compact_every is not None and batch_id % compact_every == (
+            compact_every - 1
+        ):
+            from .kmeans import compact_trained_ivf_index
+
+            compact_trained_ivf_index(batch_df.sparkSession, index_path)
 
     return (
         stream_emb.writeStream.foreachBatch(_process)
