@@ -187,3 +187,119 @@ def test_ivf_pq_composed_index(spark, emb, trained, tmp_path):
     plan = ivf_pq_topk(spark, path, q, k=10, n_probe=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cell" in plan
+
+
+def test_trained_ivf_pq_composed_index(spark, emb, trained, tmp_path):
+    """TRAINED IVF + PQ at rest: trained-cell-partitioned codes prune
+    at plan time, full probe degrades exactly to global ADC, partial
+    probe equals ADC restricted to the trained probe cells, the exact
+    re-rank stage works against the raw table, appends land under the
+    manifests' models, and BOTH refusal contracts hold (retrained
+    centroids / retrained codebooks)."""
+    from web3_flight_rpc_server_spark.operators.kmeans import (
+        KMeansModel,
+        assign_trained_cells,
+        kmeans_fit,
+        trained_probe_cells,
+    )
+    from web3_flight_rpc_server_spark.operators.pq import (
+        compact_trained_ivf_pq_index,
+        read_pq_codebooks,
+        trained_ivf_pq_topk,
+        write_trained_ivf_pq_index,
+    )
+    from web3_flight_rpc_server_spark.operators.similarity import dot_fixed
+
+    books, codes = trained
+    base = emb.where(F.col("vec_id") < 400)
+    model = kmeans_fit(base, k=6, max_iter=6, init_method="pp")
+    path = str(tmp_path / "tivfpq")
+    write_trained_ivf_pq_index(base, model, path, books)
+    assert np.array_equal(read_pq_codebooks(spark, path), books)
+
+    base_codes = codes.join(base.select("vec_id"), "vec_id", "left_semi")
+    q = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    full = [(r.vec_id, round(r.score, 9)) for r in
+            trained_ivf_pq_topk(spark, path, q, k=10,
+                                n_probe=model.k).collect()]
+    global_ = [(r.vec_id, round(r.score, 9)) for r in
+               pq_topk(base_codes, q, books, k=10).collect()]
+    assert full == global_
+
+    cells = trained_probe_cells(q, model, 2)
+    member_ids = {
+        r.vec_id for r in assign_trained_cells(base, model).where(
+            F.col("cell").isin(cells)).select("vec_id").collect()
+    }
+    restricted = [(r.vec_id, round(r.score, 9)) for r in pq_topk(
+        base_codes.join(
+            spark.createDataFrame([(i,) for i in member_ids],
+                                  "vec_id long"),
+            "vec_id", "left_semi"),
+        q, books, k=10).collect()]
+    partial = [(r.vec_id, round(r.score, 9)) for r in
+               trained_ivf_pq_topk(spark, path, q, k=10,
+                                   n_probe=2).collect()]
+    assert partial == restricted
+    plan = trained_ivf_pq_topk(spark, path, q, k=10, n_probe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+
+    # re-rank: exact scores of the ADC shortlist's top-k (inner
+    # product expression == the exact fold over the raw table)
+    rer = trained_ivf_pq_topk(spark, path, q, k=5, n_probe=model.k,
+                              rerank_with=base, shortlist=50)
+    got = [(r.vec_id, round(r.score, 9)) for r in rer.collect()]
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    exact = {
+        r.vec_id: round(r.score, 9)
+        for r in base.select(
+            "vec_id",
+            dot_fixed(F.col("embedding"), qlit, 64).alias("score"),
+        ).collect()
+    }
+    assert all(exact[i] == s for i, s in got)
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+    # append under the manifests' models; replays of the composed
+    # probe see the appended codes
+    extra = emb.where(
+        (F.col("vec_id") >= 400) & (F.col("vec_id") < 450)
+    )
+    write_trained_ivf_pq_index(extra, model, path, books, append=True)
+    spark.catalog.refreshByPath(path.rstrip("/") + "/codes")
+    on_disk = spark.read.parquet(path.rstrip("/") + "/codes")
+    assert on_disk.count() == 450
+    want_cells = {
+        r.vec_id: r.cell
+        for r in assign_trained_cells(extra, model)
+        .select("vec_id", "cell").collect()
+    }
+    got_cells = {
+        r.vec_id: r.cell
+        for r in on_disk.where(F.col("vec_id") >= 400)
+        .select("vec_id", "cell").collect()
+    }
+    assert got_cells == want_cells
+
+    # compaction: probe bit-identical, file count drops
+    probe_before = [(r.vec_id, round(r.score, 9)) for r in
+                    trained_ivf_pq_topk(spark, path, q, k=10,
+                                        n_probe=2).collect()]
+    n_before, n_after = compact_trained_ivf_pq_index(spark, path)
+    assert n_after < n_before
+    probe_after = [(r.vec_id, round(r.score, 9)) for r in
+                   trained_ivf_pq_topk(spark, path, q, k=10,
+                                       n_probe=2).collect()]
+    assert probe_after == probe_before
+
+    # refusals: retrained centroids, then retrained codebooks
+    retrained = KMeansModel(model.centroids + 0.3, 1, 0.0, 0.0)
+    with pytest.raises(ValueError, match="different centroids"):
+        write_trained_ivf_pq_index(extra, retrained, path, books,
+                                   append=True)
+    with pytest.raises(ValueError, match="different PQ codebooks"):
+        write_trained_ivf_pq_index(extra, model, path, books + 0.1,
+                                   append=True)

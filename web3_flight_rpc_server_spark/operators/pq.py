@@ -237,6 +237,162 @@ def write_ivf_pq_index(embeddings: DataFrame, path: str,
     ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_manifest")
 
 
+def write_trained_ivf_pq_index(embeddings: DataFrame, model,
+                               path: str, codebooks: np.ndarray,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               append: bool = False) -> None:
+    """TRAINED IVF + PQ composed at rest — the full production ANN
+    layout for a 100 TB embedding corpus: PQ codes partitioned by the
+    nearest TRAINED-centroid cell (operators/kmeans.py — real clusters
+    land whole in one directory, the locality the untrained anchors
+    can't give), so a probe prunes to its cells at plan time AND reads
+    16-byte codes instead of raw vectors. Both models persist beside
+    the codes: the k-means centroids under ``_kmeans_manifest/``
+    (same layout as write_trained_ivf_index, so the same readers work)
+    and the PQ codebooks/manifest under ``_pq_codebooks``/
+    ``_pq_manifest``.
+
+    ``append=True`` is the ingestion path and carries BOTH refusal
+    contracts: new batches are assigned and encoded under the
+    MANIFESTS' models, and a bit-level mismatch of either (retrained
+    centroids -> wrong directories; retrained codebooks -> codes that
+    score against the wrong table) is refused — retrain means rebuild.
+    The two mapInPandas stages (assign, encode) pipeline inside one
+    task; no shuffle until the partitioned write."""
+    from .kmeans import assign_trained_cells, read_trained_ivf_manifest
+
+    spark = embeddings.sparkSession
+    m, k, sub = codebooks.shape
+    if append:
+        m_model, m_vec = read_trained_ivf_manifest(spark, path)
+        if m_vec != vec_col or not np.array_equal(
+            m_model.centroids, model.centroids
+        ):
+            raise ValueError(
+                f"trained IVF+PQ index at {path!r} was built under "
+                "different centroids/vec_col — appending would assign "
+                "new codes into wrong cell directories; rebuild instead"
+            )
+        if not np.array_equal(read_pq_codebooks(spark, path), codebooks):
+            raise ValueError(
+                f"trained IVF+PQ index at {path!r} was built under "
+                "different PQ codebooks — appended codes would score "
+                "against the wrong ADC table; rebuild instead"
+            )
+    coded = pq_encode(
+        assign_trained_cells(embeddings, model, vec_col),
+        codebooks, id_col, vec_col, keep_cols=("cell",),
+    )
+    coded.write.mode("append" if append else "overwrite").partitionBy(
+        "cell"
+    ).parquet(path.rstrip("/") + "/codes")
+    if append:
+        return
+    cent_rows = [
+        (int(i), [float(x) for x in c], vec_col)
+        for i, c in enumerate(model.centroids)
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>, vec_col string"
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_kmeans_manifest")
+    book_rows = [
+        (j, c, [float(v) for v in codebooks[j][c]])
+        for j in range(m) for c in range(k)
+    ]
+    spark.createDataFrame(
+        book_rows, "j int, c int, vals array<double>"
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_codebooks")
+    spark.createDataFrame(
+        [(int(model.k), int(model.dim), m, k, id_col)],
+        "n_cells int, dim int, m int, k int, id_col string",
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_manifest")
+
+
+def compact_trained_ivf_pq_index(spark, path: str,
+                                 target_file_bytes: int = 128 * 1024 * 1024
+                                 ) -> tuple[int, int]:
+    """Small-file hygiene for an append-heavy composed index: fold
+    ``codes/`` back into ~``target_file_bytes`` files while preserving
+    the cell partitioning (rows shuffle on the cell column, so a cell
+    stays together under its directory). The models live OUTSIDE
+    ``codes/`` (``_kmeans_manifest``/``_pq_codebooks``/
+    ``_pq_manifest``), so the swap is a plain fswap promote of the
+    codes directory — no manifest-copy step. Same discipline as every
+    compaction here: run between ingest cycles; crash-safe at every
+    intermediate state; probes bit-identical before/after. Returns
+    (files_before, files_after); (0, 0) when empty."""
+    from .fswap import (
+        TMP_SUFFIX,
+        _hadoop,
+        promote_directory,
+        recover_directory,
+    )
+
+    codes_dir = path.rstrip("/") + "/codes"
+    recover_directory(spark, codes_dir)
+    spark.catalog.refreshByPath(codes_dir)
+    fs, jvm, codes_p = _hadoop(spark, codes_dir)
+
+    def _data_files():
+        files = []
+        it = fs.listFiles(codes_p, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if p.endswith(".parquet"):
+                files.append((p, int(st.getLen())))
+        return files
+
+    before = _data_files()
+    if not before:
+        return (0, 0)
+    total_bytes = sum(sz for _, sz in before)
+    n_parts = max(1, -(-total_bytes // target_file_bytes))
+    df = spark.read.parquet(codes_dir)
+    tmp = codes_dir + TMP_SUFFIX
+    df.repartition(int(n_parts), F.col("cell")).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(tmp)
+    promote_directory(spark, codes_dir, tmp)
+    spark.catalog.refreshByPath(codes_dir)
+    return (len(before), len(_data_files()))
+
+
+def trained_ivf_pq_topk(spark, path: str, query, k: int = 10,
+                        n_probe: int = 3,
+                        rerank_with: DataFrame | None = None,
+                        shortlist: int = 100) -> DataFrame:
+    """Top-k from the trained composed index: probe cells chosen
+    driver-side against the persisted TRAINED centroids
+    (trained_probe_cells — same argmin contract as the write), pruned
+    at plan time (PartitionFilters), ADC over only the probed cells'
+    codes. Full probe degrades exactly to global pq_topk over all
+    codes — the same invariant the untrained composition pins.
+
+    ``rerank_with`` (the raw-vector table, e.g. the trained IVF index
+    or the source embeddings) adds the standard exact re-rank stage:
+    ADC shortlists ``shortlist`` ids from the compressed codes, only
+    those fetch raw vectors (broadcast semi-join) and re-score with
+    the exact inner product — final scores exact, corpus reads stay
+    16 bytes/vector."""
+    from .kmeans import read_trained_ivf_manifest, trained_probe_cells
+
+    man = spark.read.parquet(path.rstrip("/") + "/_pq_manifest").collect()[0]
+    model, vec_col = read_trained_ivf_manifest(spark, path)
+    books = read_pq_codebooks(spark, path)
+    cells = trained_probe_cells(query, model, n_probe)
+    codes = spark.read.parquet(path.rstrip("/") + "/codes").where(
+        F.col("cell").isin(cells)
+    )
+    if rerank_with is None:
+        return pq_topk(codes, query, books, k, id_col=man.id_col)
+    return pq_topk_rerank(
+        codes, rerank_with, query, books, k=k, shortlist=shortlist,
+        id_col=man.id_col, vec_col=vec_col,
+    )
+
+
 def read_pq_codebooks(spark, path: str) -> np.ndarray:
     rows = spark.read.parquet(
         path.rstrip("/") + "/_pq_codebooks"
