@@ -303,3 +303,62 @@ def test_trained_ivf_pq_composed_index(spark, emb, trained, tmp_path):
     with pytest.raises(ValueError, match="different PQ codebooks"):
         write_trained_ivf_pq_index(extra, model, path, books + 0.1,
                                    append=True)
+
+
+def test_composed_index_rebuild_crash_drills(spark, emb, trained, tmp_path):
+    """The composed index's whole-directory rebuild swap: a probe
+    against an index stranded mid-swap self-heals in-line and returns
+    bit-identical results; an interrupted rebuild (complete tmp,
+    promote never ran) is finished or discarded safely by the next
+    rebuild."""
+    import os
+    import shutil
+
+    from web3_flight_rpc_server_spark.operators.fswap import (
+        OLD_SUFFIX,
+        TMP_SUFFIX,
+    )
+    from web3_flight_rpc_server_spark.operators.kmeans import kmeans_fit
+    from web3_flight_rpc_server_spark.operators.pq import (
+        trained_ivf_pq_topk,
+        write_trained_ivf_pq_index,
+    )
+
+    books, _codes = trained
+    base = emb.where(F.col("vec_id") < 300)
+    model = kmeans_fit(base, k=4, max_iter=5)
+    path = str(tmp_path / "tivfpq")
+    write_trained_ivf_pq_index(base, model, path, books)
+    q = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+
+    def snapshot():
+        return [(r.vec_id, round(r.score, 9)) for r in
+                trained_ivf_pq_topk(spark, path, q, k=10,
+                                    n_probe=2).collect()]
+
+    want = snapshot()
+    assert want
+
+    # crash BETWEEN swap steps 1 and 2 (live renamed aside, complete
+    # tmp): the next probe's manifest read self-heals forward
+    shutil.copytree(path, path + TMP_SUFFIX)
+    os.rename(path, path + OLD_SUFFIX)
+    spark.catalog.refreshByPath(path)
+    assert snapshot() == want
+    assert os.path.exists(path)
+    assert not os.path.exists(path + OLD_SUFFIX)
+
+    # rebuild over a stale half-written tmp (no root _SUCCESS):
+    # discarded, rebuild lands, probe unchanged
+    shutil.copytree(path, path + TMP_SUFFIX)
+    # a straggler tmp from a crashed rebuild has no root _SUCCESS
+    # (rebuild_directory stamps it only after every dataset is written)
+    success = os.path.join(path + TMP_SUFFIX, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    write_trained_ivf_pq_index(base, model, path, books)
+    spark.catalog.refreshByPath(path)
+    assert snapshot() == want
+    assert not os.path.exists(path + TMP_SUFFIX)

@@ -241,3 +241,72 @@ def test_ivf_append_matches_one_shot_and_pins_layout(spark, sf_dir, tmp_path):
         write_ivf_index(second, inc_path, n_cells=16, append=True)
     with pytest.raises(ValueError, match="wrong cells"):
         ivf_topk_partitioned(spark, inc_path, qvec, k=10, n_cells=16)
+
+
+def test_ivf_index_rebuild_crash_drills(spark, tmp_path):
+    """write_ivf_index rebuilds are the whole-directory atomic swap
+    since r9 (the r8-advisor-flagged gap): a probe against an index
+    stranded mid-swap self-heals in-line with bit-identical results,
+    and a crash between the manifest and data writes leaves a tmp the
+    promote refuses (no root _SUCCESS), never a manifestless live."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from web3_flight_rpc_server_spark.operators.fswap import (
+        OLD_SUFFIX,
+        TMP_SUFFIX,
+    )
+    from web3_flight_rpc_server_spark.operators.ivf import (
+        ivf_topk_partitioned,
+        read_ivf_manifest,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(67)
+    x = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_cells=4, dim=16)
+
+    def snapshot():
+        return [
+            (r.vec_id, round(r.cos, 9))
+            for r in ivf_topk_partitioned(
+                spark, path, [float(v) for v in x[0]],
+                k=5, n_cells=4, n_probe=2, dim=16,
+            ).collect()
+        ]
+
+    want = snapshot()
+    assert want
+
+    # strand mid-swap: live renamed aside, complete tmp beside it
+    shutil.copytree(path, path + TMP_SUFFIX)
+    os.rename(path, path + OLD_SUFFIX)
+    spark.catalog.refreshByPath(path)
+    assert read_ivf_manifest(spark, path) == (4, 16, "embedding")
+    assert snapshot() == want
+    assert not os.path.exists(path + OLD_SUFFIX)
+
+    # rebuild discards a stale no-_SUCCESS tmp and lands cleanly
+    shutil.copytree(path, path + TMP_SUFFIX)
+    os.remove(os.path.join(path + TMP_SUFFIX, "_SUCCESS"))
+    write_ivf_index(emb, path, n_cells=4, dim=16)
+    spark.catalog.refreshByPath(path)
+    assert snapshot() == want
+    assert not os.path.exists(path + TMP_SUFFIX)
+
+    # appends recover a stranded index before writing
+    os.rename(path, path + OLD_SUFFIX)
+    extra = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 9000)
+    write_ivf_index(extra, path, n_cells=4, dim=16, append=True)
+    spark.catalog.refreshByPath(path)
+    ids = {r.vec_id for r in
+           spark.read.parquet(path).select("vec_id").collect()}
+    assert {9000, 9001, 9002} <= ids and 0 in ids
+    assert not os.path.exists(path + OLD_SUFFIX)

@@ -137,6 +137,35 @@ def promote_directory(spark, live: str, tmp: str | None = None) -> None:
     fs.delete(old_p, True)
 
 
+def rebuild_directory(spark, live: str, write_fn) -> None:
+    """Crash-safe WHOLE-DIRECTORY rebuild for multi-dataset layouts
+    (an index whose data and manifests live under one root): run
+    ``write_fn(tmp)`` to write every dataset under a tmp sibling,
+    stamp the root ``_SUCCESS`` commit marker only after write_fn
+    returns (the sub-writes each commit their own marker, but the
+    ROOT marker is what promote trusts — it must mean "every dataset
+    is in place", so it is created last, by hand), then swap with the
+    three-step promote. A naive in-place rebuild that overwrites the
+    datasets one by one has windows where dataset A is new while
+    dataset B is old — for an index that means codes scored against
+    the wrong codebooks or cells probed under the wrong centroids,
+    silently (r8 ADVICE / r9). Any half-done swap at ``live`` is
+    recovered first; a stale tmp (a previous rebuild's crash) is
+    discarded."""
+    recover_directory(spark, live)
+    tmp = live.rstrip("/") + TMP_SUFFIX
+    fs, jvm, _live_p = _hadoop(spark, live)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tmp_p):  # leftover recover() didn't own (live absent)
+        fs.delete(tmp_p, True)
+    write_fn(tmp)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(tmp + "/_SUCCESS")
+    ).close()
+    promote_directory(spark, live, tmp)
+    spark.catalog.refreshByPath(live)
+
+
 def recover_directory(spark, live: str) -> str:
     """Finish or roll back a half-done promote at ``live``; idempotent
     and safe to call when no swap was in flight. Returns what it did:

@@ -86,14 +86,27 @@ def read_ivf_manifest(spark, path: str) -> tuple[int, int, str]:
     """(n_cells, dim, vec_col) the index at ``path`` was built with.
     Raises FileNotFoundError when the layout record is absent (either
     no index, or a pre-manifest layout — callers then fall back to
-    their own parameters)."""
+    their own parameters). A failed read first self-heals any
+    half-done rebuild swap at ``path`` (operators/fswap.py)."""
     from pyspark.sql.utils import AnalysisException
 
+    mpath = path.rstrip("/") + "/_ivf_manifest"
     try:
-        row = spark.read.parquet(path.rstrip("/") + "/_ivf_manifest") \
-            .collect()[0]
+        row = spark.read.parquet(mpath).collect()[0]
     except AnalysisException as exc:
-        raise FileNotFoundError(f"no IVF manifest at {path!r}") from exc
+        from .fswap import recover_directory
+
+        if recover_directory(spark, path) in ("promoted", "rolled_back"):
+            spark.catalog.refreshByPath(path)
+            spark.catalog.refreshByPath(mpath)
+            try:
+                row = spark.read.parquet(mpath).collect()[0]
+            except AnalysisException:
+                raise FileNotFoundError(
+                    f"no IVF manifest at {path!r}"
+                ) from exc
+        else:
+            raise FileNotFoundError(f"no IVF manifest at {path!r}") from exc
     return int(row.n_cells), int(row.dim), str(row.vec_col)
 
 
@@ -115,9 +128,19 @@ def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
     K/dim would land in wrong cells and silently lose recall. The
     manifest lives under ``_ivf_manifest/`` — an underscore-prefixed
     directory Spark's partition discovery ignores, so the data scan
-    never sees it."""
+    never sees it.
+
+    Rebuilds are CRASH-SAFE since r9 (the old mode('overwrite')
+    deleted the whole index, manifest included, before new data
+    landed — the gap the r8 advisor flagged): data and manifest land
+    under one tmp sibling and swap in with operators/fswap.py's
+    three-step promote; appends recover any half-done swap first and
+    reads self-heal (read_ivf_manifest)."""
+    from .fswap import rebuild_directory, recover_directory
+
     spark = embeddings.sparkSession
     if append:
+        recover_directory(spark, path)
         m_cells, m_dim, m_vec = read_ivf_manifest(spark, path)
         if (n_cells, dim, vec_col) != (m_cells, m_dim, m_vec):
             raise ValueError(
@@ -126,15 +149,27 @@ def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
                 f"{(n_cells, dim, vec_col)} — re-assigning under a "
                 "different layout silently loses recall, rebuild instead"
             )
-    assign_cells(embeddings, n_cells, dim, vec_col).write.partitionBy(
-        "cell"
-    ).mode("append" if append else "overwrite").parquet(path)
-    if not append:
+        assign_cells(embeddings, n_cells, dim, vec_col).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(path)
+        return
+
+    def _write_all(tmp: str) -> None:
+        # manifest FIRST: the data write below stamps tmp's ROOT
+        # _SUCCESS itself (partitioned write at the root), and root
+        # _SUCCESS must never exist while a dataset is missing — a
+        # crash between the two would otherwise leave a promotable
+        # manifestless tmp. mode('append') keeps the manifest dir.
         spark.createDataFrame(
             [(n_cells, dim, vec_col)], "n_cells int, dim int, vec_col string"
         ).write.mode("overwrite").parquet(
-            path.rstrip("/") + "/_ivf_manifest"
+            tmp.rstrip("/") + "/_ivf_manifest"
         )
+        assign_cells(embeddings, n_cells, dim, vec_col).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(tmp)
+
+    rebuild_directory(spark, path, _write_all)
 
 
 _INDEX_CACHE: dict[tuple, str] = {}

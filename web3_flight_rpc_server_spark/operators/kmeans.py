@@ -381,12 +381,7 @@ def write_trained_ivf_index(embeddings: DataFrame, model: KMeansModel,
     recover_directory. Appends recover any half-done swap before
     writing (the fswap contract: an append that recreates a missing
     live dir would strand the real history under ``.old``)."""
-    from .fswap import (
-        TMP_SUFFIX,
-        _hadoop,
-        promote_directory,
-        recover_directory,
-    )
+    from .fswap import rebuild_directory, recover_directory
 
     spark = embeddings.sparkSession
     if append:
@@ -405,29 +400,26 @@ def write_trained_ivf_index(embeddings: DataFrame, model: KMeansModel,
             "cell"
         ).mode("append").parquet(path)
         return
-    recover_directory(spark, path)
-    tmp = path.rstrip("/") + TMP_SUFFIX
-    # recover() deletes tmp only when live exists; a leftover tmp from
-    # a first-build crash (live never existed) must go too — a stale
-    # half-written tmp under the new write would corrupt it
-    fs, jvm, tmp_p = _hadoop(spark, tmp)
-    if fs.exists(tmp_p):
-        fs.delete(tmp_p, True)
-    rows = [
-        (int(i), [float(x) for x in c], vec_col)
-        for i, c in enumerate(model.centroids)
-    ]
-    # manifest FIRST: tmp earns its root _SUCCESS only from the data
-    # write below, so a crash between the two leaves a tmp the promote
-    # refuses (no _SUCCESS) instead of a manifestless index going live
-    spark.createDataFrame(
-        rows, "cell int, centroid array<double>, vec_col string"
-    ).write.mode("overwrite").parquet(tmp.rstrip("/") + "/_kmeans_manifest")
-    assign_trained_cells(embeddings, model, vec_col).write.partitionBy(
-        "cell"
-    ).mode("append").parquet(tmp)
-    promote_directory(spark, path, tmp)
-    spark.catalog.refreshByPath(path)
+
+    def _write_all(tmp: str) -> None:
+        # manifest FIRST: the data write stamps tmp's ROOT _SUCCESS
+        # itself, and root _SUCCESS must never exist while a dataset
+        # is missing — a crash between the two must leave a tmp the
+        # promote refuses, not a manifestless index going live
+        rows = [
+            (int(i), [float(x) for x in c], vec_col)
+            for i, c in enumerate(model.centroids)
+        ]
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>, vec_col string"
+        ).write.mode("overwrite").parquet(
+            tmp.rstrip("/") + "/_kmeans_manifest"
+        )
+        assign_trained_cells(embeddings, model, vec_col).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(tmp)
+
+    rebuild_directory(spark, path, _write_all)
 
 
 def compact_trained_ivf_index(spark, path: str,
@@ -463,12 +455,7 @@ def compact_trained_ivf_index(spark, path: str,
     a recoverable name that reads/appends self-heal from. Returns
     ``(data_files_before, data_files_after)``; an empty index (no
     data appended yet) is a no-op ``(0, 0)``."""
-    from .fswap import (
-        TMP_SUFFIX,
-        _hadoop,
-        promote_directory,
-        recover_directory,
-    )
+    from .fswap import _hadoop, rebuild_directory, recover_directory
 
     recover_directory(spark, path)
     spark.catalog.refreshByPath(path)
@@ -492,26 +479,22 @@ def compact_trained_ivf_index(spark, path: str,
     n_parts = max(1, -(-total_bytes // target_file_bytes))
     df = spark.read.parquet(path)
 
-    tmp = path.rstrip("/") + TMP_SUFFIX
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(tmp_p):  # stale leftover recover() didn't own
-        fs.delete(tmp_p, True)
-    # manifest FIRST (same rationale as the rebuild path): tmp earns
-    # its root _SUCCESS only from the data write, so a crash between
-    # the two leaves a tmp the promote refuses rather than a
-    # manifestless index going live
-    rows = [
-        (int(i), [float(x) for x in c], vec_col)
-        for i, c in enumerate(model.centroids)
-    ]
-    spark.createDataFrame(
-        rows, "cell int, centroid array<double>, vec_col string"
-    ).write.mode("overwrite").parquet(tmp.rstrip("/") + "/_kmeans_manifest")
-    df.repartition(int(n_parts), F.col("cell")).write.partitionBy(
-        "cell"
-    ).mode("append").parquet(tmp)
-    promote_directory(spark, path, tmp)
-    spark.catalog.refreshByPath(path)
+    def _write_all(tmp: str) -> None:
+        # manifest FIRST — same ordering rationale as the rebuild path
+        rows = [
+            (int(i), [float(x) for x in c], vec_col)
+            for i, c in enumerate(model.centroids)
+        ]
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>, vec_col string"
+        ).write.mode("overwrite").parquet(
+            tmp.rstrip("/") + "/_kmeans_manifest"
+        )
+        df.repartition(int(n_parts), F.col("cell")).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(tmp)
+
+    rebuild_directory(spark, path, _write_all)
     return (len(before), len(_data_files()))
 
 

@@ -209,7 +209,10 @@ def write_ivf_pq_index(embeddings: DataFrame, path: str,
     instead of 256-byte vectors — the two levers multiply (probe 3 of
     8 cells at 16x compression = ~2.3% of the raw-bytes scan). The
     codebooks persist beside the codes (``_pq_codebooks``) so queries
-    load them instead of retraining."""
+    load them instead of retraining. The rebuild is the whole-directory
+    atomic swap (operators/fswap.py:rebuild_directory — r9): codes and
+    both manifests land under one tmp sibling and promote together, so
+    no crash window leaves new codes under old codebooks."""
     from .ivf import assign_cells
 
     m, k, sub = codebooks.shape
@@ -220,21 +223,31 @@ def write_ivf_pq_index(embeddings: DataFrame, path: str,
         assign_cells(embeddings, n_cells, dim, vec_col),
         codebooks, id_col, vec_col, keep_cols=("cell",),
     )
-    coded.write.mode("overwrite").partitionBy("cell").parquet(
-        path.rstrip("/") + "/codes"
-    )
     spark = embeddings.sparkSession
-    book_rows = [
-        (j, c, [float(v) for v in codebooks[j][c]])
-        for j in range(m) for c in range(k)
-    ]
-    spark.createDataFrame(
-        book_rows, "j int, c int, vals array<double>"
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_codebooks")
-    spark.createDataFrame(
-        [(n_cells, dim, m, k, id_col)],
-        "n_cells int, dim int, m int, k int, id_col string",
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_manifest")
+
+    def _write_all(tmp: str) -> None:
+        coded.write.mode("overwrite").partitionBy("cell").parquet(
+            tmp.rstrip("/") + "/codes"
+        )
+        book_rows = [
+            (j, c, [float(v) for v in codebooks[j][c]])
+            for j in range(m) for c in range(k)
+        ]
+        spark.createDataFrame(
+            book_rows, "j int, c int, vals array<double>"
+        ).write.mode("overwrite").parquet(
+            tmp.rstrip("/") + "/_pq_codebooks"
+        )
+        spark.createDataFrame(
+            [(n_cells, dim, m, k, id_col)],
+            "n_cells int, dim int, m int, k int, id_col string",
+        ).write.mode("overwrite").parquet(
+            tmp.rstrip("/") + "/_pq_manifest"
+        )
+
+    from .fswap import rebuild_directory
+
+    rebuild_directory(spark, path, _write_all)
 
 
 def write_trained_ivf_pq_index(embeddings: DataFrame, model,
@@ -251,7 +264,11 @@ def write_trained_ivf_pq_index(embeddings: DataFrame, model,
     the codes: the k-means centroids under ``_kmeans_manifest/``
     (same layout as write_trained_ivf_index, so the same readers work)
     and the PQ codebooks/manifest under ``_pq_codebooks``/
-    ``_pq_manifest``.
+    ``_pq_manifest``. The rebuild is the whole-directory atomic swap
+    (operators/fswap.py:rebuild_directory): codes and all three
+    manifests land under one tmp sibling and promote together — no
+    crash window leaves new codes under old codebooks or centroids —
+    and reads self-heal through the swap.
 
     ``append=True`` is the ingestion path and carries BOTH refusal
     contracts: new batches are assigned and encoded under the
@@ -284,29 +301,51 @@ def write_trained_ivf_pq_index(embeddings: DataFrame, model,
         assign_trained_cells(embeddings, model, vec_col),
         codebooks, id_col, vec_col, keep_cols=("cell",),
     )
-    coded.write.mode("append" if append else "overwrite").partitionBy(
-        "cell"
-    ).parquet(path.rstrip("/") + "/codes")
     if append:
+        from .fswap import recover_directory
+
+        recover_directory(spark, path)
+        coded.write.mode("append").partitionBy("cell").parquet(
+            path.rstrip("/") + "/codes"
+        )
         return
-    cent_rows = [
-        (int(i), [float(x) for x in c], vec_col)
-        for i, c in enumerate(model.centroids)
-    ]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>, vec_col string"
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_kmeans_manifest")
-    book_rows = [
-        (j, c, [float(v) for v in codebooks[j][c]])
-        for j in range(m) for c in range(k)
-    ]
-    spark.createDataFrame(
-        book_rows, "j int, c int, vals array<double>"
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_codebooks")
-    spark.createDataFrame(
-        [(int(model.k), int(model.dim), m, k, id_col)],
-        "n_cells int, dim int, m int, k int, id_col string",
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/_pq_manifest")
+
+    # rebuild: EVERY dataset (codes + all three manifests) lands under
+    # one tmp sibling and swaps in atomically — an in-place rebuild
+    # has windows where new codes sit under old codebooks/centroids,
+    # which scores silently wrong (operators/fswap.py:rebuild_directory)
+    def _write_all(tmp: str) -> None:
+        coded.write.mode("overwrite").partitionBy("cell").parquet(
+            tmp.rstrip("/") + "/codes"
+        )
+        cent_rows = [
+            (int(i), [float(x) for x in c], vec_col)
+            for i, c in enumerate(model.centroids)
+        ]
+        spark.createDataFrame(
+            cent_rows, "cell int, centroid array<double>, vec_col string"
+        ).write.mode("overwrite").parquet(
+            tmp.rstrip("/") + "/_kmeans_manifest"
+        )
+        book_rows = [
+            (j, c, [float(v) for v in codebooks[j][c]])
+            for j in range(m) for c in range(k)
+        ]
+        spark.createDataFrame(
+            book_rows, "j int, c int, vals array<double>"
+        ).write.mode("overwrite").parquet(
+            tmp.rstrip("/") + "/_pq_codebooks"
+        )
+        spark.createDataFrame(
+            [(int(model.k), int(model.dim), m, k, id_col)],
+            "n_cells int, dim int, m int, k int, id_col string",
+        ).write.mode("overwrite").parquet(
+            tmp.rstrip("/") + "/_pq_manifest"
+        )
+
+    from .fswap import rebuild_directory
+
+    rebuild_directory(spark, path, _write_all)
 
 
 def compact_trained_ivf_pq_index(spark, path: str,
@@ -378,7 +417,7 @@ def trained_ivf_pq_topk(spark, path: str, query, k: int = 10,
     16 bytes/vector."""
     from .kmeans import read_trained_ivf_manifest, trained_probe_cells
 
-    man = spark.read.parquet(path.rstrip("/") + "/_pq_manifest").collect()[0]
+    man = _read_pq_manifest_row(spark, path)
     model, vec_col = read_trained_ivf_manifest(spark, path)
     books = read_pq_codebooks(spark, path)
     cells = trained_probe_cells(query, model, n_probe)
@@ -391,6 +430,26 @@ def trained_ivf_pq_topk(spark, path: str, query, k: int = 10,
         codes, rerank_with, query, books, k=k, shortlist=shortlist,
         id_col=man.id_col, vec_col=vec_col,
     )
+
+
+def _read_pq_manifest_row(spark, path: str):
+    """The _pq_manifest row; a failed read first self-heals any
+    half-done whole-directory rebuild swap at ``path``
+    (operators/fswap.py), so probes keep working across a rebuild
+    crash."""
+    from pyspark.sql.utils import AnalysisException
+
+    mpath = path.rstrip("/") + "/_pq_manifest"
+    try:
+        return spark.read.parquet(mpath).collect()[0]
+    except AnalysisException:
+        from .fswap import recover_directory
+
+        if recover_directory(spark, path) in ("promoted", "rolled_back"):
+            spark.catalog.refreshByPath(path)
+            spark.catalog.refreshByPath(mpath)
+            return spark.read.parquet(mpath).collect()[0]
+        raise
 
 
 def read_pq_codebooks(spark, path: str) -> np.ndarray:
@@ -414,7 +473,7 @@ def ivf_pq_topk(spark, path: str, query, k: int = 10,
     PartitionFilters in explain), then ADC over only the probed
     cells' codes. Full probe (n_probe = n_cells) degrades exactly to
     global pq_topk over all codes — the invariant the tests pin."""
-    man = spark.read.parquet(path.rstrip("/") + "/_pq_manifest").collect()[0]
+    man = _read_pq_manifest_row(spark, path)
     books = read_pq_codebooks(spark, path)
     from .ivf import probe_cells_for
 
