@@ -369,6 +369,10 @@ def compact_trained_ivf_pq_index(spark, path: str,
     )
 
     codes_dir = path.rstrip("/") + "/codes"
+    # two swap levels exist: the whole-index rebuild swaps PATH, this
+    # compaction swaps codes/ — recover both (a stranded rebuild would
+    # otherwise leave no codes/ at all to list)
+    recover_directory(spark, path)
     recover_directory(spark, codes_dir)
     spark.catalog.refreshByPath(codes_dir)
     fs, jvm, codes_p = _hadoop(spark, codes_dir)

@@ -34,8 +34,85 @@ from ..registry import query
 from ..sources import tables
 
 
-def _funnel_oracle() -> str:
+def _semantic_ctes(threshold: float, n_cells: int, top_m: int) -> str:
+    """The semantic_dup gate's CTE block, spliced into the funnel
+    oracle between the lexical components and the decontamination
+    scope: survivor-scoped embeddings, the _semdedup_oracle blocking
+    (bit-replicated anchors), the cosine_fold_sql verify, a second
+    recursive closure, and s4b = the semantic survivors."""
+    from ..operators.ivf import cell_scores_sql
+    from ..operators.similarity import cosine_fold_sql
+
+    scores = cell_scores_sql("embedding", n_cells)
+    cos = cosine_fold_sql("e1.embedding", "e2.embedding", 64)
+    return f"""
+    sememb AS (
+        SELECT s4.doc_id, e.embedding
+        FROM s4 JOIN embeddings e ON e.vec_id = s4.doc_id
+    ),
+    semscored AS (SELECT doc_id, {scores} AS s FROM sememb),
+    semtopm AS (
+        SELECT doc_id, cell FROM (
+            SELECT doc_id, (u.i - 1) AS cell,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY s[u.i] DESC, u.i ASC
+                   ) AS rk
+            FROM semscored, UNNEST(range(1, {n_cells + 1})) AS u(i)
+        ) ranked
+        WHERE rk <= {top_m}
+    ),
+    semcand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM semtopm a JOIN semtopm b
+          ON a.cell = b.cell AND a.doc_id < b.doc_id
+    ),
+    sempairs AS (
+        SELECT c.d1, c.d2
+        FROM semcand c
+        JOIN sememb e1 ON e1.doc_id = c.d1
+        JOIN sememb e2 ON e2.doc_id = c.d2
+        WHERE {cos} >= {threshold}
+    ),
+    semedges AS (
+        SELECT d1 AS s, d2 AS d FROM sempairs
+        UNION ALL SELECT d2, d1 FROM sempairs
+    ),
+    semreach(node, label) AS (
+        SELECT s, s FROM semedges
+        UNION
+        SELECT e.d, r.label FROM semreach r JOIN semedges e ON e.s = r.node
+    ),
+    semcomp AS (
+        SELECT node, min(label) AS cluster FROM semreach GROUP BY node
+    ),
+    s4b AS (
+        SELECT s4.* FROM s4 LEFT JOIN semcomp ON semcomp.node = s4.doc_id
+        WHERE semcomp.node IS NULL OR s4.doc_id = semcomp.cluster
+    ),"""
+
+
+def _funnel_oracle(semantic: bool = False,
+                   semantic_threshold: float = 0.3,
+                   n_cells: int = 8, top_m: int = 2) -> str:
+    """The per-document funnel routing twin. ``semantic=True`` inserts
+    the optional semantic_dup gate between near_dup and contaminated:
+    the survivor-scoped embeddings (vec_id == doc_id on the fixture
+    tables) get the SAME bit-replicated SemDeDup blocking as
+    _semdedup_oracle (cell_scores_sql anchors) and the fold-twin
+    verify (cosine_fold_sql), a second recursive transitive closure
+    labels semantic clusters, the decontamination stage re-scopes to
+    the semantic survivors, and the CASE ladder gains the
+    semantic_dup arm — so a hash match covers the composed funnel
+    INCLUDING the gate's position and scoping."""
     hits = {lang: stopword_hits_sql("ts", lang) for lang in STOPWORDS}
+    semantic_case = (
+        "WHEN sc.node IS NOT NULL AND g.doc_id <> sc.cluster "
+        "THEN 'semantic_dup'" if semantic else ""
+    )
+    semantic_join = (
+        "LEFT JOIN semcomp sc ON sc.node = g.doc_id" if semantic else ""
+    )
     quality4 = """floor((
           0.5 * least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0)
         + 0.4 * (CAST(len(list_distinct(ts)) AS DOUBLE)
@@ -103,14 +180,15 @@ def _funnel_oracle() -> str:
     s4 AS (
         SELECT s3.* FROM s3 LEFT JOIN comp ON comp.node = s3.doc_id
         WHERE comp.node IS NULL OR s3.doc_id = comp.cluster
-    ),
+    ),{_semantic_ctes(semantic_threshold, n_cells, top_m) if semantic else '''
+    s4b AS (SELECT * FROM s4),'''}
     bk AS (
         SELECT doc_id,
                instr('0123456789abcdef',
                      substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS bucket
-        FROM s4
+        FROM s4b
     ),
-    sh4 AS (SELECT sh.doc_id, shingle FROM sh JOIN s4 USING (doc_id)),
+    sh4 AS (SELECT sh.doc_id, shingle FROM sh JOIN s4b USING (doc_id)),
     bench AS (SELECT DISTINCT shingle FROM sh4 JOIN bk USING (doc_id)
               WHERE bucket = 15),
     corp AS (SELECT sh4.doc_id, shingle FROM sh4 JOIN bk USING (doc_id)
@@ -126,6 +204,7 @@ def _funnel_oracle() -> str:
              WHEN g.q4 < 0.5 THEN 'quality'
              WHEN e.keep IS NOT NULL AND g.doc_id <> e.keep THEN 'exact_dup'
              WHEN c.node IS NOT NULL AND g.doc_id <> c.cluster THEN 'near_dup'
+             {semantic_case}
              WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
              WHEN g.blocked THEN 'blocklist'
              ELSE 'kept'
@@ -133,8 +212,46 @@ def _funnel_oracle() -> str:
     FROM gate g
     LEFT JOIN exact e USING (doc_id)
     LEFT JOIN comp c ON c.node = g.doc_id
+    {semantic_join}
     LEFT JOIN contam ct ON ct.doc_id = g.doc_id
     """
+
+
+@query("q_curation_semantic", oracle=_funnel_oracle(semantic=True),
+       declared=False)
+def q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel WITH the r9 semantic_dup gate, per-doc routing
+    oracle-checked end to end: embeddings join documents on
+    vec_id == doc_id (the fixture tables are 1:1), the gate runs at
+    threshold 0.3 / top-2-of-8 (the q_semantic_dedup operating point,
+    so the blocking is the oracle-replicable untrained-anchor tier),
+    and the DuckDB twin recomputes the ENTIRE ladder — lexical gates,
+    both recursive closures, the fold-twin cosine verify, the
+    re-scoped decontamination — per document. Undeclared (window
+    full); oracle-checked at both SFs by the whole-registry
+    parametrize. Exact-Jaccard pairs_fn for the lexical tier, same
+    cross-tier soundness note as q_curation_funnel."""
+    from ..operators.dedup import ngram_jaccard_pairs, release_caches
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    emb = tables.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    cfg = CurationConfig(semantic_threshold=0.3)
+    try:
+        rejects = curation_rejects(
+            docs, cfg,
+            pairs_fn=lambda d: ngram_jaccard_pairs(d, threshold=0.3),
+            embeddings=emb,
+        )
+        out = docs.join(rejects, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("reject_reason", F.lit("kept")).alias("stage"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        release_caches()
+    return out
 
 
 @query("q_curation_funnel", oracle=_funnel_oracle())
