@@ -39,7 +39,14 @@ def _semantic_ctes(threshold: float, n_cells: int, top_m: int) -> str:
     oracle between the lexical components and the decontamination
     scope: survivor-scoped embeddings, the _semdedup_oracle blocking
     (bit-replicated anchors), the cosine_fold_sql verify, a second
-    recursive closure, and s4b = the semantic survivors."""
+    recursive closure, and s4b = the semantic survivors.
+
+    The recursion inputs are AS MATERIALIZED: DuckDB inlines
+    single-use CTEs, so an un-hinted ``semedges`` would re-evaluate
+    the whole candidate-generation + 192-term fold-verify chain on
+    EVERY recursion iteration — measured 943 s -> 10 s at sf0.001 on
+    a long-diameter pair graph (this fixture's 0.3-threshold pairs
+    form chains, so the closure iterates ~diameter times)."""
     from ..operators.ivf import cell_scores_sql
     from ..operators.similarity import cosine_fold_sql
 
@@ -67,14 +74,14 @@ def _semantic_ctes(threshold: float, n_cells: int, top_m: int) -> str:
         FROM semtopm a JOIN semtopm b
           ON a.cell = b.cell AND a.doc_id < b.doc_id
     ),
-    sempairs AS (
+    sempairs AS MATERIALIZED (
         SELECT c.d1, c.d2
         FROM semcand c
         JOIN sememb e1 ON e1.doc_id = c.d1
         JOIN sememb e2 ON e2.doc_id = c.d2
         WHERE {cos} >= {threshold}
     ),
-    semedges AS (
+    semedges AS MATERIALIZED (
         SELECT d1 AS s, d2 AS d FROM sempairs
         UNION ALL SELECT d2, d1 FROM sempairs
     ),
@@ -161,13 +168,13 @@ def _funnel_oracle(semantic: bool = False,
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT d1, d2 FROM inter
         JOIN szs z1 ON d1 = z1.doc_id
         JOIN szs z2 ON d2 = z2.doc_id
         WHERE i * 1.0 / (z1.n + z2.n - i) >= 0.3
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT d1 AS s, d2 AS d FROM pairs
         UNION ALL SELECT d2, d1 FROM pairs
     ),

@@ -319,7 +319,7 @@ def _semantic_keep_oracle(threshold: float = 0.3, n_cells: int = 8,
         JOIN embeddings e2 ON e2.vec_id = c.d2
         WHERE {cos} >= {threshold}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT d1 AS s, d2 AS d FROM pairs
         UNION ALL
         SELECT d2, d1 FROM pairs
