@@ -362,3 +362,80 @@ def test_composed_index_rebuild_crash_drills(spark, emb, trained, tmp_path):
     spark.catalog.refreshByPath(path)
     assert snapshot() == want
     assert not os.path.exists(path + TMP_SUFFIX)
+
+
+def test_codes_level_compaction_crash_drills(spark, emb, trained, tmp_path):
+    """compact_trained_ivf_pq_index swaps codes/ DIRECTLY (the models
+    live outside it), so a crash mid-compaction strands a SECOND swap
+    level below the root rebuild's. Both reader and writer must heal
+    it: probes self-heal the codes swap in-line (forward from a
+    complete tmp, backward from a bare .old), and appends recover
+    codes/ BEFORE writing — an append that recreated a missing codes/
+    would let the next recovery see it live and delete codes.old,
+    permanently losing the pre-compaction history (r9 ADVICE)."""
+    import os
+    import shutil
+
+    from web3_flight_rpc_server_spark.operators.fswap import (
+        OLD_SUFFIX,
+        TMP_SUFFIX,
+    )
+    from web3_flight_rpc_server_spark.operators.kmeans import kmeans_fit
+    from web3_flight_rpc_server_spark.operators.pq import (
+        trained_ivf_pq_topk,
+        write_trained_ivf_pq_index,
+    )
+
+    books, _codes = trained
+    base = emb.where(F.col("vec_id") < 300)
+    model = kmeans_fit(base, k=4, max_iter=5)
+    path = str(tmp_path / "tivfpq")
+    codes_dir = path + "/codes"
+    write_trained_ivf_pq_index(base, model, path, books)
+    q = np.array(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+
+    def snapshot():
+        spark.catalog.refreshByPath(codes_dir)
+        return [(r.vec_id, round(r.score, 9)) for r in
+                trained_ivf_pq_topk(spark, path, q, k=10,
+                                    n_probe=2).collect()]
+
+    want = snapshot()
+    assert want
+
+    # crash BETWEEN codes-swap steps 1 and 2 (codes renamed aside,
+    # complete tmp): the probe's codes read self-heals FORWARD
+    shutil.copytree(codes_dir, codes_dir + TMP_SUFFIX)
+    os.rename(codes_dir, codes_dir + OLD_SUFFIX)
+    assert snapshot() == want
+    assert os.path.exists(codes_dir)
+    assert not os.path.exists(codes_dir + OLD_SUFFIX)
+
+    # crash BEFORE the tmp write finished (codes renamed aside, tmp
+    # lacks _SUCCESS): the probe rolls BACK to the pre-compaction data
+    shutil.copytree(codes_dir, codes_dir + TMP_SUFFIX)
+    os.remove(os.path.join(codes_dir + TMP_SUFFIX, "_SUCCESS"))
+    os.rename(codes_dir, codes_dir + OLD_SUFFIX)
+    assert snapshot() == want
+    assert os.path.exists(codes_dir)
+    assert not os.path.exists(codes_dir + TMP_SUFFIX)
+
+    # append over a stranded codes swap: the double recovery completes
+    # the swap FIRST, so history and the new batch both survive (the
+    # r9 ADVICE high scenario — without it the append recreates
+    # codes/ with only the new batch and the next recovery deletes
+    # codes.old, i.e. every pre-compaction code)
+    shutil.copytree(codes_dir, codes_dir + TMP_SUFFIX)
+    os.rename(codes_dir, codes_dir + OLD_SUFFIX)
+    extra = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 340))
+    write_trained_ivf_pq_index(extra, model, path, books, append=True)
+    spark.catalog.refreshByPath(codes_dir)
+    assert not os.path.exists(codes_dir + OLD_SUFFIX)
+    assert not os.path.exists(codes_dir + TMP_SUFFIX)
+    ids = {r.vec_id for r in spark.read.parquet(codes_dir)
+           .select("vec_id").collect()}
+    assert ids == set(range(340)), (
+        "pre-compaction history and the appended batch must both live"
+    )

@@ -168,8 +168,16 @@ def _init_centroids_pp(embeddings: DataFrame, k: int, vec_col: str,
     centroids dead — BASELINE.md r8). The sample comes from the same
     bounded hash-filtered pool as the plain init (_seed_scan), so the
     distinct() exchange is ~8 x sample_n vectors, never the corpus."""
+    # min_required guards the SAMPLE, not just k: a hash-filtered pool
+    # that survives with >= k but far fewer than sample_n rows (HLL
+    # sizing error on corpora just above _MIN_FILTER_CORPUS) would
+    # silently thin the k-means++ oversample and degrade seeding with
+    # no signal — retry unfiltered when the pool lands under half the
+    # requested sample (r9 ADVICE). The fallback still triggers on
+    # data only, so determinism holds.
     rows = _sample_distinct(embeddings, sample_n, vec_col,
-                            min_required=k)
+                            min_required=min(sample_n,
+                                             max(k, sample_n // 2)))
     if len(rows) < k:
         raise ValueError(
             f"k={k} centroids requested but the corpus has only "

@@ -304,7 +304,17 @@ def write_trained_ivf_pq_index(embeddings: DataFrame, model,
     if append:
         from .fswap import recover_directory
 
+        # TWO swap levels exist (the same double recovery the
+        # compaction does): the whole-index rebuild swaps PATH, while
+        # compact_trained_ivf_pq_index swaps codes/ directly. An
+        # append that recovered only the root could recreate a
+        # mid-compaction codes/ containing nothing but the new batch —
+        # the next recovery would then see a live codes/ and delete
+        # codes.old, permanently stranding the pre-compaction history
+        # (fswap's "MUST be called before any append" contract, at
+        # BOTH levels; r9 ADVICE).
         recover_directory(spark, path)
+        recover_directory(spark, path.rstrip("/") + "/codes")
         coded.write.mode("append").partitionBy("cell").parquet(
             path.rstrip("/") + "/codes"
         )
@@ -425,15 +435,37 @@ def trained_ivf_pq_topk(spark, path: str, query, k: int = 10,
     model, vec_col = read_trained_ivf_manifest(spark, path)
     books = read_pq_codebooks(spark, path)
     cells = trained_probe_cells(query, model, n_probe)
-    codes = spark.read.parquet(path.rstrip("/") + "/codes").where(
-        F.col("cell").isin(cells)
-    )
+    codes = _read_codes(spark, path).where(F.col("cell").isin(cells))
     if rerank_with is None:
         return pq_topk(codes, query, books, k, id_col=man.id_col)
     return pq_topk_rerank(
         codes, rerank_with, query, books, k=k, shortlist=shortlist,
         id_col=man.id_col, vec_col=vec_col,
     )
+
+
+def _read_codes(spark, path: str) -> DataFrame:
+    """The index's ``codes/`` dataset; a failed read first self-heals
+    a half-done CODES-LEVEL compaction swap
+    (compact_trained_ivf_pq_index swaps codes/ directly, not the index
+    root), so probes keep working across a compaction crash — the
+    codes-level twin of _read_pq_manifest_row's root-level self-heal
+    (r9 ADVICE: the "crash-safe at every intermediate state" claim
+    must hold for BOTH swap levels a reader can encounter)."""
+    from pyspark.sql.utils import AnalysisException
+
+    codes_dir = path.rstrip("/") + "/codes"
+    try:
+        return spark.read.parquet(codes_dir)
+    except AnalysisException:
+        from .fswap import recover_directory
+
+        if recover_directory(spark, codes_dir) in (
+            "promoted", "rolled_back",
+        ):
+            spark.catalog.refreshByPath(codes_dir)
+            return spark.read.parquet(codes_dir)
+        raise
 
 
 def _read_pq_manifest_row(spark, path: str):
@@ -482,7 +514,5 @@ def ivf_pq_topk(spark, path: str, query, k: int = 10,
     from .ivf import probe_cells_for
 
     cells = probe_cells_for(query, int(man.n_cells), n_probe, int(man.dim))
-    codes = spark.read.parquet(path.rstrip("/") + "/codes").where(
-        F.col("cell").isin(cells)
-    )
+    codes = _read_codes(spark, path).where(F.col("cell").isin(cells))
     return pq_topk(codes, query, books, k, id_col=man.id_col)

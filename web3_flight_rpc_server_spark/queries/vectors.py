@@ -19,11 +19,15 @@ from ..registry import query
 from ..sources import tables
 
 # the at-rest artifact q_trained_cells trains/writes and its DuckDB
-# oracle reads back — a FIXED path because oracle SQL is a static
-# string; each invocation overwrites it (crash-safe fswap rebuild)
-# before the oracle runs
+# oracle reads back — a PER-PROCESS path (the driver runs the Spark
+# query and the DuckDB oracle in one process, so the pid embedded in
+# the oracle string at import time matches the path the query writes;
+# two concurrent runs — parallel SF parity/bench sessions, or two
+# users on one host — get disjoint directories instead of racing on
+# one shared name, r9 ADVICE). Each invocation overwrites it
+# (crash-safe fswap rebuild) before the oracle runs.
 _TRAINED_CELLS_PATH = os.path.join(
-    tempfile.gettempdir(), "w3frs_trained_cells_idx"
+    tempfile.gettempdir(), f"w3frs_trained_cells_idx_{os.getpid()}"
 )
 
 
