@@ -310,3 +310,60 @@ def test_bucket_stats_apis_refuse_uncapped_index(spark, tmp_path):
                verify_fp_bucket_stats, rebuild_fp_bucket_stats):
         with pytest.raises(ValueError, match="without a hot-bucket cap"):
             fn(spark, path)
+
+
+def test_streaming_ingest_fp_auto_compaction(spark, tmp_path):
+    """compact_every=N inside the fingerprint stream's foreachBatch:
+    chunks/ file count stays bounded by the compaction instead of
+    growing per batch, bucket_stats populations survive the SUM fold
+    (verify_fp_bucket_stats), and a near-dup of a pre-compaction
+    survivor is still rejected afterwards."""
+    import os
+
+    from web3_flight_rpc_server_spark.operators.fp_index import (
+        streaming_ingest_fingerprints,
+    )
+
+    path = str(tmp_path / "fpidx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _fps(spark, [(1, B1), (2, B2)]).write.parquet(src)
+    seen: list[set] = []
+
+    stream = spark.readStream.schema(
+        "media_id long, phash long"
+    ).parquet(src)
+    q = streaming_ingest_fingerprints(
+        stream, path, ckpt, max_hamming=RADIUS, max_bucket=100,
+        compact_every=1,
+        on_admitted=lambda df, bid: seen.append(
+            {r.media_id for r in df.collect()}
+        ),
+    )
+
+    def n_chunk_files():
+        n = 0
+        for root, _dirs, files in os.walk(os.path.join(path, "chunks")):
+            if ".compacting" in root:
+                continue
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    try:
+        q.processAllAvailable()
+        for i in range(3):  # three fresh fingerprints, one per batch
+            fp = (B3 * (i + 3)) ^ (0x0F0F0F0F0F0F0F0F << i) & 0x7FFFFFFFFFFFFFFF
+            _fps(spark, [(100 + i, fp)]).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        compacted = n_chunk_files()
+        # near-dup of batch 1's survivor: still rejected post-compaction
+        _fps(spark, [(500, _flip(B1, 1))]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted_all = set().union(*seen)
+    assert 500 not in admitted_all
+    assert {1, 2, 100, 101, 102} <= admitted_all
+    assert compacted <= 2, compacted
+    assert verify_fp_bucket_stats(spark, path)

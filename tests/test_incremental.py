@@ -381,3 +381,79 @@ def test_read_recovering_missing_race_requires_success(spark, tmp_path,
                         _materialize(live_partial, with_success=False))
     with pytest.raises(AnalysisException):
         _read_recovering(spark, live_partial)
+
+
+def test_streaming_ingest_auto_compaction(spark, tmp_path):
+    """compact_every=N folds the per-batch appended small files inside
+    the foreachBatch cycle (micro-batches are serial, so compaction
+    never races an append by construction — the same opt-in shape the
+    semantic twin gained in r9): after several batches the bands/ and
+    shingles/ data-file counts are bounded by the compaction instead
+    of growing per batch, and later batches still dedup against
+    survivors admitted BEFORE the compactions."""
+    import os
+
+    from web3_flight_rpc_server_spark.operators.incremental import (
+        streaming_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "idx")
+    kept_batches = []
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (2, "a completely different sentence with other words here now"),
+    ]
+    spark.createDataFrame(texts, "doc_id long, text string") \
+        .write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = streaming_ingest(
+        stream, path, str(tmp_path / "ckpt"), compact_every=1,
+        on_kept=lambda df, bid: kept_batches.append(
+            {r.doc_id for r in df.collect()}
+        ),
+    )
+
+    def n_files(sub):
+        n = 0
+        for root, _dirs, files in os.walk(os.path.join(path, sub)):
+            if ".compacting" in root:
+                continue
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    fresh = [
+        (10, "entirely novel third document with fresh vocabulary words"),
+        (11, "yet another unique piece of text nothing shares shingles"),
+        (12, "final standalone entry covering some new topic area today"),
+    ]
+    try:
+        q.processAllAvailable()
+        for i, row in enumerate(fresh):
+            spark.createDataFrame([row], "doc_id long, text string") \
+                .write.mode("append").parquet(str(src / f"f{i}"))
+            q.processAllAvailable()
+        compacted_bands, compacted_shingles = n_files("bands"), n_files(
+            "shingles"
+        )
+        # a dup of batch 1's survivor must still be rejected AFTER the
+        # compactions (the folded index is the same row set)
+        spark.createDataFrame(
+            [(500, texts[0][1])], "doc_id long, text string"
+        ).write.mode("append").parquet(str(src / "dup"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert set().union(*kept_batches) == {1, 2, 10, 11, 12}
+    # each compaction folds the whole dataset to ~1 file; without the
+    # in-loop compaction this grows by >= 1 file per dataset per batch
+    assert compacted_bands <= 2, compacted_bands
+    assert compacted_shingles <= 2, compacted_shingles
+    shingles = spark.read.parquet(path + "/shingles")
+    assert shingles.select("doc_id").distinct().count() == 5

@@ -412,7 +412,8 @@ def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
                                   on_admitted=None,
                                   chunks_table: str | None = None,
                                   buckets: int = 64,
-                                  max_bucket: int | None = None):
+                                  max_bucket: int | None = None,
+                                  compact_every: int | None = None):
     """Continuous fingerprint ingestion: every micro-batch of the
     fingerprint stream is deduped against the index (and against
     itself) and its survivors appended — ``readStream ->
@@ -430,7 +431,18 @@ def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
     and collide at Hamming 0 (rejected), and the append itself
     excludes already-present ids. ``on_admitted(ids_df, batch_id)``
     hands survivors to downstream sinks under foreachBatch's
-    at-least-once contract."""
+    at-least-once contract.
+
+    ``compact_every=N`` runs compact_fp_index every N micro-batches,
+    INSIDE the foreachBatch callback — micro-batches execute serially,
+    so the compaction's "never concurrent with an append" contract
+    holds by construction (the same opt-in as the MinHash and
+    semantic twins). Compaction is layout hygiene (probes
+    bit-identical before/after, bucket populations preserved by the
+    SUM fold), so replayed batches re-running it are harmless and a
+    crash mid-compaction self-heals through the fswap recovery on the
+    next probe/append/compaction; the ``batch_id % N == N - 1``
+    trigger is replay-stable."""
     spark = stream_fps.sparkSession
     try:
         _read_fp_manifest(spark, path)
@@ -455,6 +467,10 @@ def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
             )
             if on_admitted is not None:
                 on_admitted(admitted, batch_id)
+            if compact_every is not None and batch_id % compact_every == (
+                compact_every - 1
+            ):
+                compact_fp_index(batch_df.sparkSession, path)
         finally:
             # the batch-internal pair join persists its blocking rows
             # under the manifest cap (operators/dedup.py cache

@@ -588,7 +588,8 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
                      n: int = DEFAULT_SHINGLE_N,
                      id_col: str = "doc_id", text_col: str = "text",
                      on_kept=None, bands_table: str | None = None,
-                     buckets: int = 64, max_bucket: int | None = None):
+                     buckets: int = 64, max_bucket: int | None = None,
+                     compact_every: int | None = None):
     """Continuous ingestion: every micro-batch of the document stream
     is deduped against the index (and against itself) and its
     survivors appended — ``readStream -> foreachBatch(ingest_batch)``.
@@ -603,7 +604,22 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
     at Jaccard 1, and are rejected, so the index gains no duplicate
     entries (asserted in tests/test_incremental.py). ``on_kept(df,
     batch_id)`` is the survivors' hand-off to downstream sinks; it
-    inherits foreachBatch's at-least-once contract."""
+    inherits foreachBatch's at-least-once contract.
+
+    ``compact_every=N`` runs compact_index every N micro-batches,
+    INSIDE the foreachBatch callback — micro-batches execute serially,
+    so the compaction's "never concurrent with an append" contract
+    holds by construction instead of by operator discipline (the same
+    opt-in the semantic twin gained in r9:
+    operators/semdedup.py:streaming_ingest_embeddings). Compaction is
+    layout hygiene (probes bit-identical before/after), so a replayed
+    batch re-running it is harmless, and a crash mid-compaction
+    self-heals through the fswap recovery on the next
+    probe/append/compaction. The trigger is ``batch_id % N == N - 1``
+    (batch_id is stable across replays, so the cadence is too).
+    Without it a long-running stream appends per-batch small files
+    unboundedly — ~20-25% probe tax per 399 fragments measured on the
+    semantic tier (BASELINE.md r9)."""
     spark = stream_docs.sparkSession
     try:
         _read_manifest(spark, path)
@@ -632,6 +648,10 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
             )
             if on_kept is not None:
                 on_kept(kept, batch_id)
+            if compact_every is not None and batch_id % compact_every == (
+                compact_every - 1
+            ):
+                compact_index(batch_df.sparkSession, path)
         finally:
             # long-lived host contract (operators/dedup.py): drop the
             # batch's persisted shingle/signature intermediates, or a
