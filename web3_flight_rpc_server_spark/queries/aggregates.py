@@ -223,6 +223,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sketch_rollup",
+    declared=False,
     oracle="""
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -240,7 +241,11 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact side, so approx_ok fails the moment the daily-sketch
     merge drifts from a direct distinct over the same rows — the
     mergeability property itself is what's being checked cross-engine.
-    Undeclared (driver window is full); the roundtrip/associativity
+    Undeclared since r10 (declared r4-r9; ceded its slot to
+    q_trained_cells — C9 stays driver-attested by q_distinct_count,
+    q_hist_quantile, q_heavy_hitters and q_profile, and this query
+    remains oracle-checked by tests/test_oracle_parity.py's
+    whole-registry parametrize); the roundtrip/associativity
     contracts live in tests/test_sketches.py."""
     from ..operators.sketches import build_distinct_sketches, rollup_distinct
 

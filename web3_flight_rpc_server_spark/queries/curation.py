@@ -224,8 +224,7 @@ def _funnel_oracle(semantic: bool = False,
     """
 
 
-@query("q_curation_semantic", oracle=_funnel_oracle(semantic=True),
-       declared=False)
+@query("q_curation_semantic", oracle=_funnel_oracle(semantic=True))
 def q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The funnel WITH the r9 semantic_dup gate, per-doc routing
     oracle-checked end to end: embeddings join documents on
@@ -234,10 +233,11 @@ def q_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the blocking is the oracle-replicable untrained-anchor tier),
     and the DuckDB twin recomputes the ENTIRE ladder — lexical gates,
     both recursive closures, the fold-twin cosine verify, the
-    re-scoped decontamination — per document. Undeclared (window
-    full); oracle-checked at both SFs by the whole-registry
-    parametrize. Exact-Jaccard pairs_fn for the lexical tier, same
-    cross-tier soundness note as q_curation_funnel."""
+    re-scoped decontamination — per document. DECLARED since r10 (the
+    r10 rotation: took q_pivot's slot — the semantic-gated funnel is
+    the production shape for embedding corpora and deserves the
+    driver's hash check). Exact-Jaccard pairs_fn for the lexical
+    tier, same cross-tier soundness note as q_curation_funnel."""
     from ..operators.dedup import ngram_jaccard_pairs, release_caches
 
     docs = tables.load_table(spark, sf_dir, "documents")

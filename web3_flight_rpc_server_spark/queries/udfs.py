@@ -59,6 +59,7 @@ def q_pandas_udf_hexdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_pivot",
+    declared=False,
     oracle="""
     SELECT user_id,
            CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -72,7 +73,11 @@ def q_pandas_udf_hexdecode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event counts to one column per type (explicit value list:
-    single pass, no discovery scan; absent combinations -> 0)."""
+    single pass, no discovery scan; absent combinations -> 0).
+    Undeclared since r10 (ceded its slot to q_curation_semantic; C18
+    stays driver-attested by q_pandas_udf_hexdecode, and the pivot
+    remains oracle-checked by tests/test_oracle_parity.py's
+    whole-registry parametrize)."""
     ev = tables.load_table(spark, sf_dir, "events")
     pivoted = (
         ev.groupBy("user_id")

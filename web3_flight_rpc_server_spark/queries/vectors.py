@@ -415,7 +415,7 @@ def _trained_cells_oracle() -> str:
     """
 
 
-@query("q_trained_cells", oracle=_trained_cells_oracle(), declared=False)
+@query("q_trained_cells", oracle=_trained_cells_oracle())
 def q_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED k-means path as a hash-checkable at-rest artifact:
     fit centroids on the embeddings table (operators/kmeans.py), write
@@ -424,9 +424,11 @@ def q_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus its fold-exact cosine to its own centroid (join the tiny
     centroids table broadcast, cosine_fixed — the same arithmetic the
     oracle's fold twin replicates). The write happens eagerly when the
-    query is invoked, so the oracle always reads this run's manifest.
-    Undeclared (the driver window is full; oracle-checked at both SFs
-    by tests/test_oracle_parity.py's whole-registry parametrize)."""
+    query is invoked, so the oracle always reads this run's manifest
+    (per-process path: the driver evaluates the oracle string in the
+    same process that ran the query). DECLARED since r10 (the r10
+    rotation: took q_sketch_rollup's slot — the trained at-rest layout
+    is the strongest undeclared artifact the window lacked)."""
     from ..operators.kmeans import kmeans_fit, write_trained_ivf_index
     from ..operators.similarity import cosine_fixed
 
