@@ -135,9 +135,11 @@ def curation_rejects(docs: DataFrame,
     loss ledger. Docs absent from the result survive every gate.
 
     ``pairs_fn(docs) -> (d1, d2, ...)`` overrides near-dup candidate
-    generation: default is MinHash-LSH (the scale path); the declared
-    q_curation_funnel passes the exact-Jaccard tier so the whole
-    funnel admits a SQL oracle. The quality gate compares the
+    generation: default is MinHash-LSH — the scale path, and what the
+    declared q_curation_funnel runs; the exact-Jaccard tier
+    (ngram_jaccard_pairs) remains available as the ground-truth
+    pairs_fn (q_curation_semantic passes it so its two-closure oracle
+    compares against exact pairs). The quality gate compares the
     4-decimal-rounded score, keeping the threshold decision identical
     across engines.
 
