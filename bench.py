@@ -188,22 +188,31 @@ def run_isolated(sf_dir: str) -> int:
     shared pass vs 3.1 s isolated). Costs one JVM startup per query,
     so it is the sf>=10 protocol, not the default."""
     pass_timeout = int(os.environ.get("SPARK_GRAFT_PASS_TIMEOUT", "1800"))
-    cold, steady, runs_all = {}, {}, {}
+    cold, steady, runs_all, errors = {}, {}, {}, {}
     for name in HEADLINE:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--isolate-one", name],
-            capture_output=True, text=True, timeout=pass_timeout,
-            env=os.environ,
-        )
-        payload = None
-        for line in proc.stdout.splitlines():
-            if line.startswith("ISOLATE_JSON "):
-                payload = json.loads(line[len("ISOLATE_JSON "):])
-        if payload is None:
-            raise RuntimeError(
-                f"isolated run of {name} failed: {proc.stderr[-2000:]}"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--isolate-one", name],
+                capture_output=True, text=True, timeout=pass_timeout,
+                env=os.environ,
             )
+            err_tail = proc.stderr[-2000:]
+        except subprocess.TimeoutExpired:
+            proc, err_tail = None, f"timeout after {pass_timeout}s"
+        payload = None
+        if proc is not None:
+            for line in proc.stdout.splitlines():
+                if line.startswith("ISOLATE_JSON "):
+                    payload = json.loads(line[len("ISOLATE_JSON "):])
+        if payload is None:
+            # record and continue: at sf>=10 one pathological query
+            # must not discard the other ~28 queries' finished runs —
+            # the error lands in the JSON so the gap is loud, not
+            # silently skipped
+            errors[name] = err_tail
+            print(f"ISOLATE_FAIL {name}: {err_tail}", file=sys.stderr)
+            continue
         runs_all[name] = payload["runs"]
         cold[name] = payload["runs"][0]
         steady[name] = payload["runs"][2]
@@ -217,6 +226,8 @@ def run_isolated(sf_dir: str) -> int:
         "steady_total": round(sum(steady.values()), 3),
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     with open(os.path.join(REPO, f"BENCH_isolated_sf{sf}.json"), "w") as f:
         json.dump(dict(out, runs=runs_all), f, indent=1)
         f.write("\n")

@@ -306,3 +306,40 @@ def test_incremental_indexes_built_capped_by_default(spark, tmp_path):
         idx = str(tmp_path / f"idx_{want}")
         ingest_media_batch(batch, idx, cfg)
         assert _read_fp_manifest(spark, f"{idx}/image").max_bucket == want
+
+
+def test_replay_of_quarantined_bucket_is_corpus_dup_by_identity(
+        spark, tmp_path):
+    """A replayed batch whose fingerprints sit in a QUARANTINED bucket
+    (population past the cap) must still report corpus_dup and admit
+    nothing: the probe is blind there by contract (the cap's
+    documented recall loss), but the rows' media_ids are already in
+    the index — id identity is cap-independent. Caught at the 1e5
+    scale by tools/media_scale_bench.py (a 6k flat-template replay
+    re-reported all 6k as admitted; BASELINE.md r10)."""
+    from web3_flight_rpc_server_spark.pipelines.media_curation import (
+        ingest_media_batch,
+    )
+
+    idx = str(tmp_path / "media_index")
+    flat = np.full((24, 32, 3), 128, np.uint8)
+    batch = spark.createDataFrame(
+        [(i, "image", _png_encode(flat), None) for i in range(1, 4)],
+        MEDIA_SCHEMA,
+    )
+    cfg = MediaCurationConfig(modalities=("image",), max_bucket=2)
+    rejects1, admitted1 = ingest_media_batch(batch, idx, cfg)
+    # bucket population 3 > cap 2: the batch-internal near-dup join is
+    # blind, all three admit (quarantine = reported recall loss)
+    assert rejects1.isEmpty()
+    assert {r.media_id for r in admitted1.collect()} == {1, 2, 3}
+
+    spark.catalog.refreshByPath(f"{idx}/image/chunks")
+    rejects2, admitted2 = ingest_media_batch(batch, idx, cfg)
+    got = {r.media_id: r.reject_reason for r in rejects2.collect()}
+    assert got == {1: "corpus_dup", 2: "corpus_dup", 3: "corpus_dup"}
+    assert admitted2.isEmpty()
+    assert {
+        r.id for r in spark.read.parquet(f"{idx}/image/chunks")
+        .select("id").distinct().collect()
+    } == {1, 2, 3}

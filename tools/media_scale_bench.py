@@ -9,8 +9,12 @@ and the per-modality persistent-index loop all run at real row counts.
     python tools/media_scale_bench.py [n_images] [out_dir]
 
 Corpus design (deterministic, seeded by media_id):
-- 86% unique "base" images: random low-frequency gradients (32x24
-  RGB), every one visually distinct -> phashes spread out.
+- 86% unique "base" images: random smooth 2-D patterns (a 4x5 coarse
+  random grid bilinearly upsampled to 32x24 RGB) — rich local
+  structure, so dHashes spread ~uniformly over the 64-bit space
+  (random-pair collisions at radius 6 are ~4.5e-12; a pure linear
+  gradient would collapse every base to the same handful of hashes —
+  measured: 678k bogus pairs at n=2000 with the naive generator).
 - 8% planted near-dups: a base image + pixel noise (sigma 6) — the
   recompress/brightness analog; dHash flips a few comparison bits, so
   pairs land within the radius-6 contract.
@@ -60,14 +64,22 @@ def build_corpus(spark, n: int, path: str) -> None:
             _png_encode,
         )
 
+        yi = np.linspace(0.0, 3.0 - 1e-9, h)
+        xi = np.linspace(0.0, 4.0 - 1e-9, w)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        fy = (yi - y0)[:, None, None]
+        fx = (xi - x0)[None, :, None]
+
         def base_px(seed: int) -> "np.ndarray":
             rng = np.random.default_rng(seed)
-            gx = rng.uniform(-3, 3, size=3)
-            gy = rng.uniform(-3, 3, size=3)
-            off = rng.uniform(30, 220, size=3)
-            x = np.arange(w)[None, :, None]
-            y = np.arange(h)[:, None, None]
-            px = off[None, None, :] + gx * x + gy * y
+            coarse = rng.uniform(0.0, 255.0, size=(4, 5, 3))
+            px = (
+                coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+                + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+                + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+                + coarse[y0 + 1][:, x0 + 1] * fy * fx
+            )
             return np.clip(px, 0, 255).astype(np.uint8)
 
         for pdf in batches:

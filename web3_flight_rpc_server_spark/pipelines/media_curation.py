@@ -46,6 +46,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from ..multimodal.containers import probe_media
 from ..multimodal.neardup import (
@@ -247,12 +248,17 @@ def ingest_media_batch(media: DataFrame, index_path: str,
     Returns (rejects, admitted): rejects is (media_id, reject_reason)
     over INGEST_REJECT_ORDER; admitted the surviving ids.
 
-    Replay safety follows the fp-index contract twice over: a
+    Replay safety follows the fp-index contract THREE times over: a
     replayed batch's fingerprints collide with their first copies at
-    Hamming 0 (-> corpus_dup, nothing re-admitted) and the index
-    append itself excludes already-present ids — so a crash-replay
-    converges to the same kept set and the index never duplicates.
-    Bootstraps empty indexes on first use."""
+    Hamming 0 (-> corpus_dup), ids already present in the index are
+    corpus_dup by IDENTITY even when their fingerprint bucket is
+    quarantined past the cap (the probe can't see a quarantined
+    Hamming-0 collision — a replayed flat-template batch would
+    otherwise re-report its rows as admitted; caught on the
+    1e5-image corpus, BASELINE.md r10), and the index append itself
+    excludes already-present ids — so a crash-replay converges to the
+    same kept set, reports nothing re-admitted, and the index never
+    duplicates. Bootstraps empty indexes on first use."""
     from ..operators.fp_index import (
         dedup_fingerprints_against_index,
         write_fingerprint_index,
@@ -306,7 +312,27 @@ def ingest_media_batch(media: DataFrame, index_path: str,
         ).select(
             F.col("new_id").alias("media_id"),
             F.lit("corpus_dup").alias("reject_reason"),
-        ).distinct().localCheckpoint(eager=True)
+        )
+        # a replayed row (same media_id ALREADY in the index) is a
+        # corpus_dup by IDENTITY, independent of the hot-bucket cap: a
+        # quarantined bucket hides its Hamming-0 collision from the
+        # probe (documented recall loss), but re-reporting the row as
+        # newly admitted would hand it downstream twice — measured on
+        # the 1e5-image corpus's flat-template replay (BASELINE.md
+        # r10). The presence read mirrors write_fingerprint_index's
+        # own append exclusion (id column only, batch ids broadcast).
+        try:
+            idx_ids = spark.read.parquet(
+                path.rstrip("/") + "/chunks"
+            ).select(F.col("id").alias("media_id"))
+            replayed = idx_ids.join(
+                F.broadcast(fps.select("media_id").distinct()),
+                "media_id", "left_semi",
+            ).withColumn("reject_reason", F.lit("corpus_dup"))
+            hits = hits.unionByName(replayed)
+        except AnalysisException:
+            pass  # no chunks dataset yet (tier's very first batch)
+        hits = hits.distinct().localCheckpoint(eager=True)
         rejects = rejects.unionByName(hits)
         admitted_fps = fps.join(hits.select("media_id"), "media_id",
                                 "left_anti").localCheckpoint(eager=True)
