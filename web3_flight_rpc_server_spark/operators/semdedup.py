@@ -239,30 +239,55 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
             [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_name]]
         )
         nrm = _np.linalg.norm(x, axis=1)
-        s = (x @ x.T) / _np.outer(nrm, nrm)
-        iu, ju = _np.triu_indices(n, k=1)
-        hit = s[iu, ju] >= eps_threshold
-        ii, jj = iu[hit], ju[hit]
+        # propose in ROW TILES: the full n x n float64 similarity
+        # matrix is ~20 GB for a 50k-row cell — the sf10 headline run
+        # OOM-killed the Python worker here (r10). A tile is bounded
+        # at ~256 MB regardless of cell size; tiling only moves BLAS
+        # call boundaries, and the 1e-9 propose margin absorbs
+        # accumulation-order differences while the exact confirm
+        # makes the decision, so emitted pairs stay bit-identical.
+        tile = max(256, int(256 * 1024 * 1024 // (8 * n)))
+        cand_i, cand_j = [], []
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            s_blk = (x[lo:hi] @ x.T) / _np.outer(nrm[lo:hi], nrm)
+            bi, bj = _np.nonzero(s_blk >= eps_threshold)
+            upper = (bi + lo) < bj  # global upper triangle only
+            cand_i.append(bi[upper] + lo)
+            cand_j.append(bj[upper])
+        ii = _np.concatenate(cand_i)
+        jj = _np.concatenate(cand_j)
         if not len(ii):
             return _pd.DataFrame({"d1": [], "d2": [], "cos": []})
         # exact confirm: same IEEE ops in the same order as the
         # cosine_fixed fold (sequential over dims, vectorized over
-        # the surviving pairs)
-        a, b = x[ii], x[jj]
-        dot = _np.zeros(len(ii))
-        na = _np.zeros(len(ii))
-        nb = _np.zeros(len(ii))
-        for i in range(d):
-            dot = dot + a[:, i] * b[:, i]
-            na = na + a[:, i] * a[:, i]
-            nb = nb + b[:, i] * b[:, i]
-        cos = dot / (_np.sqrt(na) * _np.sqrt(nb))
-        keep = cos >= thr
+        # the surviving pairs), in bounded candidate CHUNKS so a
+        # many-million-candidate cell never materializes 64-dim
+        # float64 copies of both sides at once (element-wise per
+        # pair, so chunking cannot change any value)
         ids = pdf[id_name].to_numpy()
-        p, q = ids[ii[keep]], ids[jj[keep]]
+        out_d1, out_d2, out_cos = [], [], []
+        chunk = 1_000_000
+        for lo in range(0, len(ii), chunk):
+            ic, jc = ii[lo:lo + chunk], jj[lo:lo + chunk]
+            a, b = x[ic], x[jc]
+            dot = _np.zeros(len(ic))
+            na = _np.zeros(len(ic))
+            nb = _np.zeros(len(ic))
+            for i in range(d):
+                dot = dot + a[:, i] * b[:, i]
+                na = na + a[:, i] * a[:, i]
+                nb = nb + b[:, i] * b[:, i]
+            cos = dot / (_np.sqrt(na) * _np.sqrt(nb))
+            keep = cos >= thr
+            p, q = ids[ic[keep]], ids[jc[keep]]
+            out_d1.append(_np.minimum(p, q))
+            out_d2.append(_np.maximum(p, q))
+            out_cos.append(cos[keep])
         return _pd.DataFrame(
-            {"d1": _np.minimum(p, q), "d2": _np.maximum(p, q),
-             "cos": cos[keep]}
+            {"d1": _np.concatenate(out_d1),
+             "d2": _np.concatenate(out_d2),
+             "cos": _np.concatenate(out_cos)}
         )
 
     pairs = (
@@ -421,27 +446,49 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
         xi = _np.stack(
             [_np.asarray(v, dtype=_np.float64) for v in right["ivec"]]
         )
-        s = (xp @ xi.T) / _np.outer(
-            _np.linalg.norm(xp, axis=1), _np.linalg.norm(xi, axis=1)
-        )
-        ii, jj = _np.nonzero(s >= eps_threshold)
+        nrm_p = _np.linalg.norm(xp, axis=1)
+        nrm_i = _np.linalg.norm(xi, axis=1)
+        # probe-row tiles, same discipline as semantic_neardup_pairs'
+        # kernel (r10): a corpus-sized probe against a large cell
+        # would otherwise materialize the full |probe| x |index|
+        # float64 matrix; the margin + exact confirm keep emitted
+        # values bit-identical under tiling
+        tile = max(256, int(256 * 1024 * 1024 // (8 * max(1, len(xi)))))
+        cand_i, cand_j = [], []
+        for lo in range(0, len(xp), tile):
+            hi = min(lo + tile, len(xp))
+            s_blk = (xp[lo:hi] @ xi.T) / _np.outer(nrm_p[lo:hi], nrm_i)
+            bi, bj = _np.nonzero(s_blk >= eps_threshold)
+            cand_i.append(bi + lo)
+            cand_j.append(bj)
+        ii = _np.concatenate(cand_i)
+        jj = _np.concatenate(cand_j)
         if not len(ii):
             return empty
-        a, b = xp[ii], xi[jj]
-        dot = _np.zeros(len(ii))
-        na = _np.zeros(len(ii))
-        nb = _np.zeros(len(ii))
-        for i in range(d):
-            dot = dot + a[:, i] * b[:, i]
-            na = na + a[:, i] * a[:, i]
-            nb = nb + b[:, i] * b[:, i]
-        cos = dot / (_np.sqrt(na) * _np.sqrt(nb))
-        keep = cos >= thr
+        pid = left["pid"].to_numpy()
+        iid = right["iid"].to_numpy()
+        out_n, out_x, out_c = [], [], []
+        chunk = 1_000_000
+        for lo in range(0, len(ii), chunk):
+            ic, jc = ii[lo:lo + chunk], jj[lo:lo + chunk]
+            a, b = xp[ic], xi[jc]
+            dot = _np.zeros(len(ic))
+            na = _np.zeros(len(ic))
+            nb = _np.zeros(len(ic))
+            for i in range(d):
+                dot = dot + a[:, i] * b[:, i]
+                na = na + a[:, i] * a[:, i]
+                nb = nb + b[:, i] * b[:, i]
+            cos = dot / (_np.sqrt(na) * _np.sqrt(nb))
+            keep = cos >= thr
+            out_n.append(pid[ic[keep]])
+            out_x.append(iid[jc[keep]])
+            out_c.append(cos[keep])
         return _pd.DataFrame(
             {
-                "new_id": left["pid"].to_numpy()[ii[keep]],
-                "idx_id": right["iid"].to_numpy()[jj[keep]],
-                "cos": cos[keep],
+                "new_id": _np.concatenate(out_n),
+                "idx_id": _np.concatenate(out_x),
+                "cos": _np.concatenate(out_c),
             }
         )
 
