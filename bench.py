@@ -189,7 +189,32 @@ def run_isolated(sf_dir: str) -> int:
     so it is the sf>=10 protocol, not the default."""
     pass_timeout = int(os.environ.get("SPARK_GRAFT_PASS_TIMEOUT", "1800"))
     cold, steady, runs_all, errors = {}, {}, {}, {}
-    for name in HEADLINE:
+    names = list(HEADLINE)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    record_path = os.path.join(REPO, f"BENCH_isolated_sf{sf}.json")
+    if "--only" in sys.argv:
+        # subset re-run that MERGES into the existing record: used to
+        # fold a fixed query back into a mostly-green isolate record
+        # without paying the full multi-hour pass again (r10: the
+        # semdedup tiling fix needed exactly this). Prior rows load
+        # first; the re-run rows overwrite theirs and clear their
+        # errors entries; totals recompute over the union.
+        names = [n for n in sys.argv[sys.argv.index("--only") + 1]
+                 .split(",") if n]
+        unknown = [n for n in names if n not in HEADLINE]
+        if unknown:
+            print(f"--only: not in HEADLINE: {unknown}", file=sys.stderr)
+            return 2
+        if os.path.exists(record_path):
+            with open(record_path) as f:
+                prior = json.load(f)
+            runs_all = {k: v for k, v in prior.get("runs", {}).items()
+                        if k not in names}
+            cold = {k: v[0] for k, v in runs_all.items()}
+            steady = {k: v[2] for k, v in runs_all.items()}
+            errors = {k: v for k, v in prior.get("errors", {}).items()
+                      if k not in names}
+    for name in names:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
@@ -216,7 +241,6 @@ def run_isolated(sf_dir: str) -> int:
         runs_all[name] = payload["runs"]
         cold[name] = payload["runs"][0]
         steady[name] = payload["runs"][2]
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall_isolated",
         "value": round(sum(cold.values()), 3),
@@ -225,14 +249,23 @@ def run_isolated(sf_dir: str) -> int:
         "queries_steady": steady,
         "steady_total": round(sum(steady.values()), 3),
         "sf": sf,
+        # n_ok/n_failed make a partial pass unmistakable: the totals
+        # above sum only the succeeding subset, so without these a
+        # partially failed pass would report a LOWER (better-looking)
+        # total than a clean pass (r10 ADVICE)
+        "n_ok": len(cold),
+        "n_failed": len(HEADLINE) - len(cold),
     }
     if errors:
         out["errors"] = errors
-    with open(os.path.join(REPO, f"BENCH_isolated_sf{sf}.json"), "w") as f:
+        out["totals_partial"] = True
+    with open(record_path, "w") as f:
         json.dump(dict(out, runs=runs_all), f, indent=1)
         f.write("\n")
     print(json.dumps(out))
-    return 0
+    # nonzero exit on any failure so an exit-code gate cannot read a
+    # partial (lower) total as an improvement
+    return 1 if errors else 0
 
 
 def measure_ingest() -> float:

@@ -343,3 +343,52 @@ def test_replay_of_quarantined_bucket_is_corpus_dup_by_identity(
         r.id for r in spark.read.parquet(f"{idx}/image/chunks")
         .select("id").distinct().collect()
     } == {1, 2, 3}
+
+
+def test_replay_identity_runs_on_metastore_tier_index(spark, tmp_path):
+    """The corpus-dup-by-identity replay check must go through the
+    tier-aware chunk reader: a metastore-tier index (manifest
+    chunks_table set, chunks stored as a bucketed TABLE, no chunks/
+    parquet dir) has nothing for a raw spark.read.parquet to find, and
+    the r10 fix's original shape swallowed that AnalysisException as
+    "first batch" — silently resurfacing the quarantined-bucket replay
+    bug on exactly this tier (r10 ADVICE). Pre-creating the image
+    index on the metastore tier and replaying a quarantined batch must
+    still reject every row as corpus_dup."""
+    from web3_flight_rpc_server_spark.multimodal.neardup import (
+        perceptual_hash,
+    )
+    from web3_flight_rpc_server_spark.operators.fp_index import (
+        write_fingerprint_index,
+    )
+    from web3_flight_rpc_server_spark.pipelines.media_curation import (
+        ingest_media_batch,
+    )
+
+    idx = str(tmp_path / "media_index")
+    flat = np.full((24, 32, 3), 128, np.uint8)
+    batch = spark.createDataFrame(
+        [(i, "image", _png_encode(flat), None) for i in range(1, 4)],
+        MEDIA_SCHEMA,
+    )
+    cfg = MediaCurationConfig(modalities=("image",), max_bucket=2)
+    # pre-create the image tier's index on the METASTORE tier, empty,
+    # with the same layout ingest_media_batch would bootstrap
+    fps_schema = perceptual_hash(batch, cfg.image_method).schema
+    spark.sql("DROP TABLE IF EXISTS media_fp_replay_tier")
+    write_fingerprint_index(
+        spark.createDataFrame([], fps_schema), f"{idx}/image",
+        max_hamming=cfg.image_max_hamming, id_col="media_id",
+        fp_col="phash", max_bucket=cfg.max_bucket,
+        chunks_table="media_fp_replay_tier",
+    )
+
+    rejects1, admitted1 = ingest_media_batch(batch, idx, cfg)
+    assert rejects1.isEmpty()
+    assert {r.media_id for r in admitted1.collect()} == {1, 2, 3}
+
+    rejects2, admitted2 = ingest_media_batch(batch, idx, cfg)
+    got = {r.media_id: r.reject_reason for r in rejects2.collect()}
+    assert got == {1: "corpus_dup", 2: "corpus_dup", 3: "corpus_dup"}
+    assert admitted2.isEmpty()
+    spark.sql("DROP TABLE IF EXISTS media_fp_replay_tier")

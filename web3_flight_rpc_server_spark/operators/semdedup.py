@@ -239,22 +239,31 @@ def semantic_neardup_pairs(embeddings: DataFrame, threshold: float,
             [_np.asarray(v, dtype=_np.float64) for v in pdf[vec_name]]
         )
         nrm = _np.linalg.norm(x, axis=1)
-        # propose in ROW TILES: the full n x n float64 similarity
-        # matrix is ~20 GB for a 50k-row cell — the sf10 headline run
-        # OOM-killed the Python worker here (r10). A tile is bounded
-        # at ~256 MB regardless of cell size; tiling only moves BLAS
-        # call boundaries, and the 1e-9 propose margin absorbs
-        # accumulation-order differences while the exact confirm
-        # makes the decision, so emitted pairs stay bit-identical.
-        tile = max(256, int(256 * 1024 * 1024 // (8 * n)))
+        # propose in ROW x COLUMN TILES: the full n x n float64
+        # similarity matrix is ~20 GB for a 50k-row cell — the sf10
+        # headline run OOM-killed the Python worker here (r10). A
+        # row-only tile grows linearly again past ~131k rows (a
+        # 256-row floor x 1M columns is still a 2 GB block), so BOTH
+        # dims are tiled: each BLAS block is at most TILE x TILE
+        # float64 = 134 MB regardless of cell size. Column blocks
+        # entirely below the diagonal are skipped (j > i is required
+        # anyway). Tiling only moves BLAS call boundaries, and the
+        # 1e-9 propose margin absorbs accumulation-order differences
+        # while the exact confirm makes the decision, so emitted
+        # pairs stay bit-identical.
+        TILE = 4096
         cand_i, cand_j = [], []
-        for lo in range(0, n, tile):
-            hi = min(lo + tile, n)
-            s_blk = (x[lo:hi] @ x.T) / _np.outer(nrm[lo:hi], nrm)
-            bi, bj = _np.nonzero(s_blk >= eps_threshold)
-            upper = (bi + lo) < bj  # global upper triangle only
-            cand_i.append(bi[upper] + lo)
-            cand_j.append(bj[upper])
+        for lo in range(0, n, TILE):
+            hi = min(lo + TILE, n)
+            for clo in range((lo // TILE) * TILE, n, TILE):
+                chi = min(clo + TILE, n)
+                s_blk = (
+                    x[lo:hi] @ x[clo:chi].T
+                ) / _np.outer(nrm[lo:hi], nrm[clo:chi])
+                bi, bj = _np.nonzero(s_blk >= eps_threshold)
+                upper = (bi + lo) < (bj + clo)  # global upper triangle
+                cand_i.append(bi[upper] + lo)
+                cand_j.append(bj[upper] + clo)
         ii = _np.concatenate(cand_i)
         jj = _np.concatenate(cand_j)
         if not len(ii):
@@ -448,19 +457,26 @@ def dedup_embeddings_against_index(new_emb: DataFrame, index_path: str,
         )
         nrm_p = _np.linalg.norm(xp, axis=1)
         nrm_i = _np.linalg.norm(xi, axis=1)
-        # probe-row tiles, same discipline as semantic_neardup_pairs'
-        # kernel (r10): a corpus-sized probe against a large cell
-        # would otherwise materialize the full |probe| x |index|
-        # float64 matrix; the margin + exact confirm keep emitted
-        # values bit-identical under tiling
-        tile = max(256, int(256 * 1024 * 1024 // (8 * max(1, len(xi)))))
+        # probe-row x index-column tiles, same discipline as
+        # semantic_neardup_pairs' kernel: a corpus-sized probe against
+        # a large cell would otherwise materialize the full
+        # |probe| x |index| float64 matrix, and a row-only tile still
+        # grows linearly with the index side — so BOTH dims are tiled
+        # (each BLAS block <= TILE x TILE float64 = 134 MB). The
+        # margin + exact confirm keep emitted values bit-identical
+        # under tiling.
+        TILE = 4096
         cand_i, cand_j = [], []
-        for lo in range(0, len(xp), tile):
-            hi = min(lo + tile, len(xp))
-            s_blk = (xp[lo:hi] @ xi.T) / _np.outer(nrm_p[lo:hi], nrm_i)
-            bi, bj = _np.nonzero(s_blk >= eps_threshold)
-            cand_i.append(bi + lo)
-            cand_j.append(bj)
+        for lo in range(0, len(xp), TILE):
+            hi = min(lo + TILE, len(xp))
+            for clo in range(0, len(xi), TILE):
+                chi = min(clo + TILE, len(xi))
+                s_blk = (
+                    xp[lo:hi] @ xi[clo:chi].T
+                ) / _np.outer(nrm_p[lo:hi], nrm_i[clo:chi])
+                bi, bj = _np.nonzero(s_blk >= eps_threshold)
+                cand_i.append(bi + lo)
+                cand_j.append(bj + clo)
         ii = _np.concatenate(cand_i)
         jj = _np.concatenate(cand_j)
         if not len(ii):

@@ -46,8 +46,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
-
 from ..multimodal.containers import probe_media
 from ..multimodal.neardup import (
     audio_fingerprint,
@@ -262,6 +260,7 @@ def ingest_media_batch(media: DataFrame, index_path: str,
     from ..operators.fp_index import (
         dedup_fingerprints_against_index,
         write_fingerprint_index,
+        _read_chunks,
         _read_fp_manifest,
     )
 
@@ -300,13 +299,14 @@ def ingest_media_batch(media: DataFrame, index_path: str,
         # per modality over the survivor set is already tier-routed
         fps = fp_fn(survivors).localCheckpoint(eager=True)
         try:
-            _read_fp_manifest(spark, path)
+            m = _read_fp_manifest(spark, path)
         except FileNotFoundError:
             write_fingerprint_index(
                 spark.createDataFrame([], fps.schema), path,
                 max_hamming=radius, id_col="media_id", fp_col=fp_col,
                 max_bucket=cap,
             )
+            m = _read_fp_manifest(spark, path)
         hits = dedup_fingerprints_against_index(
             fps, path, id_col="media_id"
         ).select(
@@ -320,18 +320,22 @@ def ingest_media_batch(media: DataFrame, index_path: str,
         # newly admitted would hand it downstream twice — measured on
         # the 1e5-image corpus's flat-template replay (BASELINE.md
         # r10). The presence read mirrors write_fingerprint_index's
-        # own append exclusion (id column only, batch ids broadcast).
-        try:
-            idx_ids = spark.read.parquet(
-                path.rstrip("/") + "/chunks"
-            ).select(F.col("id").alias("media_id"))
-            replayed = idx_ids.join(
-                F.broadcast(fps.select("media_id").distinct()),
-                "media_id", "left_semi",
-            ).withColumn("reject_reason", F.lit("corpus_dup"))
-            hits = hits.unionByName(replayed)
-        except AnalysisException:
-            pass  # no chunks dataset yet (tier's very first batch)
+        # own append exclusion (id column only, batch ids broadcast),
+        # and goes through the tier- and recovery-aware _read_chunks
+        # (metastore tier reads the table; a stranded mid-compaction
+        # swap is healed in-line) — a raw parquet read here would
+        # silently skip the check on the metastore tier and swallow
+        # genuine read failures as "first batch" (r10 ADVICE). The
+        # bootstrap write above guarantees the dataset exists, so any
+        # failure from here is a real error and raises.
+        idx_ids = _read_chunks(spark, path, m).select(
+            F.col("id").alias("media_id")
+        )
+        replayed = idx_ids.join(
+            F.broadcast(fps.select("media_id").distinct()),
+            "media_id", "left_semi",
+        ).withColumn("reject_reason", F.lit("corpus_dup"))
+        hits = hits.unionByName(replayed)
         hits = hits.distinct().localCheckpoint(eager=True)
         rejects = rejects.unionByName(hits)
         admitted_fps = fps.join(hits.select("media_id"), "media_id",
