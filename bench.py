@@ -76,6 +76,10 @@ HEADLINE = [
                                # distributed prefix sum; DECLARED r9)
     "q_chunk",                 # overlapping fixed-token chunking
                                # (map-only posexplode; DECLARED r9)
+    "q_bpe_pairs",             # BPE training's per-round primitive:
+                               # word-freq table -> adjacent-pair hash
+                               # agg -> deterministic argmax top-20
+                               # (DECLARED r11; 30-query headline)
 ]
 
 # Queries whose fn() runs EAGER Spark jobs at plan-build time (the

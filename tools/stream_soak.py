@@ -1,0 +1,414 @@
+"""Month-scale streaming soak for the three compact_every twins
+(VERDICT r10 next-round #5): hundreds of serial micro-batches through
+operators/incremental.py:streaming_ingest (MinHash),
+operators/fp_index.py:streaming_ingest_fingerprints and
+operators/semdedup.py:streaming_ingest_embeddings, with in-loop
+compaction (compact_every=25 by default), kill-and-restore at seeded
+random epochs, and FORCED engine replays (the newest checkpoint commit
+file is deleted before a restart, so Structured Streaming re-executes
+the last batch — the at-least-once path every twin's replay-safety
+contract is written against).
+
+Measured per twin: data-file counts over time (bounded by the in-loop
+compaction instead of growing per batch), probe latency sampled every
+`--sample-every` batches against the live index, and CONVERGENCE —
+after all batches + kills + replays, the index holds exactly the
+planted unique population once (planted duplicates rejected, replays
+admitted nothing twice).
+
+Usage:
+  python tools/stream_soak.py [--batches 500] [--compact-every 25]
+      [--twins minhash,fp,semantic] [--kills 5] [--rows-per-batch 6]
+      [--sample-every 100] [--out STREAM_SOAK.json]
+
+One JSON line per twin on stdout; the full record (latency series,
+file-count series, kill epochs) lands in --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def n_data_files(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        if ".compacting" in root or "_manifest" in root:
+            continue
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def force_replay(ckpt: str) -> int | None:
+    """Delete the newest commit marker so the restarted query
+    re-executes its last batch (at-least-once replay injection).
+    Returns the replayed batch id, or None when no batch committed."""
+    commits = os.path.join(ckpt, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    if not ids:
+        return None
+    newest = max(ids)
+    os.remove(os.path.join(commits, str(newest)))
+    return newest
+
+
+class TwinSoak:
+    """Drives one twin: phase-feed batch files -> processAllAvailable
+    -> (at kill epochs) stop, inject a forced replay, restart."""
+
+    name: str
+
+    def __init__(self, spark, root: str, compact_every: int,
+                 rows_per_batch: int):
+        self.spark = spark
+        self.root = root
+        self.src = os.path.join(root, "src")
+        self.ckpt = os.path.join(root, "ckpt")
+        self.idx = os.path.join(root, "idx")
+        self.compact_every = compact_every
+        self.rows = rows_per_batch
+        os.makedirs(self.src, exist_ok=True)
+
+    # --- twin-specific hooks -----------------------------------------
+    def batch_rows(self, batch_id: int) -> list:
+        raise NotImplementedError
+
+    def schema(self) -> str:
+        raise NotImplementedError
+
+    def start(self):
+        raise NotImplementedError
+
+    def probe_once(self) -> float:
+        raise NotImplementedError
+
+    def unique_population(self, n_batches: int) -> int:
+        raise NotImplementedError
+
+    def index_distinct_ids(self) -> int:
+        raise NotImplementedError
+
+    # --- driver -------------------------------------------------------
+    def write_batch(self, batch_id: int) -> None:
+        self.spark.createDataFrame(
+            self.batch_rows(batch_id), self.schema()
+        ).coalesce(1).write.parquet(
+            os.path.join(self.src, f"b{batch_id:05d}")
+        )
+
+    def stream_df(self):
+        return (
+            self.spark.readStream.schema(self.schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(self.src, "*"))
+        )
+
+    def run(self, n_batches: int, kills: int, sample_every: int,
+            seed: int = 11) -> dict:
+        rng = random.Random(seed)
+        kill_epochs = sorted(
+            rng.sample(range(2, n_batches - 1), kills)
+        ) if kills else []
+        record = {
+            "twin": self.name, "batches": n_batches,
+            "compact_every": self.compact_every,
+            "kill_epochs": kill_epochs, "replayed_batches": [],
+            "file_counts": [], "probe_latency_s": [],
+        }
+        q = self.start()
+        t_begin = time.perf_counter()
+        try:
+            for b in range(n_batches):
+                self.write_batch(b)
+                q.processAllAvailable()
+                if b in kill_epochs:
+                    q.stop()
+                    replayed = force_replay(self.ckpt)
+                    if replayed is not None:
+                        record["replayed_batches"].append(replayed)
+                    q = self.start()
+                    q.processAllAvailable()
+                if (b + 1) % sample_every == 0 or b == n_batches - 1:
+                    record["file_counts"].append(
+                        {"batch": b + 1, "files": n_data_files(self.idx)}
+                    )
+                    record["probe_latency_s"].append(
+                        {"batch": b + 1,
+                         "sec": round(self.probe_once(), 3)}
+                    )
+                    print(f"[{self.name}] batch {b + 1}/{n_batches} "
+                          f"files={record['file_counts'][-1]['files']} "
+                          f"probe={record['probe_latency_s'][-1]['sec']}s",
+                          file=sys.stderr)
+        finally:
+            q.stop()
+        record["wall_s"] = round(time.perf_counter() - t_begin, 1)
+        expected = self.unique_population(n_batches)
+        got = self.index_distinct_ids()
+        record["expected_unique"] = expected
+        record["index_distinct_ids"] = got
+        record["index_total_rows_per_id_ok"] = self.no_duplicate_ids()
+        record["converged"] = (got == expected
+                               and record["index_total_rows_per_id_ok"])
+        return record
+
+    def no_duplicate_ids(self) -> bool:
+        raise NotImplementedError
+
+
+class MinhashSoak(TwinSoak):
+    """Docs with disjoint per-id vocabulary; every 5th row replays an
+    EARLIER doc's text under a fresh id (a planted near-dup the index
+    must reject)."""
+
+    name = "minhash"
+
+    def _text(self, uid: int) -> str:
+        return " ".join(f"tok{uid}x{j}" for j in range(12))
+
+    def batch_rows(self, batch_id: int) -> list:
+        rows = []
+        for r in range(self.rows):
+            i = batch_id * self.rows + r
+            if i % 5 == 4 and i >= 5:
+                rows.append((1_000_000 + i, self._text(i - 5)))  # dup
+            else:
+                rows.append((i, self._text(i)))
+        return rows
+
+    def schema(self) -> str:
+        return "doc_id long, text string"
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.incremental import (
+            streaming_ingest,
+        )
+
+        return streaming_ingest(
+            self.stream_df(), self.idx, self.ckpt, threshold=0.5,
+            compact_every=self.compact_every,
+        )
+
+    def probe_once(self) -> float:
+        from web3_flight_rpc_server_spark.operators.incremental import (
+            dedup_against_index,
+        )
+
+        probe = self.spark.createDataFrame(
+            [(9_999_999, self._text(0)), (9_999_998, self._text(1))],
+            self.schema(),
+        )
+        t0 = time.perf_counter()
+        dedup_against_index(probe, self.idx, threshold=0.5).count()
+        return time.perf_counter() - t0
+
+    def unique_population(self, n_batches: int) -> int:
+        n = n_batches * self.rows
+        return sum(1 for i in range(n) if not (i % 5 == 4 and i >= 5))
+
+    def index_distinct_ids(self) -> int:
+        return (
+            self.spark.read.parquet(self.idx + "/shingles")
+            .select("doc_id").distinct().count()
+        )
+
+    def no_duplicate_ids(self) -> bool:
+        df = self.spark.read.parquet(self.idx + "/shingles")
+        return df.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+class FpSoak(TwinSoak):
+    """Distinct 64-bit fingerprints (id-derived, pairwise far apart);
+    every 5th row replays an earlier fingerprint under a fresh id."""
+
+    name = "fp"
+
+    def _fp(self, uid: int) -> int:
+        # spread bits so pairwise Hamming stays far above the radius
+        x = (uid * 0x9E3779B97F4A7C15) & 0x7FFFFFFFFFFFFFFF
+        return x
+
+    def batch_rows(self, batch_id: int) -> list:
+        rows = []
+        for r in range(self.rows):
+            i = batch_id * self.rows + r
+            if i % 5 == 4 and i >= 5:
+                rows.append((1_000_000 + i, self._fp(i - 5)))
+            else:
+                rows.append((i, self._fp(i)))
+        return rows
+
+    def schema(self) -> str:
+        return "media_id long, phash long"
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.fp_index import (
+            streaming_ingest_fingerprints,
+        )
+
+        return streaming_ingest_fingerprints(
+            self.stream_df(), self.idx, self.ckpt, max_hamming=6,
+            compact_every=self.compact_every,
+        )
+
+    def probe_once(self) -> float:
+        from web3_flight_rpc_server_spark.operators.fp_index import (
+            dedup_fingerprints_against_index,
+        )
+
+        probe = self.spark.createDataFrame(
+            [(9_999_999, self._fp(0)), (9_999_998, self._fp(1))],
+            self.schema(),
+        )
+        t0 = time.perf_counter()
+        dedup_fingerprints_against_index(
+            probe, self.idx, id_col="media_id"
+        ).count()
+        return time.perf_counter() - t0
+
+    def unique_population(self, n_batches: int) -> int:
+        n = n_batches * self.rows
+        return sum(1 for i in range(n) if not (i % 5 == 4 and i >= 5))
+
+    def index_distinct_ids(self) -> int:
+        return (
+            self.spark.read.parquet(self.idx + "/chunks")
+            .select("id").distinct().count()
+        )
+
+    def no_duplicate_ids(self) -> bool:
+        df = self.spark.read.parquet(self.idx + "/chunks")
+        return df.groupBy("id").count().where("count > 1").count() == 0
+
+
+class SemanticSoak(TwinSoak):
+    """Seeded random unit vectors (dim 16 — random pairs sit far below
+    the 0.92 threshold); every 5th row replays an earlier vector under
+    a fresh id (cosine 1.0 with its first copy -> rejected)."""
+
+    name = "semantic"
+    DIM = 16
+    _model = None
+
+    def _vec(self, uid: int) -> list[float]:
+        rng = random.Random(7_000_000 + uid)
+        v = [rng.gauss(0, 1) for _ in range(self.DIM)]
+        nrm = sum(x * x for x in v) ** 0.5
+        return [x / nrm for x in v]
+
+    def batch_rows(self, batch_id: int) -> list:
+        rows = []
+        for r in range(self.rows):
+            i = batch_id * self.rows + r
+            if i % 5 == 4 and i >= 5:
+                rows.append((1_000_000 + i, self._vec(i - 5)))
+            else:
+                rows.append((i, self._vec(i)))
+        return rows
+
+    def schema(self) -> str:
+        return "vec_id long, embedding array<double>"
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.kmeans import (
+            kmeans_fit,
+        )
+        from web3_flight_rpc_server_spark.operators.semdedup import (
+            streaming_ingest_embeddings,
+        )
+
+        # trained-index bootstrap needs a model; fit once on a seeded
+        # sample of the planted population (manifest wins on restarts)
+        if self._model is None:
+            sample = self.spark.createDataFrame(
+                [(i, self._vec(i)) for i in range(64)], self.schema()
+            )
+            self._model = kmeans_fit(sample, k=4)
+        return streaming_ingest_embeddings(
+            self.stream_df(), self.idx, self.ckpt, threshold=0.92,
+            model=self._model, compact_every=self.compact_every,
+        )
+
+    def probe_once(self) -> float:
+        from web3_flight_rpc_server_spark.operators.semdedup import (
+            dedup_embeddings_against_index,
+        )
+
+        probe = self.spark.createDataFrame(
+            [(9_999_999, self._vec(0)), (9_999_998, self._vec(1))],
+            self.schema(),
+        )
+        t0 = time.perf_counter()
+        dedup_embeddings_against_index(probe, self.idx, 0.92).count()
+        return time.perf_counter() - t0
+
+    def unique_population(self, n_batches: int) -> int:
+        n = n_batches * self.rows
+        return sum(1 for i in range(n) if not (i % 5 == 4 and i >= 5))
+
+    def index_distinct_ids(self) -> int:
+        return (
+            self.spark.read.parquet(self.idx + "/chunks")
+            .select("vec_id").distinct().count()
+        )
+
+    def no_duplicate_ids(self) -> bool:
+        df = self.spark.read.parquet(self.idx + "/chunks")
+        return df.groupBy("vec_id").count().where("count > 1").count() == 0
+
+
+TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=500)
+    ap.add_argument("--compact-every", type=int, default=25)
+    ap.add_argument("--twins", default="minhash,fp,semantic")
+    ap.add_argument("--kills", type=int, default=5)
+    ap.add_argument("--rows-per-batch", type=int, default=6)
+    ap.add_argument("--sample-every", type=int, default=100)
+    ap.add_argument("--workdir", default="/tmp/stream_soak")
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "STREAM_SOAK.json"))
+    args = ap.parse_args()
+
+    from web3_flight_rpc_server_spark.session import get_spark
+
+    spark = get_spark("stream-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    ok = True
+    for twin in args.twins.split(","):
+        root = os.path.join(args.workdir, twin)
+        shutil.rmtree(root, ignore_errors=True)
+        soak = TWINS[twin](spark, root, args.compact_every,
+                           args.rows_per_batch)
+        rec = soak.run(args.batches, args.kills, args.sample_every)
+        results.append(rec)
+        ok = ok and rec["converged"]
+        print(json.dumps({k: rec[k] for k in (
+            "twin", "batches", "wall_s", "converged", "expected_unique",
+            "index_distinct_ids", "replayed_batches", "kill_epochs")}))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

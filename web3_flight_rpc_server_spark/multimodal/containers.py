@@ -162,7 +162,15 @@ def probe_media(media):
     frame-header walk, MP4 from the box tree, SYNM from its header.
     Unknown payloads surface as format='unknown' rows rather than
     errors (triage must not die on one corrupt upload). Each field is
-    null where the format has no such concept."""
+    null where the format has no such concept.
+
+    The probe closure reaches module-level mp3_metadata/mp4_metadata,
+    so the package ships to workers first (UDFs capture the
+    python-includes list at CREATION — shipping later doesn't reach
+    already-built plans)."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
     import struct as _s
     from typing import Iterator
 

@@ -451,7 +451,9 @@ DECODED_SCHEMA = T.StructType(
 def decode_media(media: DataFrame) -> DataFrame:
     """Parse/validate the binary payload per row (Arrow-batched;
     partition-preserving). Real codecs are stubbed — see module doc."""
+    from ..session import ensure_package_on_workers
 
+    ensure_package_on_workers(media.sparkSession)
     _, _synm_decode = _codec()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -555,9 +557,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     new container); SYNM blobs keep the deterministic payload
     re-sampling. Non-image rows pass through untouched. Like the JPEG
     decode path, the real-format branches import the package on the
-    worker (ship via spark.submit.pyFiles on a real cluster); the SYNM
-    path stays fully by-value."""
+    worker (shipped via session.ensure_package_on_workers — the
+    local-mode twin of spark.submit.pyFiles); the SYNM path stays
+    fully by-value."""
+    from ..session import ensure_package_on_workers
 
+    ensure_package_on_workers(media.sparkSession)
     _synm_encode_unused, _synm_decode = _codec()
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -742,8 +747,12 @@ def audio_features(media: DataFrame) -> DataFrame:
     on before any expensive model runs — silence (rms ~ 0), test
     tones (centroid == dominant), clipped/noisy captures (high ZCR
     with flat spectrum). Rows whose payload is not RIFF/WAVE are
-    skipped (SYNM audio has no meaningful sample semantics). Fully
-    by-value: the closure carries only stdlib + numpy."""
+    skipped (SYNM audio has no meaningful sample semantics). The
+    closure reaches module-level _pcm_mono, so the package ships to
+    workers like the other real-decode paths."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -126,8 +126,13 @@ def perceptual_hash(media: DataFrame, method: str = "dhash",
     or ``"ahash"`` (8x8 thumb, bit = px > mean)."""
     if method not in ("dhash", "ahash"):
         raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    from ..session import ensure_package_on_workers
     from .media import _codec
 
+    # the decode path imports this package ON WORKERS (_gray_thumb ->
+    # media._resize_bilinear; real modules, not closure-sized helpers)
+    # — ship it so the import doesn't depend on the driver's cwd
+    ensure_package_on_workers(media.sparkSession)
     _, decode = _codec()
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -240,7 +245,10 @@ def audio_fingerprint(media: DataFrame,
     decodable WAV/AIFF row. Non-audio, undecodable, silent, or
     sub-50 ms rows are dropped (triage with probe_media / the rms gate
     of audio_features, don't crash the fingerprint pass)."""
+    from ..session import ensure_package_on_workers
     from .media import _pcm_mono
+
+    ensure_package_on_workers(media.sparkSession)
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

