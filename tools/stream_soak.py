@@ -61,6 +61,14 @@ def force_replay(ckpt: str) -> int | None:
         return None
     newest = max(ids)
     os.remove(os.path.join(commits, str(newest)))
+    # Hadoop's local ChecksumFs keeps a hidden `.N.crc` sidecar per
+    # commit file; leaving it behind makes the restarted query's
+    # commit rename fail with FileAlreadyExistsException, which Spark
+    # surfaces as the misleading "Multiple streaming queries are
+    # concurrently using <ckpt>/commits" error.
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     return newest
 
 
@@ -170,8 +178,11 @@ class TwinSoak:
 
 class MinhashSoak(TwinSoak):
     """Docs with disjoint per-id vocabulary; every 5th row replays an
-    EARLIER doc's text under a fresh id (a planted near-dup the index
-    must reject)."""
+    earlier ORIGINAL doc's payload (i - 4: always a non-dup row, so
+    its content is really in the index) under a fresh id — a planted
+    near-dup the index must reject. Replaying i - 5 would target
+    another dup row whose own payload was substituted, i.e. content
+    never ingested, and the "dup" would be legitimately admitted."""
 
     name = "minhash"
 
@@ -183,7 +194,7 @@ class MinhashSoak(TwinSoak):
         for r in range(self.rows):
             i = batch_id * self.rows + r
             if i % 5 == 4 and i >= 5:
-                rows.append((1_000_000 + i, self._text(i - 5)))  # dup
+                rows.append((1_000_000 + i, self._text(i - 4)))  # dup
             else:
                 rows.append((i, self._text(i)))
         return rows
@@ -245,7 +256,7 @@ class FpSoak(TwinSoak):
         for r in range(self.rows):
             i = batch_id * self.rows + r
             if i % 5 == 4 and i >= 5:
-                rows.append((1_000_000 + i, self._fp(i - 5)))
+                rows.append((1_000_000 + i, self._fp(i - 4)))
             else:
                 rows.append((i, self._fp(i)))
         return rows
@@ -289,8 +300,14 @@ class FpSoak(TwinSoak):
         )
 
     def no_duplicate_ids(self) -> bool:
+        # HmSearch pigeonhole blocking stores one row per 16-bit
+        # chunk_idx per fingerprint; "no duplicate entries" means no
+        # (id, chunk_idx) row appended twice
         df = self.spark.read.parquet(self.idx + "/chunks")
-        return df.groupBy("id").count().where("count > 1").count() == 0
+        return (
+            df.groupBy("id", "chunk_idx").count()
+            .where("count > 1").count() == 0
+        )
 
 
 class SemanticSoak(TwinSoak):
@@ -313,7 +330,7 @@ class SemanticSoak(TwinSoak):
         for r in range(self.rows):
             i = batch_id * self.rows + r
             if i % 5 == 4 and i >= 5:
-                rows.append((1_000_000 + i, self._vec(i - 5)))
+                rows.append((1_000_000 + i, self._vec(i - 4)))
             else:
                 rows.append((i, self._vec(i)))
         return rows
@@ -359,14 +376,21 @@ class SemanticSoak(TwinSoak):
         return sum(1 for i in range(n) if not (i % 5 == 4 and i >= 5))
 
     def index_distinct_ids(self) -> int:
+        # the semantic index is cell=N partition dirs at the root
+        # (no chunks/ subdir); _kmeans_manifest is underscore-ignored
         return (
-            self.spark.read.parquet(self.idx + "/chunks")
+            self.spark.read.parquet(self.idx)
             .select("vec_id").distinct().count()
         )
 
     def no_duplicate_ids(self) -> bool:
-        df = self.spark.read.parquet(self.idx + "/chunks")
-        return df.groupBy("vec_id").count().where("count > 1").count() == 0
+        # one vec_id legitimately lands in top_m cells; "no duplicate
+        # entries" means no (vec_id, cell) row appended twice
+        df = self.spark.read.parquet(self.idx)
+        return (
+            df.groupBy("vec_id", "cell").count()
+            .where("count > 1").count() == 0
+        )
 
 
 TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak}
