@@ -80,6 +80,13 @@ HEADLINE = [
                                # word-freq table -> adjacent-pair hash
                                # agg -> deterministic argmax top-20
                                # (DECLARED r11; 30-query headline)
+    "q_perplexity",            # bigram-LM fit + per-doc perplexity
+                               # (trained CCNet quality tier; r11,
+                               # undeclared oracle-parity)
+    "q_dsir",                  # DSIR hashed-ngram importance
+                               # resampling, Gumbel top-k (r11,
+                               # undeclared oracle-parity;
+                               # 32-query headline)
 ]
 
 # Queries whose fn() runs EAGER Spark jobs at plan-build time (the

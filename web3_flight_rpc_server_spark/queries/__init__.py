@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     dedup,
     grouping,
     joins,
+    lm,
     ranking,
     sampling,
     scans,

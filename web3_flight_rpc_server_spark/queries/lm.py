@@ -1,0 +1,158 @@
+"""LM-based curation queries (operators/lm.py): bigram-perplexity
+quality scoring and DSIR importance resampling, each with a full
+value-hash DuckDB oracle recomputing the model from raw text."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round4
+from ..registry import query
+from ..sources import tables
+
+# Shared oracle fragment: the cleaned token array per document —
+# string_split on space, lowercased, empties dropped (the q_vocab
+# tokenization contract all LM tiers share).
+_ARRS = """
+    arrs AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS arr
+        FROM documents
+    )"""
+
+
+@query(
+    "q_perplexity",
+    declared=False,
+    oracle=f"""
+    WITH{_ARRS},
+    pairs AS (
+        SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+    ),
+    big AS (
+        SELECT w1, w2, CAST(count(*) AS DOUBLE) AS n2
+        FROM pairs GROUP BY w1, w2
+    ),
+    ctx AS (SELECT w1, sum(n2) AS n1 FROM big GROUP BY w1),
+    vs AS (
+        SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        FROM (SELECT unnest(arr) AS tok FROM arrs)
+    ),
+    lps AS (
+        SELECT p.doc_id,
+               ln((coalesce(b.n2, 0) + 0.5)
+                  / (coalesce(c.n1, 0) + 0.5 * (SELECT v FROM vs))) AS lp
+        FROM pairs p
+        LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        LEFT JOIN ctx c ON p.w1 = c.w1
+    )
+    SELECT d.doc_id,
+           CAST(count(l.lp) AS BIGINT) AS n_bigrams,
+           floor(exp(-avg(l.lp)) * 10000 + 0.5) / 10000 AS ppl
+    FROM documents d LEFT JOIN lps l ON d.doc_id = l.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, trained tier (operators/lm.py):
+    fit an add-0.5 bigram model on the corpus, score every document's
+    perplexity under it. The oracle refits the identical model from
+    raw text — counts, smoothing, log-mean and exp all recomputed in
+    DuckDB, hash-parity per document. Extends C13 past the
+    model-free unigram tier (vocab.unigram_logprob_score)."""
+    from ..operators.lm import bigram_lm_fit, perplexity_score
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    lm = bigram_lm_fit(docs, add_k=0.5)
+    return (
+        perplexity_score(docs, lm)
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            round4(F.col("ppl")).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dsir",
+    declared=False,
+    oracle=f"""
+    WITH{_ARRS},
+    feats AS (
+        SELECT doc_id, f FROM (
+            SELECT doc_id, unnest(arr) AS f FROM arrs
+            UNION ALL
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS f
+            FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+        )
+    ),
+    fb AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b
+        FROM feats
+    ),
+    raw AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM fb GROUP BY b),
+    tgt AS (
+        SELECT fb.b, CAST(count(*) AS DOUBLE) AS ct
+        FROM fb JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en' GROUP BY fb.b
+    ),
+    tot AS (
+        SELECT (SELECT sum(cr) FROM raw) AS tr,
+               (SELECT sum(ct) FROM tgt) AS tt
+    ),
+    lam AS (
+        SELECT gs.b,
+               ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 512.0))
+               - ln((coalesce(r.cr, 0) + 1.0) / (tot.tr + 512.0)) AS lam
+        FROM (SELECT unnest(generate_series(0, 511)) AS b) gs
+        LEFT JOIN tgt t ON gs.b = t.b
+        LEFT JOIN raw r ON gs.b = r.b
+        CROSS JOIN tot
+    ),
+    w AS (
+        SELECT fb.doc_id, sum(lam.lam) AS log_w
+        FROM fb JOIN lam ON fb.b = lam.b GROUP BY fb.doc_id
+    ),
+    g AS (
+        SELECT doc_id, log_w,
+               log_w - ln(-ln(
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                       || ':dsir:7'), 1, 15))::BIGINT + 0.5)
+                   / 1152921504606846976.0)) AS gk
+        FROM w
+    ),
+    sel AS (
+        SELECT doc_id, log_w FROM g
+        ORDER BY gk DESC, doc_id ASC LIMIT 50
+    )
+    SELECT doc_id, floor(log_w * 10000 + 0.5) / 10000 AS log_w4
+    FROM sel ORDER BY doc_id
+    """,
+)
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/lm.py; Xie et al. 2023):
+    select 50 documents from the full pool to match the lang='en'
+    target distribution — hashed unigram+bigram multinomials over 512
+    buckets, add-1 smoothing, per-doc log importance weights, and a
+    deterministic Gumbel-top-k draw via the md5-bridge uniform. The
+    oracle replays every stage (feature hash, both multinomials, the
+    log-ratio table, weights, Gumbel keys, the top-50 cut) from raw
+    text; the returned weights hash-match per selected document.
+    Extends C19's mixture/split tier with distribution-matching
+    selection."""
+    from ..operators.lm import dsir_log_weights, dsir_resample
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, buckets=512, smoothing=1.0)
+    sel = dsir_resample(w, k=50, seed=7)
+    return sel.select(
+        "doc_id", round4(F.col("log_w")).alias("log_w4")
+    ).orderBy("doc_id")
