@@ -1,0 +1,108 @@
+"""Hashed-feature logistic-regression quality classifier
+(operators/classifier.py) vs a numpy reference on the identical
+feature matrix — full-batch GD is deterministic given the features,
+so the distributed fit must land on the reference weights to float
+accumulation error (machine-epsilon scale), not just 'close'."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from web3_flight_rpc_server_spark.operators.classifier import (
+    classifier_score,
+    hashed_doc_features,
+    logreg_fit,
+)
+
+BUCKETS = 256
+ITERS = 12
+LR = 1.0
+L2 = 1e-4
+
+
+def _corpus():
+    rng = random.Random(3)
+    good = ["alpha", "beta", "gamma", "good", "fine"]
+    bad = ["zeta", "noise", "junk", "bad", "ugly"]
+    rows = []
+    for i in range(120):
+        pool = good if i % 2 == 0 else bad
+        rows.append((i, " ".join(rng.choice(pool) for _ in range(15)),
+                     1 if i % 2 == 0 else 0))
+    rows.append((900, "", 0))  # token-free doc: anchors the bias only
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string, label int")
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return logreg_fit(docs, "label", buckets=BUCKETS, iters=ITERS,
+                      lr=LR, l2=L2)
+
+
+def _reference_fit(spark_feats, rows):
+    ids = sorted(i for i, _t, _y in rows)
+    idx = {d: j for j, d in enumerate(ids)}
+    X = np.zeros((len(ids), BUCKETS))
+    for r in spark_feats:
+        X[idx[r.doc_id], r.b] = 1.0 + math.log(r.cnt)
+    y = np.array([y for _i, _t, y in sorted(rows)], dtype=float)
+    w = np.zeros(BUCKETS)
+    b = 0.0
+    for _ in range(ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        r_ = p - y
+        w -= LR * ((X.T @ r_) / len(ids) + L2 * w)
+        b -= LR * r_.mean()
+    return X, w, b
+
+
+def test_fit_matches_numpy_reference(docs, model):
+    feats = hashed_doc_features(docs, BUCKETS).collect()
+    _X, w_ref, b_ref = _reference_fit(feats, _corpus())
+    assert float(np.abs(model.weights - w_ref).max()) < 1e-12
+    assert abs(model.bias - b_ref) < 1e-12
+
+
+def test_classifier_separates_planted_classes(spark, docs, model):
+    scored = classifier_score(docs, model.as_df(spark))
+    got = {r.doc_id: r.score
+           for r in scored.join(docs.select("doc_id"), "doc_id").collect()}
+    labels = {i: y for i, _t, y in _corpus()}
+    acc = sum(
+        1 for i, y in labels.items() if i != 900 and (got[i] > 0.5) == (y == 1)
+    ) / (len(labels) - 1)
+    assert acc == 1.0
+
+
+def test_token_free_doc_scores_at_bias(spark, docs, model):
+    scored = classifier_score(docs, model.as_df(spark))
+    got = {r.doc_id: r.score for r in scored.collect()}
+    assert got[900] == pytest.approx(
+        1.0 / (1.0 + math.exp(-model.bias)), rel=1e-12
+    )
+
+
+def test_persisted_model_scores_identically(spark, docs, model, tmp_path):
+    path = str(tmp_path / "clf")
+    model.as_df(spark).coalesce(1).write.parquet(path)
+    fresh = {r.doc_id: r.score
+             for r in classifier_score(docs, model.as_df(spark)).collect()}
+    loaded = {r.doc_id: r.score
+              for r in classifier_score(
+                  docs, spark.read.parquet(path)).collect()}
+    assert fresh == loaded
+
+
+def test_fit_rejects_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    with pytest.raises(ValueError, match="empty"):
+        logreg_fit(empty, "label", buckets=16, iters=1)

@@ -1,0 +1,181 @@
+"""Distributed quality classifier (C13 extension): logistic
+regression over hashed unigram+bigram bag-of-words features — the
+fastText-shaped discriminative tier modern curation pipelines train
+to score documents (DCLM, FineWeb-Edu style: label a small seed set,
+fit a linear model, score the whole pool). Sits above the generative
+tiers in operators/lm.py: DSIR reweights by a ratio of multinomials;
+this trains a discriminative boundary on the same feature map.
+
+Training is full-batch gradient descent where EVERY per-iteration
+quantity the cluster computes is bucket- or document-bounded:
+
+- The feature table (doc_id, b, cnt) is built once (one explode +
+  one hash agg) and persisted hash-partitioned by doc_id.
+- Margins: one broadcast join of the B-row weight table + a doc_id
+  agg that reuses the feature table's partitioning (no shuffle).
+- Gradient: residuals join back to features ON doc_id — co-partitioned
+  by construction, so the only shuffle per iteration is the B-bounded
+  map-side-combined gradient agg, and the only driver traffic is the
+  B-row gradient collect (the same driver-bounded-partials contract as
+  operators/kmeans.py's K x dim updates).
+
+So per iteration the cluster moves O(B) rows regardless of corpus
+size, and the model is a B+1 vector that broadcasts for scoring —
+the identical why-this-scales argument as DSIR's log-ratio table.
+Scoring is one broadcast join + one agg, all codegen, no UDFs.
+
+The md5-bridge feature hash (operators/lm.py:hashed_features) keeps
+scoring bit-replicable in DuckDB: q_quality_score persists the
+trained weights and its oracle recomputes every document's score from
+raw text + the weights table alone (the q_trained_cells at-rest
+pattern). Training itself is an iterative fixpoint SQL cannot
+express; it is reference-pinned against numpy in tests/test_classifier.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lm import hashed_features
+
+
+def hashed_doc_features(docs: DataFrame, buckets: int,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id_col, b, cnt): per-document hashed-feature occurrence
+    counts — the sparse design matrix, one row per nonzero."""
+    return (
+        hashed_features(docs, buckets, id_col, text_col)
+        .groupBy(id_col, "b")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+
+
+@dataclass(frozen=True)
+class LinearModel:
+    """Trained weights: ``w[b]`` per hash bucket plus an intercept."""
+
+    weights: np.ndarray  # shape (buckets,)
+    bias: float
+    buckets: int
+
+    def as_df(self, spark: SparkSession) -> DataFrame:
+        """B-row (b, w) weight table; the intercept rides as b = -1
+        so one parquet file carries the whole model."""
+        rows = [(int(b), float(w)) for b, w in enumerate(self.weights)]
+        rows.append((-1, float(self.bias)))
+        return spark.createDataFrame(rows, "b long, w double")
+
+
+def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
+               iters: int = 30, lr: float = 0.5, l2: float = 1e-4,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> LinearModel:
+    """Fit sigmoid(bias + sum_b w[b] * cnt[d, b]) to the 0/1
+    ``label_col`` by full-batch gradient descent (fixed ``iters`` —
+    no data-dependent stopping, so replays do identical work).
+    Documents with zero features still anchor the intercept through
+    their residual. Feature counts are log-damped (1 + ln cnt) so
+    high-count buckets in long documents don't drown the rest —
+    the standard tf damping."""
+    spark = docs.sparkSession
+    feats = hashed_doc_features(docs, buckets, id_col, text_col).select(
+        id_col, "b", (F.lit(1.0) + F.log("cnt")).alias("x")
+    )
+    labels = docs.select(
+        id_col, F.col(label_col).cast("double").alias("y")
+    )
+    # one materialization feeds every iteration; partitioned by doc
+    # so the margins agg and the residual join both reuse it
+    feats = feats.repartition(id_col).persist()
+    labels = labels.repartition(id_col).persist()
+    n = labels.count()  # also forces the persists
+    if n == 0:
+        raise ValueError("empty corpus")
+
+    w = np.zeros(buckets)
+    bias = 0.0
+    try:
+        for _ in range(iters):
+            w_df = F.broadcast(spark.createDataFrame(
+                [(int(b), float(v)) for b, v in enumerate(w) if v != 0.0]
+                or [(0, 0.0)],
+                "b long, w double",
+            ))
+            margins = (
+                feats.join(w_df, "b", "left")
+                .groupBy(id_col)
+                .agg(F.sum(
+                    F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")
+                ).alias("m"))
+            )
+            resid = labels.join(margins, id_col, "left").select(
+                id_col,
+                (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(
+                        -(F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(bias))
+                    ))
+                    - F.col("y")
+                ).alias("r"),
+            )
+            grad_rows = (
+                feats.join(resid, id_col)
+                .groupBy("b")
+                .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
+                .collect()  # <= buckets rows: driver-bounded partials
+            )
+            g = np.zeros(buckets)
+            for row in grad_rows:
+                g[row.b] = row.g
+            g_bias = resid.agg(F.sum("r")).collect()[0][0] or 0.0
+            w -= lr * (g / n + l2 * w)
+            bias -= lr * (g_bias / n)
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    return LinearModel(w, float(bias), buckets)
+
+
+def classifier_score(docs: DataFrame, model_df: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id_col, score): sigmoid quality score per document from a
+    (b, w) weight table (intercept at b = -1). One explode + one
+    broadcast join + one doc agg; documents with zero features keep
+    their row at sigmoid(bias) via the left join's null margin. The
+    model_df round-trips through parquet unchanged, so persisted
+    models score identically to fresh ones."""
+    # the feature hash's modulus must equal training's: recover it
+    # from the weight table itself (as_df always writes all B rows,
+    # zeros included) — a tiny eager count over the broadcast-sized
+    # model, so a persisted model is self-describing
+    buckets = model_df.where("b >= 0").count()
+    feats = hashed_doc_features(docs, buckets, id_col, text_col)
+    weighted = (
+        feats.select(id_col, "b", (F.lit(1.0) + F.log("cnt")).alias("x"))
+        .join(F.broadcast(model_df.where("b >= 0")), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+    )
+    bias_df = model_df.where("b = -1").select(
+        F.col("w").alias("__bias")
+    )
+    return (
+        docs.select(id_col)
+        .join(weighted, id_col, "left")
+        .crossJoin(F.broadcast(bias_df))
+        .select(
+            id_col,
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(
+                    -(F.coalesce(F.col("m"), F.lit(0.0)) + F.col("__bias"))
+                ))
+            ).alias("score"),
+        )
+    )

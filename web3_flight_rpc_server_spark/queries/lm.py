@@ -156,3 +156,82 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "doc_id", round4(F.col("log_w")).alias("log_w4")
     ).orderBy("doc_id")
+
+
+# the at-rest artifact q_quality_score trains/writes and its DuckDB
+# oracle reads back — per-process path, same rationale as
+# queries/vectors.py:_TRAINED_CELLS_PATH (the driver runs the Spark
+# query and its oracle in one process; concurrent sessions get
+# disjoint directories).
+import os as _os
+import tempfile as _tempfile
+
+_CLF_PATH = _os.path.join(
+    _tempfile.gettempdir(), f"w3frs_quality_clf_{_os.getpid()}"
+)
+
+
+@query(
+    "q_quality_score",
+    declared=False,
+    oracle=f"""
+    WITH{_ARRS},
+    feats AS (
+        SELECT doc_id, f FROM (
+            SELECT doc_id, unnest(arr) AS f FROM arrs
+            UNION ALL
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS f
+            FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+        )
+    ),
+    cnts AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM feats GROUP BY doc_id, b
+    ),
+    wt AS (
+        SELECT b, w FROM read_parquet('{_CLF_PATH}/*.parquet')
+        WHERE b >= 0
+    ),
+    bias AS (
+        SELECT w AS bw FROM read_parquet('{_CLF_PATH}/*.parquet')
+        WHERE b = -1
+    ),
+    m AS (
+        SELECT c.doc_id, sum(wt.w * (1 + ln(c.cnt))) AS m
+        FROM cnts c JOIN wt ON c.b = wt.b GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           floor((1.0 / (1.0 + exp(-(coalesce(m.m, 0)
+                  + (SELECT bw FROM bias))))) * 10000 + 0.5) / 10000
+               AS score
+    FROM documents d LEFT JOIN m USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (operators/classifier.py): logistic
+    regression over the DSIR feature map, fit distributively on the
+    corpus with lang='en' as the seed label (the DCLM/FineWeb-Edu
+    shape: small labeled seed -> linear scorer -> score the pool),
+    weights persisted at rest, every document scored by one broadcast
+    join. The oracle recomputes each score from raw text plus the
+    persisted weight table alone — feature hash, tf damping, margin
+    and sigmoid all replayed in DuckDB. Training itself is an
+    iterative fixpoint SQL cannot express; it is numpy-reference-
+    pinned (machine epsilon) in tests/test_classifier.py."""
+    from ..operators.classifier import classifier_score, logreg_fit
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "__y", (F.col("lang") == "en").cast("int")
+    )
+    model = logreg_fit(
+        labeled, "__y", buckets=512, iters=12, lr=1.0
+    )
+    model.as_df(spark).coalesce(1).write.mode("overwrite").parquet(_CLF_PATH)
+    weights = spark.read.parquet(_CLF_PATH)
+    return classifier_score(docs, weights).select(
+        "doc_id", round4(F.col("score")).alias("score")
+    ).orderBy("doc_id")
