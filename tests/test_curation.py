@@ -339,3 +339,106 @@ def test_semantic_gate_keeps_single_persisted_scan_plan(spark):
         assert "collect_list" not in plan
     finally:
         release_caches()
+
+
+def test_perplexity_gate_default_off_changes_nothing(spark, sf_dir):
+    """max_perplexity=None (the default every declared query runs
+    under) must leave the reject ledger bit-identical to a config
+    that never heard of the gate."""
+    from web3_flight_rpc_server_spark.pipelines.curation import curation_rejects
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    base = sorted((r.doc_id, r.reject_reason)
+                  for r in curation_rejects(docs).collect())
+    off = sorted((r.doc_id, r.reject_reason)
+                 for r in curation_rejects(
+                     docs, CurationConfig(max_perplexity=None)).collect())
+    assert base == off
+    assert "perplexity" not in {reason for _i, reason in base}
+
+
+def test_perplexity_gate_routes_by_standalone_score(spark, sf_dir):
+    """Gated run: the perplexity rejects are EXACTLY the quality-gate
+    survivors whose standalone round4 perplexity (model fit on those
+    same survivors — the stage-scoping contract) exceeds the ceiling;
+    first-failing-gate semantics hold; short docs pass."""
+    from web3_flight_rpc_server_spark.functions.rounding import round4
+    from web3_flight_rpc_server_spark.operators.lm import (
+        bigram_lm_fit,
+        perplexity_score,
+    )
+    from web3_flight_rpc_server_spark.pipelines.curation import curation_rejects
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    base = curation_rejects(docs)  # ungated: defines the early gates
+    early = {
+        r.doc_id for r in base.collect()
+        if r.reject_reason in ("lang", "quality")
+    }
+    survivors = docs.join(
+        spark.createDataFrame([(i,) for i in early] or [(-1,)],
+                              "doc_id long"),
+        "doc_id", "left_anti",
+    ).select("doc_id", "text")
+    lm = bigram_lm_fit(survivors)
+    scored = perplexity_score(survivors, lm).select(
+        "doc_id", round4(F.col("ppl")).alias("p4")
+    ).collect()
+    ppls = sorted(r.p4 for r in scored if r.p4 is not None)
+    assert ppls, "fixture corpus must have scoreable docs"
+    ceiling = ppls[int(len(ppls) * 0.8)]  # reject the worst ~20%
+    want = {r.doc_id for r in scored
+            if r.p4 is not None and r.p4 > ceiling}
+
+    got = curation_rejects(
+        docs, CurationConfig(max_perplexity=float(ceiling))
+    ).collect()
+    got_ppl = {r.doc_id for r in got if r.reject_reason == "perplexity"}
+    assert got_ppl == want
+    # first-failing-gate: no lang/quality reject is charged to it
+    assert not (got_ppl & early)
+    # ledger still partitions: no doc charged twice
+    ids = [r.doc_id for r in got]
+    assert len(ids) == len(set(ids))
+
+
+def test_perplexity_gate_accepts_external_model(spark, sf_dir):
+    """The CCNet deployment shape: a model trained on a REFERENCE
+    corpus scores the pool. A reference of clean English makes
+    the fixture's en docs cheap and everything the reference never
+    saw expensive — the gate must follow the external model's
+    verdicts, not the pool's self-fit."""
+    from web3_flight_rpc_server_spark.functions.rounding import round4
+    from web3_flight_rpc_server_spark.operators.lm import (
+        bigram_lm_fit,
+        perplexity_score,
+    )
+    from web3_flight_rpc_server_spark.pipelines.curation import curation_rejects
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    lm = bigram_lm_fit(ref)
+
+    base = curation_rejects(docs)
+    early = {
+        r.doc_id for r in base.collect()
+        if r.reject_reason in ("lang", "quality")
+    }
+    survivors = docs.join(
+        spark.createDataFrame([(i,) for i in early] or [(-1,)],
+                              "doc_id long"),
+        "doc_id", "left_anti",
+    ).select("doc_id", "text")
+    scored = perplexity_score(survivors, lm).select(
+        "doc_id", round4(F.col("ppl")).alias("p4")
+    ).collect()
+    ppls = sorted(r.p4 for r in scored if r.p4 is not None)
+    ceiling = ppls[len(ppls) // 2]
+    want = {r.doc_id for r in scored
+            if r.p4 is not None and r.p4 > ceiling}
+
+    got = curation_rejects(
+        docs, CurationConfig(max_perplexity=float(ceiling)), ppl_model=lm
+    ).collect()
+    assert {r.doc_id for r in got
+            if r.reject_reason == "perplexity"} == want

@@ -50,8 +50,8 @@ from ..operators.dedup import (
 from ..sources import tables
 
 REJECT_ORDER = (
-    "lang", "quality", "exact_dup", "near_dup", "semantic_dup",
-    "contaminated", "blocklist",
+    "lang", "quality", "perplexity", "exact_dup", "near_dup",
+    "semantic_dup", "contaminated", "blocklist",
 )
 
 
@@ -88,6 +88,18 @@ class CurationConfig:
     semantic_dim: int = 64
     semantic_top_m: int = 2
     semantic_max_cell: int | None = None
+    # LM-perplexity gate (CCNet tier, operators/lm.py): reject docs
+    # whose 4-decimal-rounded bigram perplexity exceeds the ceiling —
+    # gibberish and wrong-register text the heuristic quality score
+    # misses. None (default) disables the gate entirely; when active,
+    # the model is the caller-passed ppl_model (a reference-corpus
+    # BigramLM, the CCNet deployment shape) or, absent that, fit on
+    # the quality-gate survivors themselves (self-scored: outliers
+    # against the corpus's own distribution). Documents with fewer
+    # than two tokens have no defined perplexity and PASS — the same
+    # can't-judge-admits contract as the embeddings-absent semantic
+    # gate.
+    max_perplexity: float | None = None
     # Hot-bucket cap for the LSH tier's band-bucket join
     # (operators/dedup.py:lsh_candidate_pairs): a band bucket holding
     # m docs contributes m^2/2 candidates, and template-heavy corpora
@@ -130,7 +142,8 @@ def _quality(text_col, toks) -> Column:
 def curation_rejects(docs: DataFrame,
                      cfg: CurationConfig = CurationConfig(),
                      pairs_fn=None, with_quarantine: bool = False,
-                     embeddings: DataFrame | None = None):
+                     embeddings: DataFrame | None = None,
+                     ppl_model=None):
     """(doc_id, reject_reason) for every rejected doc — the funnel's
     loss ledger. Docs absent from the result survive every gate.
 
@@ -193,6 +206,26 @@ def curation_rejects(docs: DataFrame,
         "doc_id", F.lit("quality").alias("reject_reason")
     )
     s2 = s1.where(F.col("__q") >= cfg.min_quality)
+
+    # LM-perplexity gate (optional, CCNet tier): score the quality
+    # survivors under ppl_model (or a model fit on those survivors —
+    # stage scoping: lang/quality rejects neither train nor drag down
+    # the distribution). round4 keeps the threshold decision identical
+    # across engines, like the quality gate; NULL ppl (< 2 tokens)
+    # fails the > comparison and passes.
+    if cfg.max_perplexity is not None:
+        from ..operators.lm import bigram_lm_fit, perplexity_score
+
+        base2 = s2.select("doc_id", "text")
+        lm = ppl_model if ppl_model is not None else bigram_lm_fit(base2)
+        ppl_losers = (
+            perplexity_score(base2, lm)
+            .where(round4(F.col("ppl")) > cfg.max_perplexity)
+            .select("doc_id", F.lit("perplexity").alias("reject_reason"))
+        )
+        s2 = s2.join(ppl_losers.select("doc_id"), "doc_id", "left_anti")
+    else:
+        ppl_losers = None
 
     # exact dedup: min-id-per-key, then join the docs back on the key
     # and reject everyone but the keeper. Two shuffles on the same
@@ -309,6 +342,8 @@ def curation_rejects(docs: DataFrame,
     )
     if sem_losers is not None:
         rejects = rejects.unionByName(sem_losers)
+    if ppl_losers is not None:
+        rejects = rejects.unionByName(ppl_losers)
     return (rejects, quarantine) if with_quarantine else rejects
 
 
