@@ -177,14 +177,16 @@ def dsir_docs(spark):
 def weights(dsir_docs):
     target = dsir_docs.where(f"doc_id IN {tuple(TARGET_IDS)}")
     return dsir_log_weights(
-        dsir_docs, target, buckets=BUCKETS, smoothing=SMOOTH
+        dsir_docs, target, buckets=BUCKETS, smoothing=SMOOTH,
+        hasher="md5",
     )
 
 
 def test_feature_hash_matches_reference(dsir_docs):
     got = sorted(
         (r.doc_id, r.b)
-        for r in hashed_features(dsir_docs, BUCKETS).collect()
+        for r in hashed_features(dsir_docs, BUCKETS,
+                                 hasher="md5").collect()
     )
     ref = sorted(
         (i, b) for i, t in DSIR_CORPUS for b in _feats(t)
@@ -222,3 +224,19 @@ def test_resample_is_deterministic_gumbel_topk(weights):
 def test_dsir_rejects_nonpositive_smoothing(dsir_docs):
     with pytest.raises(ValueError, match="smoothing"):
         dsir_log_weights(dsir_docs, dsir_docs, smoothing=0.0)
+
+
+def test_hashed_features_rejects_unknown_hasher(dsir_docs):
+    with pytest.raises(ValueError, match="hasher"):
+        hashed_features(dsir_docs, BUCKETS, hasher="crc32").collect()
+
+
+def test_production_hasher_ranks_same_direction(dsir_docs):
+    """The xxhash64 production tier is a different bucket assignment,
+    not a different algorithm: target-flavored docs must still
+    outweigh off-target ones."""
+    target = dsir_docs.where(f"doc_id IN {tuple(TARGET_IDS)}")
+    got = {r.doc_id: r.log_w for r in dsir_log_weights(
+        dsir_docs, target, buckets=BUCKETS, smoothing=SMOOTH
+    ).collect()}
+    assert min(got[i] for i in (1, 2, 6)) > max(got[i] for i in (3, 4))

@@ -45,11 +45,14 @@ from .lm import hashed_features
 
 def hashed_doc_features(docs: DataFrame, buckets: int,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        hasher: str = "xxhash64") -> DataFrame:
     """(id_col, b, cnt): per-document hashed-feature occurrence
-    counts — the sparse design matrix, one row per nonzero."""
+    counts — the sparse design matrix, one row per nonzero.
+    ``hasher`` as in operators/lm.py:hashed_features (xxhash64
+    production tier, md5 oracle bridge); fit and score must agree."""
     return (
-        hashed_features(docs, buckets, id_col, text_col)
+        hashed_features(docs, buckets, id_col, text_col, hasher)
         .groupBy(id_col, "b")
         .agg(F.count("*").cast("double").alias("cnt"))
     )
@@ -73,8 +76,8 @@ class LinearModel:
 
 def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
                iters: int = 30, lr: float = 0.5, l2: float = 1e-4,
-               id_col: str = "doc_id",
-               text_col: str = "text") -> LinearModel:
+               id_col: str = "doc_id", text_col: str = "text",
+               hasher: str = "xxhash64") -> LinearModel:
     """Fit sigmoid(bias + sum_b w[b] * cnt[d, b]) to the 0/1
     ``label_col`` by full-batch gradient descent (fixed ``iters`` —
     no data-dependent stopping, so replays do identical work).
@@ -83,7 +86,8 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
     high-count buckets in long documents don't drown the rest —
     the standard tf damping."""
     spark = docs.sparkSession
-    feats = hashed_doc_features(docs, buckets, id_col, text_col).select(
+    feats = hashed_doc_features(docs, buckets, id_col, text_col,
+                                hasher).select(
         id_col, "b", (F.lit(1.0) + F.log("cnt")).alias("x")
     )
     labels = docs.select(
@@ -142,8 +146,8 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
 
 
 def classifier_score(docs: DataFrame, model_df: DataFrame,
-                     id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     id_col: str = "doc_id", text_col: str = "text",
+                     hasher: str = "xxhash64") -> DataFrame:
     """(id_col, score): sigmoid quality score per document from a
     (b, w) weight table (intercept at b = -1). One explode + one
     broadcast join + one doc agg; documents with zero features keep
@@ -155,7 +159,7 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
     # zeros included) — a tiny eager count over the broadcast-sized
     # model, so a persisted model is self-describing
     buckets = model_df.where("b >= 0").count()
-    feats = hashed_doc_features(docs, buckets, id_col, text_col)
+    feats = hashed_doc_features(docs, buckets, id_col, text_col, hasher)
     weighted = (
         feats.select(id_col, "b", (F.lit(1.0) + F.log("cnt")).alias("x"))
         .join(F.broadcast(model_df.where("b >= 0")), "b")

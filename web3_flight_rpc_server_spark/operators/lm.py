@@ -170,10 +170,22 @@ def perplexity_score(docs: DataFrame, lm: BigramLM,
 
 def hashed_features(docs: DataFrame, buckets: int,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hasher: str = "xxhash64") -> DataFrame:
     """(id_col, b): one row per token occurrence and per adjacent-pair
-    occurrence, hashed into ``buckets`` via the md5 bridge — DSIR's
-    unigram+bigram bag-of-words feature map, bit-replicable in SQL."""
+    occurrence, hashed into ``buckets`` — DSIR's unigram+bigram
+    bag-of-words feature map.
+
+    ``hasher`` follows the fingerprint operators' two-tier convention
+    (functions/hashing.py): ``"xxhash64"`` (default) is the production
+    hash — one JVM codegen call, measured ~10x cheaper than the bridge
+    on the feature firehose (+0.4 s vs +4.3 s per 25M-feature pass at
+    sf1); ``"md5"`` is the oracle-bridge tier the q_dsir /
+    q_quality_score declared artifacts use so DuckDB can recompute
+    the identical buckets. Bucket QUALITY is equivalent (both uniform);
+    only cross-engine replicability differs. Training and scoring must
+    use the same hasher — the classifier stores its choice nowhere,
+    by the same caller's-contract as the fingerprint ops."""
     toks = _clean_tokens(text_col)
     feats = F.concat(
         toks,
@@ -182,17 +194,22 @@ def hashed_features(docs: DataFrame, buckets: int,
             lambda p: F.concat(p["w1"], F.lit(" "), p["w2"]),
         ),
     )
+    if hasher == "md5":
+        b = md5_prefix60(F.col("f")) % F.lit(buckets)
+    elif hasher == "xxhash64":
+        b = F.pmod(F.xxhash64(F.col("f")), F.lit(buckets))
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
     return docs.select(
         F.col(id_col), F.explode(feats).alias("f")
-    ).select(
-        id_col, (md5_prefix60(F.col("f")) % F.lit(buckets)).alias("b")
-    )
+    ).select(id_col, b.alias("b"))
 
 
 def dsir_log_weights(candidates: DataFrame, target: DataFrame,
                      buckets: int = 512, smoothing: float = 1.0,
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     hasher: str = "xxhash64") -> DataFrame:
     """Per-candidate log importance weight
 
         ln w(x) = sum over x's feature occurrences of
@@ -220,8 +237,8 @@ def dsir_log_weights(candidates: DataFrame, target: DataFrame,
     # the dedup cache ledger: hosts call release_caches() after the
     # consuming action, same contract as every dedup tier.
     cand_f = _persisted(hashed_features(candidates, buckets, id_col,
-                                        text_col))
-    tgt_f = hashed_features(target, buckets, id_col, text_col)
+                                        text_col, hasher))
+    tgt_f = hashed_features(target, buckets, id_col, text_col, hasher)
 
     raw_cnt = cand_f.groupBy("b").agg(
         F.count("*").cast("double").alias("cr")

@@ -151,7 +151,8 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load_table(spark, sf_dir, "documents")
     target = docs.where(F.col("lang") == "en")
-    w = dsir_log_weights(docs, target, buckets=512, smoothing=1.0)
+    w = dsir_log_weights(docs, target, buckets=512, smoothing=1.0,
+                         hasher="md5")
     sel = dsir_resample(w, k=50, seed=7)
     return sel.select(
         "doc_id", round4(F.col("log_w")).alias("log_w4")
@@ -228,10 +229,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__y", (F.col("lang") == "en").cast("int")
     )
     model = logreg_fit(
-        labeled, "__y", buckets=512, iters=12, lr=1.0
+        labeled, "__y", buckets=512, iters=12, lr=1.0, hasher="md5"
     )
     model.as_df(spark).coalesce(1).write.mode("overwrite").parquet(_CLF_PATH)
     weights = spark.read.parquet(_CLF_PATH)
-    return classifier_score(docs, weights).select(
+    return classifier_score(docs, weights, hasher="md5").select(
         "doc_id", round4(F.col("score")).alias("score")
     ).orderBy("doc_id")
