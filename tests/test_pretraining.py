@@ -116,3 +116,80 @@ def test_samples_cover_all_tokens_of_long_docs(spark):
     for r in by_doc["1"]:
         covered.update(r.text.split())
     assert covered == set(text.split())
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-aware assembly (build_tokenized_dataset)
+# ---------------------------------------------------------------------------
+
+
+def _collect_tokenized(spark, sf_dir, **kw):
+    from web3_flight_rpc_server_spark.pipelines.pretraining import (
+        build_tokenized_dataset,
+    )
+
+    packed, vocab, stats = build_tokenized_dataset(
+        spark, sf_dir, budget=BUDGET, max_tokens=MAX_TOKENS,
+        overlap=OVERLAP, num_merges=40, **kw,
+    )
+    rows = packed.collect()
+    v = vocab.collect()
+    release_caches()
+    return rows, v, stats
+
+
+def test_tokenized_conservation_in_id_space(spark, sf_dir):
+    """Packing runs over REAL subword counts: every sample's pack
+    length equals size(token_ids), the stream is gapless in id space,
+    and no OOV ids appear (the vocab was trained on this corpus)."""
+    rows, vocab, _ = _collect_tokenized(spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.n_tokens == len(r.token_ids), r.sample_id
+        assert all(t >= 0 for t in r.token_ids), r.sample_id
+    srt = sorted(rows, key=lambda r: r.sample_id)
+    pos = 0
+    for r in srt:
+        assert r.start_bin * BUDGET + r.start_offset == pos, r.sample_id
+        pos += r.n_tokens
+    # total == sum of encoded lengths, not the whitespace proxy
+    assert pos == sum(len(r.token_ids) for r in rows)
+    ids = {t for r in rows for t in r.token_ids}
+    assert ids <= {v_.token_id for v_ in vocab}
+
+
+def test_tokenized_replay_is_deterministic(spark, sf_dir):
+    a, _va, _ = _collect_tokenized(spark, sf_dir)
+    b, _vb, _ = _collect_tokenized(spark, sf_dir)
+    key = lambda rows: sorted(
+        (r.sample_id, r.start_bin, r.start_offset, tuple(r.token_ids))
+        for r in rows
+    )
+    assert key(a) == key(b)
+
+
+def test_pack_by_precomputed_column_matches_default(spark):
+    """n_tokens_col with whitespace counts must reproduce the default
+    path bit-for-bit — the option changes the SOURCE of lengths, not
+    the arithmetic."""
+    from pyspark.sql import functions as F
+
+    from web3_flight_rpc_server_spark.functions.text import tokens
+    from web3_flight_rpc_server_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, None), (4, "f g h i j")],
+        "doc_id long, text string",
+    )
+    default = pack_sequences(docs, budget=4).collect()
+    pre = docs.withColumn(
+        "__n",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(tokens("text"))),
+    )
+    via_col = pack_sequences(pre, budget=4, n_tokens_col="__n").collect()
+    release_caches()
+    assert sorted(map(tuple, default)) == sorted(
+        (r.doc_id, r.n_tokens, r.start_bin, r.start_offset)
+        for r in via_col
+    )

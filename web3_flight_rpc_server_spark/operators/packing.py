@@ -43,11 +43,18 @@ from ..functions.text import tokens
 
 def pack_sequences(docs: DataFrame, budget: int = 2048,
                    id_col: str = "doc_id", text_col: str = "text",
-                   partitions: int | None = None) -> DataFrame:
+                   partitions: int | None = None,
+                   n_tokens_col: str | None = None) -> DataFrame:
     """(id, n_tokens, start_bin, start_offset) under concatenate-and-
     cut packing in ``id_col`` order. A document with
     start_offset + n_tokens > budget spans into the next bin(s) —
-    exactly what a packed-pretraining writer does."""
+    exactly what a packed-pretraining writer does.
+
+    ``n_tokens_col`` names a precomputed length column to pack by —
+    the tokenizer-aware path: a corpus encoded with bpe_encode_ids
+    packs by ``size(token_ids)`` (real subword counts), not the
+    whitespace proxy. Null lengths pack as 0 tokens, same convention
+    as null text."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     spark = docs.sparkSession
@@ -57,12 +64,20 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     # null that the window skips while downstream math propagates it).
     # Branch on the text itself so the convention is explicit: null
     # text packs as 0 tokens, mirrored in the oracle SQL.
-    toked = docs.select(
-        id_col,
-        F.when(F.col(text_col).isNull(), F.lit(0).cast("long"))
-        .otherwise(F.size(tokens(text_col)).cast("long"))
-        .alias("n_tokens"),
-    )
+    if n_tokens_col is not None:
+        toked = docs.select(
+            id_col,
+            F.coalesce(
+                F.col(n_tokens_col).cast("long"), F.lit(0).cast("long")
+            ).alias("n_tokens"),
+        )
+    else:
+        toked = docs.select(
+            id_col,
+            F.when(F.col(text_col).isNull(), F.lit(0).cast("long"))
+            .otherwise(F.size(tokens(text_col)).cast("long"))
+            .alias("n_tokens"),
+        )
     parted = toked.repartitionByRange(p, id_col).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -132,3 +132,76 @@ def build_pretraining_dataset(spark: SparkSession, sf_dir: str,
     if out_dir is not None:
         sharded.write.partitionBy("shard").mode("overwrite").parquet(out_dir)
     return sharded, stats
+
+
+def build_tokenized_dataset(spark: SparkSession, sf_dir: str,
+                            out_dir: str | None = None,
+                            budget: int = 2048, max_tokens: int = 512,
+                            overlap: int = 64,
+                            bins_per_shard: int = 16,
+                            num_merges: int = 200,
+                            cfg: CurationConfig = CurationConfig(),
+                            ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The tokenizer-aware assembly: curate -> chunk -> TRAIN a BPE
+    tokenizer on the curated samples -> encode every sample to token
+    ids -> pack by REAL subword counts -> shard. Returns
+    (packed, vocab, stats) where ``packed`` carries each sample's
+    ``token_ids`` (array<long>) next to its (n_tokens, start_bin,
+    start_offset, shard) write plan — a writer emits the physical
+    fixed-length sequences from this mapping alone — ``vocab`` is the
+    id space (bpe_vocab) an embedding table keys on, and ``stats`` the
+    curation ledger.
+
+    This is the composition the r11 pieces exist for: the whitespace
+    tier (build_pretraining_dataset) packs by a token-count PROXY;
+    trainers consume subword ids, and chunk/sequence budgets in
+    subword space differ from whitespace space by the fertility
+    factor. Chunking still windows by whitespace tokens (the chunk
+    boundary is a pre-tokenization decision — the window must cut at
+    word boundaries the encoder respects, and BPE never merges across
+    whitespace, so every chunk encodes independently); packing then
+    uses the encoded lengths, so token conservation holds in ID space:
+    sum(size(token_ids)) == packed stream total (pinned in
+    tests/test_pretraining.py).
+
+    Scale shape: one extra corpus pass over build_pretraining_dataset
+    (the Arrow-batched encode); bpe_fit's merge loop is bounded by
+    DISTINCT words (operators/vocab.py); the vocabulary (chars +
+    num_merges rows) rides the encode closure by value. Training on
+    the curated TRAIN split only — the tokenizer is part of the model
+    artifact and must not see held-out text."""
+    from ..operators.vocab import (
+        bpe_encode_ids,
+        bpe_fit,
+        bpe_vocab,
+        bpe_word_freqs,
+    )
+
+    curated, stats = curate(spark, sf_dir, cfg=cfg)
+    train = curated.where(F.col("split") == "train")
+    samples = samples_from_documents(
+        train, max_tokens, overlap, text_col="text"
+    )
+    # the sample table feeds tokenizer training, encoding AND the
+    # pack — persist once on the shared ledger (hosts release with
+    # release_caches(), the dedup-module contract)
+    from ..operators.dedup import _persisted
+
+    samples = _persisted(samples)
+    merges = bpe_fit(samples, num_merges, text_col="text", min_freq=2)
+    vocab = bpe_vocab(merges, bpe_word_freqs(samples))
+    enc = bpe_encode_ids(samples, merges, vocab, text_col="text")
+    enc = enc.withColumn("n_bpe", F.size("token_ids"))
+    packed = pack_sequences(
+        enc, budget, id_col="sample_id", n_tokens_col="n_bpe"
+    )
+    sharded = (
+        packed.join(enc.select("sample_id", "token_ids"), "sample_id")
+        .withColumn(
+            "shard",
+            F.floor(F.col("start_bin") / bins_per_shard).cast("int"),
+        )
+    )
+    if out_dir is not None:
+        sharded.write.partitionBy("shard").mode("overwrite").parquet(out_dir)
+    return sharded, vocab, stats
