@@ -74,21 +74,34 @@ class LinearModel:
         return spark.createDataFrame(rows, "b long, w double")
 
 
+def _damp(cnt_col, damping: str):
+    if damping == "log":
+        return F.lit(1.0) + F.log(cnt_col)
+    if damping == "none":
+        return cnt_col
+    raise ValueError(f"unknown damping: {damping!r}")
+
+
 def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
                iters: int = 30, lr: float = 0.5, l2: float = 1e-4,
                id_col: str = "doc_id", text_col: str = "text",
-               hasher: str = "xxhash64") -> LinearModel:
+               hasher: str = "xxhash64",
+               damping: str = "log") -> LinearModel:
     """Fit sigmoid(bias + sum_b w[b] * cnt[d, b]) to the 0/1
     ``label_col`` by full-batch gradient descent (fixed ``iters`` —
     no data-dependent stopping, so replays do identical work).
     Documents with zero features still anchor the intercept through
     their residual. Feature counts are log-damped (1 + ln cnt) so
     high-count buckets in long documents don't drown the rest —
-    the standard tf damping."""
+    the standard tf damping. ``damping="none"`` uses raw counts: the
+    margin becomes a PURE per-occurrence sum over features, which is
+    what the stateless in-row streaming gate
+    (classifier_margin_expr) can evaluate without any aggregation —
+    train with "none" when the model must gate a stream."""
     spark = docs.sparkSession
     feats = hashed_doc_features(docs, buckets, id_col, text_col,
                                 hasher).select(
-        id_col, "b", (F.lit(1.0) + F.log("cnt")).alias("x")
+        id_col, "b", _damp(F.col("cnt"), damping).alias("x")
     )
     labels = docs.select(
         id_col, F.col(label_col).cast("double").alias("y")
@@ -147,7 +160,8 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
 
 def classifier_score(docs: DataFrame, model_df: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
-                     hasher: str = "xxhash64") -> DataFrame:
+                     hasher: str = "xxhash64",
+                     damping: str = "log") -> DataFrame:
     """(id_col, score): sigmoid quality score per document from a
     (b, w) weight table (intercept at b = -1). One explode + one
     broadcast join + one doc agg; documents with zero features keep
@@ -161,7 +175,7 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
     buckets = model_df.where("b >= 0").count()
     feats = hashed_doc_features(docs, buckets, id_col, text_col, hasher)
     weighted = (
-        feats.select(id_col, "b", (F.lit(1.0) + F.log("cnt")).alias("x"))
+        feats.select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
         .join(F.broadcast(model_df.where("b >= 0")), "b")
         .groupBy(id_col)
         .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
@@ -182,4 +196,61 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
                 ))
             ).alias("score"),
         )
+    )
+
+
+def classifier_margin_expr(model: LinearModel, text_col: str = "text",
+                           hasher: str = "xxhash64"):
+    """The model's margin as a PURE ROW EXPRESSION — no explode, no
+    aggregation, no state — so a trained classifier can gate an
+    unbounded stream (pipelines/streaming_curation.py) or sit inside
+    any row-level predicate.
+
+    Only exact for ``damping="none"`` models: the in-row form is
+    sum over feature OCCURRENCES of w[bucket(f)], which equals the
+    batch scorer's per-bucket sum exactly when x = cnt (a log-damped
+    margin needs per-bucket counts, i.e. an aggregation). The weight
+    vector rides the plan as a B-element array literal (one
+    CreateArray node — B is model-bounded, the same broadcast-sized
+    argument as everywhere else this model appears)."""
+    warr = F.array(*[F.lit(float(x)) for x in model.weights])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    m = F.size(toks) - 1
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m), F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    from .lm import md5_prefix60 as _md5
+
+    if hasher == "md5":
+        bucket = lambda f: _md5(f) % F.lit(model.buckets)  # noqa: E731
+    elif hasher == "xxhash64":
+        bucket = lambda f: F.pmod(  # noqa: E731
+            F.xxhash64(f), F.lit(model.buckets)
+        )
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    return F.aggregate(
+        feats,
+        F.lit(float(model.bias)),
+        lambda acc, f: acc + F.element_at(
+            warr, (bucket(f) + 1).cast("int")
+        ),
+    )
+
+
+def classifier_score_expr(model: LinearModel, text_col: str = "text",
+                          hasher: str = "xxhash64"):
+    """sigmoid(margin) as a row expression — the streaming gate's
+    score column. Same exactness contract as classifier_margin_expr
+    (damping="none" models only)."""
+    return F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-classifier_margin_expr(model, text_col, hasher))
     )

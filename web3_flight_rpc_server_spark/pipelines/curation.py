@@ -100,6 +100,14 @@ class CurationConfig:
     # can't-judge-admits contract as the embeddings-absent semantic
     # gate.
     max_perplexity: float | None = None
+    # Trained-classifier floor for the STREAMING gate tier
+    # (pipelines/streaming_curation.py:gate_stream with a clf_model):
+    # survivors need round4(sigmoid(margin)) >= this. None disables.
+    # The batch funnel's trained tier is the perplexity gate above;
+    # the classifier gate is the stateless in-row shape a stream can
+    # evaluate (operators/classifier.py:classifier_score_expr,
+    # damping="none" models).
+    min_clf_score: float | None = None
     # Hot-bucket cap for the LSH tier's band-bucket join
     # (operators/dedup.py:lsh_candidate_pairs): a band bucket holding
     # m docs contributes m^2/2 candidates, and template-heavy corpora

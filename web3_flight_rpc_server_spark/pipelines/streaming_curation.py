@@ -41,13 +41,22 @@ def dup_bigram_frac(toks) -> F.Column:
 
 def gate_stream(docs: DataFrame,
                 cfg: CurationConfig = CurationConfig(),
-                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+                keep_cols: tuple[str, ...] = (),
+                clf_model=None) -> DataFrame:
     """Apply the funnel's stateless gates to a (streaming or batch)
     documents relation; survivors keep doc_id/text/lang plus the
     rounded quality score, the order-insensitive fingerprint, and any
-    ``keep_cols`` passed through (e.g. the event-time column)."""
+    ``keep_cols`` passed through (e.g. the event-time column).
+
+    ``clf_model`` (a damping="none" operators/classifier.py
+    LinearModel) plus ``cfg.min_clf_score`` activates the TRAINED
+    quality gate as one more stateless predicate: the margin is a
+    pure row expression (classifier_score_expr — the weight vector is
+    a B-element literal, no aggregation, no state), so the same
+    DCLM-style scorer that filters the batch pool gates the ingest
+    stream with zero extra shuffle."""
     toks = tokens("text")
-    gated = docs.where(
+    pred = (
         _lang_pred(toks).isin(*cfg.allowed_langs)
         & (round4(_quality(F.col("text"), toks)) >= cfg.min_quality)
         & ~F.arrays_overlap(
@@ -55,6 +64,14 @@ def gate_stream(docs: DataFrame,
         )
         & (round4(dup_bigram_frac(toks)) <= cfg.max_dup_bigram_frac)
     )
+    if clf_model is not None and cfg.min_clf_score is not None:
+        from ..operators.classifier import classifier_score_expr
+
+        pred = pred & (
+            round4(classifier_score_expr(clf_model, "text"))
+            >= cfg.min_clf_score
+        )
+    gated = docs.where(pred)
     return gated.select(
         "doc_id",
         "text",
