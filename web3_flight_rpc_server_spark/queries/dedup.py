@@ -457,3 +457,69 @@ def q_media_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("media_id").cast("long").alias("media_id"),
                 "verdict")
     )
+
+
+@query(
+    "q_paragraph_dedup",
+    declared=False,
+    oracle="""
+    WITH paras AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS idx, arr[i] AS para
+        FROM (SELECT doc_id, string_split(text, '. ') AS arr
+              FROM documents WHERE text IS NOT NULL),
+             unnest(generate_series(1, len(arr))) AS t(i)
+    ),
+    keyed AS (
+        SELECT doc_id, idx, para, md5(para) AS k,
+               length(para) >= 20 AS eligible
+        FROM paras
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY k ORDER BY doc_id, idx) AS rn
+        FROM keyed WHERE eligible
+    ),
+    kept AS (
+        SELECT doc_id, idx, para FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, idx, para FROM keyed WHERE NOT eligible
+    ),
+    dropped AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+        FROM ranked WHERE rn > 1 GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(para, '. ' ORDER BY idx) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.text, '') AS text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(dr.n_dropped, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN dropped dr USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style paragraph-level exact dedup
+    (operators/paradedup.py): corpus-wide keep-first over md5 paragraph
+    identity, short paragraphs exempt, documents reassembled in
+    original order with per-doc kept/dropped accounting. The oracle
+    replays split, hash, the row_number keep-first cut and the ordered
+    string_agg rebuild. Fixture caveat (documented, the PII-query
+    precedent): the synthetic corpus has no '. ' separators, so every
+    document is ONE paragraph and the non-trivial rows are the
+    injected exact-dup documents (their single paragraph drops,
+    emptying the later copy — visible loss accounting, not a silent
+    drop); the multi-paragraph semantics are pinned on constructed
+    corpora in tests/test_paradedup.py."""
+    from ..operators.paradedup import dedup_paragraphs
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return dedup_paragraphs(
+        docs, sep=". ", min_chars=20
+    ).orderBy("doc_id")
