@@ -85,8 +85,11 @@ HEADLINE = [
                                # undeclared oracle-parity)
     "q_dsir",                  # DSIR hashed-ngram importance
                                # resampling, Gumbel top-k (r11,
+                               # undeclared oracle-parity)
+    "q_paragraph_dedup",       # Dolma paragraph-level exact dedup:
+                               # keep-first + in-order rebuild (r11,
                                # undeclared oracle-parity;
-                               # 32-query headline)
+                               # 33-query headline)
 ]
 
 # Queries whose fn() runs EAGER Spark jobs at plan-build time (the
