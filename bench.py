@@ -79,7 +79,7 @@ HEADLINE = [
     "q_bpe_pairs",             # BPE training's per-round primitive:
                                # word-freq table -> adjacent-pair hash
                                # agg -> deterministic argmax top-20
-                               # (DECLARED r11; 30-query headline)
+                               # (DECLARED r11)
     "q_perplexity",            # bigram-LM fit + per-doc perplexity
                                # (trained CCNet quality tier; r11,
                                # undeclared oracle-parity)
