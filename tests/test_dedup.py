@@ -345,3 +345,56 @@ def test_components_deep_chain_converges_in_log_rounds(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_containment_catches_short_inside_long(spark):
+    """A short doc quoted whole inside a long one: containment ~1.0
+    in the short->long direction, while Jaccard sits far below any
+    useful threshold — the case the symmetric tiers structurally
+    miss."""
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                          # the short original
+            (2, f"{filler} {quote} {filler}"),   # quotes it whole
+            (3, "totally unrelated text about nothing in particular"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        got = {
+            (r.src, r.dst): r.containment
+            for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] == 1.0
+        assert (2, 1) not in got          # big is NOT inside small
+        assert not any(3 in k for k in got)
+        jac = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        assert not jac                    # Jaccard misses the pair
+    finally:
+        release_caches()
+
+
+def test_containment_directed_both_ways_for_copies(spark):
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        ngram_containment_pairs,
+        release_caches,
+    )
+
+    t = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    try:
+        got = {(r.src, r.dst): r.containment
+               for r in ngram_containment_pairs(docs, 0.9).collect()}
+        assert got == {(1, 2): 1.0, (2, 1): 1.0}
+    finally:
+        release_caches()

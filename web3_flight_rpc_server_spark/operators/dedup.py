@@ -742,3 +742,69 @@ def simhash_pairs_hmsearch(docs: DataFrame, max_hamming: int = 3,
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def ngram_containment_pairs(docs: DataFrame, threshold: float,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            n: int = 3) -> DataFrame:
+    """DIRECTED exact n-gram containment pairs: (src, dst,
+    containment) where C(src -> dst) = |S_src ∩ S_dst| / |S_src| >=
+    threshold — src's shingle set is (mostly) inside dst's. The
+    asymmetric complement of :func:`ngram_jaccard_pairs`: a short
+    document quoted whole inside a long one has containment ~1.0 but
+    Jaccard ~|small|/|large| -> 0, so symmetric near-dup tiers miss
+    it entirely (the quoted-extract / partial-copy case winnowing
+    detects positionally; this is the set-semantics ground truth).
+
+    Same single-shuffle machinery as the Jaccard tier — one shingle
+    self-join with the pair count aggregated map-side — with the
+    DIRECTED free length filter in the join condition: C(a -> b) >= t
+    needs |S_b| >= t * |S_a| (inter <= |S_b|), kept in either
+    direction so the join admits a pair when at least one direction
+    can still pass. Both passing directions emit (a pair of exact
+    copies yields both rows). Quadratic in co-shingled docs like the
+    Jaccard tier — the blocked tiers are the 100 TB path; this is the
+    oracle-checkable ground truth."""
+    t = float(threshold)
+    sets = _persisted(shingle_sets(docs, id_col, text_col, n))
+    sh = sets.select(id_col, "sz", F.explode("shs").alias("shingle"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+                | (F.col("a.sz") >= F.lit(t) * F.col("b.sz"))
+            ),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("a.sz").alias("sz1"),
+            F.first("b.sz").alias("sz2"),
+        )
+    )
+    fwd = (
+        inter.where(F.col("inter") / F.col("sz1") >= t)
+        .select(
+            F.col("d1").alias("src"),
+            F.col("d2").alias("dst"),
+            (F.col("inter") / F.col("sz1")).alias("containment"),
+        )
+    )
+    rev = (
+        inter.where(F.col("inter") / F.col("sz2") >= t)
+        .select(
+            F.col("d2").alias("src"),
+            F.col("d1").alias("dst"),
+            (F.col("inter") / F.col("sz2")).alias("containment"),
+        )
+    )
+    return fwd.unionByName(rev)

@@ -523,3 +523,60 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(
         docs, sep=". ", min_chars=20
     ).orderBy("doc_id")
+
+
+@query(
+    "q_containment",
+    declared=False,
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT d1, d2, i, s1.n AS n1, s2.n AS n2
+        FROM inter
+        JOIN sz s1 ON d1 = s1.doc_id
+        JOIN sz s2 ON d2 = s2.doc_id
+    ),
+    directed AS (
+        SELECT d1 AS src, d2 AS dst, i * 1.0 / n1 AS c
+        FROM sized WHERE i * 1.0 / n1 >= 0.8
+        UNION ALL
+        SELECT d2, d1, i * 1.0 / n2
+        FROM sized WHERE i * 1.0 / n2 >= 0.8
+    )
+    SELECT src, dst,
+           floor(c * 10000 + 0.5) / 10000 AS containment
+    FROM directed ORDER BY src, dst
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed exact 3-gram containment >= 0.8
+    (operators/dedup.py:ngram_containment_pairs): the short-inside-
+    long duplication Jaccard structurally misses — C(src -> dst) =
+    |S_src ∩ S_dst| / |S_src|, both passing directions emitted. The
+    oracle recomputes the shingle sets, the pair intersection and
+    both directed ratios in DuckDB; on this corpus the rows are the
+    injected exact/near copies (both directions ~1.0) — the
+    asymmetric short-in-long case is pinned on constructed corpora
+    in tests/test_dedup.py."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(docs, threshold=0.8)
+    return pairs.select(
+        "src", "dst", round4(pairs.containment).alias("containment")
+    ).orderBy("src", "dst")
