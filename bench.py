@@ -88,8 +88,11 @@ HEADLINE = [
                                # undeclared oracle-parity)
     "q_paragraph_dedup",       # Dolma paragraph-level exact dedup:
                                # keep-first + in-order rebuild (r11,
-                               # undeclared oracle-parity;
-                               # 33-query headline)
+                               # undeclared oracle-parity)
+    "q_substring_dedup",       # Lee et al. ExactSubstr span removal:
+                               # k-token window keep-first + token
+                               # rebuild (r12, DECLARED;
+                               # 34-query headline)
 ]
 
 # Queries whose fn() runs EAGER Spark jobs at plan-build time (the

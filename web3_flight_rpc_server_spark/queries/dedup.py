@@ -580,3 +580,82 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "src", "dst", round4(pairs.containment).alias("containment")
     ).orderBy("src", "dst")
+
+
+@query(
+    "q_substring_dedup",
+    declared=True,  # r12 rotation: took q_chunk's slot
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents WHERE text IS NOT NULL
+    ),
+    win AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               md5(array_to_string(ts[i:i+19], ' ')) AS h
+        FROM tok, unnest(generate_series(1, len(ts) - 19)) AS t(i)
+        WHERE len(ts) >= 20
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (
+                   PARTITION BY h ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY h) AS c
+        FROM win
+    ),
+    cov AS (
+        SELECT doc_id, CAST(pos + j AS INT) AS tp, rn = 1 AS is_keeper
+        FROM ranked, unnest(generate_series(0, 19)) AS g(j)
+        WHERE c >= 2
+    ),
+    removedpos AS (
+        SELECT doc_id, tp FROM cov
+        GROUP BY doc_id, tp HAVING NOT bool_or(is_keeper)
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS tp, ts[i] AS tok
+        FROM tok, unnest(generate_series(1, len(ts))) AS t(i)
+    ),
+    keptt AS (
+        SELECT t.doc_id, t.tp, t.tok FROM toks t
+        ANTI JOIN removedpos r USING (doc_id, tp)
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM keptt GROUP BY doc_id
+    ),
+    ndrop AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+        FROM removedpos GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.text, '') AS text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(n.n_dropped, 0) AS n_dropped
+    FROM documents d
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN ndrop n USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup with removal semantics
+    (operators/substrdedup.py — the Lee et al. 2022 ExactSubstr
+    tier): remove every later occurrence of a duplicated >=20-token
+    span (k=20 because the fixture documents run 10-99 tokens; the
+    operator default is the paper's 50), keep-first by (doc_id, pos),
+    keeper coverage protecting exactly one surviving copy, documents
+    reassembled from surviving tokens with per-doc token-level
+    kept/dropped accounting. The oracle replays the literal-space
+    tokenization, every k-window md5, the row_number keep-first cut,
+    generate_series position coverage, the bool_or keeper-protection
+    rule and the ordered string_agg rebuild. On this corpus the
+    non-trivial rows are the injected exact/near-dup documents (whole
+    or partial span removal from the later copy); multi-span,
+    straddling-boundary and self-overlap semantics are pinned on
+    constructed corpora in tests/test_substrdedup.py."""
+    from ..operators.substrdedup import dedup_substrings
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    return dedup_substrings(docs, k=20).orderBy("doc_id")

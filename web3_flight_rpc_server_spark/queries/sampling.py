@@ -202,15 +202,18 @@ _set_pack_oracle()
 @query(
     "q_chunk",
     oracle=None,  # set immediately below (needs the operator's helper)
+    declared=False,
 )
 def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-token document chunking (128-token windows,
     16-token overlap): the long-document complement of q_pack's
-    concatenate-and-cut (operators/chunking.py). DECLARED since r9
-    (the r9 window rotation toward pretraining assembly: took
-    q_percentile's slot; previously undeclared parity-run + fuzzed
-    since r4) — still fuzzed on generated corpora in
-    tests/test_oracle_fuzz.py."""
+    concatenate-and-cut (operators/chunking.py). Undeclared since r12
+    (ceded its slot to q_substring_dedup in the rotation — C19 stays
+    driver-attested by q_pack's conservation arithmetic and the
+    chunk_token_ids pinning): still oracle-parity-run in
+    tests/test_oracle_parity.py and fuzzed on generated corpora in
+    tests/test_oracle_fuzz.py. Declared r9-r11 (took q_percentile's
+    slot in the r9 pretraining-assembly rotation)."""
     from ..operators.chunking import chunk_documents
 
     docs = tables.load_table(spark, sf_dir, "documents")
