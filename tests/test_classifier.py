@@ -11,6 +11,7 @@ import random
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from web3_flight_rpc_server_spark.operators.classifier import (
     classifier_score,
@@ -106,3 +107,60 @@ def test_fit_rejects_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="empty"):
         logreg_fit(empty, "label", buckets=16, iters=1)
+
+
+def test_model_records_training_config(model):
+    # r12: the model carries how it was fit so scorers can validate
+    assert model.damping == "log"
+    assert model.hasher == "xxhash64"
+
+
+def test_score_rejects_hasher_mismatch(spark, docs, model):
+    with pytest.raises(ValueError, match="trained with hasher"):
+        classifier_score(docs, model.as_df(spark), hasher="md5").collect()
+
+
+def test_score_rejects_damping_mismatch(spark, docs, model):
+    with pytest.raises(ValueError, match="trained with damping"):
+        classifier_score(
+            docs, model.as_df(spark), damping="none"
+        ).collect()
+
+
+def test_score_rejects_pruned_weight_table(spark, docs, model):
+    # a nonzero-only "compacted" table would shift the hash modulus
+    # under the old count(b >= 0) inference — now it raises
+    pruned = model.as_df(spark).where("b < 0 OR w <> 0.0")
+    with pytest.raises(ValueError, match="not dense"):
+        classifier_score(docs, pruned).collect()
+
+
+def test_score_accepts_legacy_table_without_sentinels(spark, docs, model):
+    # pre-r12 persisted tables have only b >= -1 rows: modulus falls
+    # back to max(b) + 1 (dense-checked) and config checks are skipped
+    legacy = model.as_df(spark).where("b >= -1")
+    fresh = {r.doc_id: r.score
+             for r in classifier_score(docs, model.as_df(spark)).collect()}
+    old = {r.doc_id: r.score
+           for r in classifier_score(docs, legacy).collect()}
+    assert fresh == old
+
+
+def test_margin_expr_rejects_log_damped_model(model):
+    from web3_flight_rpc_server_spark.operators.classifier import (
+        classifier_margin_expr,
+    )
+
+    with pytest.raises(ValueError, match="damping='none'"):
+        classifier_margin_expr(model, "text")
+
+
+def test_margin_expr_rejects_hasher_mismatch(spark, docs):
+    from web3_flight_rpc_server_spark.operators.classifier import (
+        classifier_margin_expr,
+    )
+
+    m = logreg_fit(docs.withColumn("label", (F.col("doc_id") % 2).cast("int")),
+                   "label", buckets=32, iters=1, damping="none")
+    with pytest.raises(ValueError, match="trained with hasher"):
+        classifier_margin_expr(m, "text", hasher="md5")

@@ -117,20 +117,36 @@ def main() -> int:
     scored = classifier_score(docs, model.as_df(spark)).join(
         labeled.select("doc_id", "__y"), "doc_id"
     )
-    ranked = scored.select(
-        "__y",
-        F.rank().over(
-            __import__(
-                "pyspark.sql.window", fromlist=["Window"]
-            ).Window.orderBy("score")
-        ).alias("r"),
+    # Mann-Whitney with MIDRANKS for ties (round4-tied scores under
+    # min-rank bias the AUC downward): fold to one row per distinct
+    # score first, so the only global window runs over the tiny
+    # distinct-score table, not the corpus — midrank of a tied group
+    # is (#scores below) + (group size + 1) / 2.
+    from pyspark.sql.window import Window
+
+    g = scored.groupBy("score").agg(
+        F.count("*").alias("c"), F.sum("__y").alias("c1")
     )
-    agg = ranked.groupBy("__y").agg(
-        F.sum("r").alias("rs"), F.count("*").alias("n")
-    ).collect()
-    by = {r["__y"]: r for r in agg}
-    n1, n0 = by[1].n, by[0].n
-    auc = (by[1].rs - n1 * (n1 + 1) / 2) / (n1 * n0)
+    below = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rs1 = (
+        g.select(
+            (
+                F.col("c1")
+                * (
+                    F.coalesce(F.sum("c").over(below), F.lit(0))
+                    + (F.col("c") + 1) / 2.0
+                )
+            ).alias("x")
+        )
+        .agg(F.sum("x"))
+        .collect()[0][0]
+    )
+    by = {r["__y"]: r["n"] for r in
+          scored.groupBy("__y").agg(F.count("*").alias("n")).collect()}
+    n1, n0 = by[1], by[0]
+    auc = (rs1 - n1 * (n1 + 1) / 2) / (n1 * n0)
 
     out = {
         "sf_dir": sf_dir,

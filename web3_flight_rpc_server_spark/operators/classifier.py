@@ -58,19 +58,40 @@ def hashed_doc_features(docs: DataFrame, buckets: int,
     )
 
 
+# negative-b sentinel encodings for the persisted weight table:
+# scoring filters on b >= 0 / b = -1, so metadata rides invisibly
+_DAMPING_CODE = {"none": 0.0, "log": 1.0}
+_HASHER_CODE = {"xxhash64": 0.0, "md5": 1.0}
+
+
 @dataclass(frozen=True)
 class LinearModel:
-    """Trained weights: ``w[b]`` per hash bucket plus an intercept."""
+    """Trained weights: ``w[b]`` per hash bucket plus an intercept.
+
+    ``damping`` and ``hasher`` record HOW the model was fit — the
+    scorers validate against them so a log-damped model can never
+    silently flow into the damping="none"-only in-row gate, and a
+    persisted model scored with the wrong feature hash raises
+    instead of producing plausible-but-wrong scores."""
 
     weights: np.ndarray  # shape (buckets,)
     bias: float
     buckets: int
+    damping: str = "log"
+    hasher: str = "xxhash64"
 
     def as_df(self, spark: SparkSession) -> DataFrame:
-        """B-row (b, w) weight table; the intercept rides as b = -1
-        so one parquet file carries the whole model."""
+        """(b, w) weight table; the intercept rides as b = -1 and the
+        training config as negative sentinel rows (b = -2 bucket
+        count, b = -3 damping code, b = -4 hasher code) so one
+        parquet file carries the whole self-describing model — every
+        consumer filters b >= 0 / b = -1, so the sentinels are
+        invisible to scoring math and to the DuckDB oracle."""
         rows = [(int(b), float(w)) for b, w in enumerate(self.weights)]
         rows.append((-1, float(self.bias)))
+        rows.append((-2, float(self.buckets)))
+        rows.append((-3, _DAMPING_CODE[self.damping]))
+        rows.append((-4, _HASHER_CODE[self.hasher]))
         return spark.createDataFrame(rows, "b long, w double")
 
 
@@ -155,7 +176,7 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
     finally:
         feats.unpersist()
         labels.unpersist()
-    return LinearModel(w, float(bias), buckets)
+    return LinearModel(w, float(bias), buckets, damping, hasher)
 
 
 def classifier_score(docs: DataFrame, model_df: DataFrame,
@@ -167,12 +188,45 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
     broadcast join + one doc agg; documents with zero features keep
     their row at sigmoid(bias) via the left join's null margin. The
     model_df round-trips through parquet unchanged, so persisted
-    models score identically to fresh ones."""
-    # the feature hash's modulus must equal training's: recover it
-    # from the weight table itself (as_df always writes all B rows,
-    # zeros included) — a tiny eager count over the broadcast-sized
-    # model, so a persisted model is self-describing
-    buckets = model_df.where("b >= 0").count()
+    models score identically to fresh ones.
+
+    The hash modulus comes from the table itself: the b = -2
+    sentinel if present, else max(b) + 1 — NEVER the count of
+    nonnegative rows, which silently shifts the modulus on a
+    filtered/compacted table. Either way the table must be DENSE
+    (all buckets rows present, zeros included — what as_df writes);
+    a pruned table raises. If the damping/hasher sentinels are
+    present, a mismatching caller argument raises too."""
+    # one tiny collect over the broadcast-sized negative-b metadata:
+    # a persisted model is self-describing
+    meta = {int(r.b): float(r.w)
+            for r in model_df.where("b < 0").collect()}
+    nneg = model_df.where("b >= 0").count()
+    if -2 in meta:
+        buckets = int(meta[-2])
+    else:
+        buckets = int(
+            model_df.where("b >= 0").agg(F.max("b")).collect()[0][0]
+        ) + 1
+    if nneg != buckets:
+        raise ValueError(
+            f"weight table is not dense: {nneg} rows for modulus "
+            f"{buckets} — score only tables written by "
+            "LinearModel.as_df (all buckets rows, zeros included); "
+            "a filtered/compacted table would silently corrupt the "
+            "bucket modulus"
+        )
+    for code, arg, table, what in (
+        (-3, damping, _DAMPING_CODE, "damping"),
+        (-4, hasher, _HASHER_CODE, "hasher"),
+    ):
+        if code in meta and meta[code] != table[arg]:
+            trained = {v: k for k, v in table.items()}[meta[code]]
+            raise ValueError(
+                f"model was trained with {what}={trained!r} but "
+                f"scoring was asked for {what}={arg!r} — scores "
+                "would be silently wrong"
+            )
     feats = hashed_doc_features(docs, buckets, id_col, text_col, hasher)
     weighted = (
         feats.select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
@@ -200,7 +254,7 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
 
 
 def classifier_margin_expr(model: LinearModel, text_col: str = "text",
-                           hasher: str = "xxhash64"):
+                           hasher: str | None = None):
     """The model's margin as a PURE ROW EXPRESSION — no explode, no
     aggregation, no state — so a trained classifier can gate an
     unbounded stream (pipelines/streaming_curation.py) or sit inside
@@ -209,10 +263,27 @@ def classifier_margin_expr(model: LinearModel, text_col: str = "text",
     Only exact for ``damping="none"`` models: the in-row form is
     sum over feature OCCURRENCES of w[bucket(f)], which equals the
     batch scorer's per-bucket sum exactly when x = cnt (a log-damped
-    margin needs per-bucket counts, i.e. an aggregation). The weight
-    vector rides the plan as a B-element array literal (one
+    margin needs per-bucket counts, i.e. an aggregation) — a model
+    trained with any other damping RAISES here instead of silently
+    gating with wrong scores. ``hasher`` defaults to the one the
+    model was trained with; passing a different one raises. The
+    weight vector rides the plan as a B-element array literal (one
     CreateArray node — B is model-bounded, the same broadcast-sized
     argument as everywhere else this model appears)."""
+    if model.damping != "none":
+        raise ValueError(
+            f"in-row margin is only exact for damping='none' models; "
+            f"this model was trained with damping={model.damping!r} — "
+            "use classifier_score (batch, aggregating) or retrain "
+            "with damping='none' for stream gating"
+        )
+    if hasher is None:
+        hasher = model.hasher
+    elif hasher != model.hasher:
+        raise ValueError(
+            f"model was trained with hasher={model.hasher!r} but the "
+            f"expression was asked for hasher={hasher!r}"
+        )
     warr = F.array(*[F.lit(float(x)) for x in model.weights])
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
@@ -246,10 +317,10 @@ def classifier_margin_expr(model: LinearModel, text_col: str = "text",
 
 
 def classifier_score_expr(model: LinearModel, text_col: str = "text",
-                          hasher: str = "xxhash64"):
+                          hasher: str | None = None):
     """sigmoid(margin) as a row expression — the streaming gate's
     score column. Same exactness contract as classifier_margin_expr
-    (damping="none" models only)."""
+    (damping="none" models only; both validated there)."""
     return F.lit(1.0) / (
         F.lit(1.0)
         + F.exp(-classifier_margin_expr(model, text_col, hasher))

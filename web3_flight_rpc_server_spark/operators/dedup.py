@@ -764,8 +764,22 @@ def ngram_containment_pairs(docs: DataFrame, threshold: float,
     direction so the join admits a pair when at least one direction
     can still pass. Both passing directions emit (a pair of exact
     copies yields both rows). Quadratic in co-shingled docs like the
-    Jaccard tier — the blocked tiers are the 100 TB path; this is the
-    oracle-checkable ground truth."""
+    Jaccard tier — this is the oracle-checkable ground truth.
+
+    SCALE DISPOSITION (the 100 TB path for short-in-long
+    duplication): there is NO containment analog of MinHash banding —
+    LSH over min-hash signatures estimates the SYMMETRIC Jaccard, and
+    a short doc inside a long one has J -> 0, so the banded tier will
+    (correctly, per its own contract) not propose the pair. The
+    blocked path for this duplication class is the WINNOWING
+    fingerprint tier (operators/winnowing.py + the persistent
+    fp_index): winnowing selects rolling-hash minima positionally, so
+    a quoted span contributes the SAME fingerprints to both
+    documents regardless of the length ratio, and the df-capped
+    fingerprint equi-join surfaces the pair at corpus scale. Use
+    winnowing to block candidates, this operator to confirm exact
+    containment on the candidate set when the set-semantics ratio is
+    the needed verdict."""
     t = float(threshold)
     sets = _persisted(shingle_sets(docs, id_col, text_col, n))
     sh = sets.select(id_col, "sz", F.explode("shs").alias("shingle"))

@@ -226,7 +226,13 @@ def curation_rejects(docs: DataFrame,
 
         base2 = s2.select("doc_id", "text")
         lm = ppl_model if ppl_model is not None else bigram_lm_fit(base2)
-        ppl_losers = (
+        # persisted: the loser set feeds BOTH the s2 anti-join (so
+        # every downstream stage) and the final ledger union — without
+        # the cache each consumer refits the self-fit BigramLM's count
+        # tables and re-runs the lang/quality gating from scratch.
+        # Tiny table (doc_id + literal), same ledger/release lifecycle
+        # as the dedup tiers.
+        ppl_losers = _persisted(
             perplexity_score(base2, lm)
             .where(round4(F.col("ppl")) > cfg.max_perplexity)
             .select("doc_id", F.lit("perplexity").alias("reject_reason"))
