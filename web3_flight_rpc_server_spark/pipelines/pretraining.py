@@ -130,8 +130,23 @@ def build_pretraining_dataset(spark: SparkSession, sf_dir: str,
         F.floor(F.col("start_bin") / bins_per_shard).cast("int"),
     )
     if out_dir is not None:
-        sharded.write.partitionBy("shard").mode("overwrite").parquet(out_dir)
+        _write_sharded(sharded, out_dir)
     return sharded, stats
+
+
+def _write_sharded(sharded: DataFrame, out_dir: str) -> None:
+    """Cluster rows by shard BEFORE the dynamic-partition write.
+    Without it every write task holds rows of nearly every shard
+    (sample_id order is uncorrelated with bin order after the join's
+    hash exchange), so the sink opens tasks x shards parquet writers
+    — measured at sf10: 98,944 files / 124 s as-is vs 3,096 files /
+    6.5 s with the one extra shard-keyed exchange (tools/
+    tokenized_assembly_bench.py, BASELINE.md r12). One-ish file per
+    shard is also what the dataloader contract wants: a shard is a
+    CONTIGUOUS slice of the packed stream, read sequentially."""
+    sharded.repartition("shard").write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(out_dir)
 
 
 def build_tokenized_dataset(spark: SparkSession, sf_dir: str,
@@ -203,5 +218,5 @@ def build_tokenized_dataset(spark: SparkSession, sf_dir: str,
         )
     )
     if out_dir is not None:
-        sharded.write.partitionBy("shard").mode("overwrite").parquet(out_dir)
+        _write_sharded(sharded, out_dir)
     return sharded, vocab, stats
