@@ -217,3 +217,36 @@ def test_encode_ids_round_trips_through_vocab(docs):
         # sequence reproduces the token sequence exactly
         assert -1 not in r.token_ids
         assert [id2tok[i] for i in r.token_ids] == toks[r.doc_id]
+
+
+def test_unrolled_sql_oracle_matches_fit_on_adversarial_words(spark):
+    """The q_bpe_merges3 oracle's iterated-replace merge application
+    must equal the engine's left-to-right fold on the shapes that
+    stress it: alternating patterns (a site blocked by separator
+    consumption in pass 1 must merge in a later pass, exactly like
+    the fold), self-overlapping runs (the fold's no-remerge rule),
+    and single-char words (no pairs)."""
+    import duckdb
+
+    from web3_flight_rpc_server_spark.queries.text import (
+        _bpe_merges3_oracle,
+    )
+
+    rows = [
+        (1, "abababab abab ab"),
+        (2, "aaaaaa aaa a"),
+        (3, "xyxyxy xyx yx"),
+        (4, "abab aaaa abba baab"),
+        (5, "q w e r t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_fit(docs, 3, min_freq=1)
+    got = [(m["rank"], m["left"], m["right"], m["n"]) for m in merges]
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    want = [tuple(r) for r in con.execute(_bpe_merges3_oracle()).fetchall()]
+    assert got == want, (got, want)

@@ -531,3 +531,102 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("left_sym"), F.asc("right_sym"))
         .limit(20)
     )
+
+
+def _bpe_merges3_oracle() -> str:
+    """Three UNROLLED BPE merge rounds in DuckDB — the loop-order
+    attestation q_bpe_pairs cannot give (its disposition note): each
+    round recomputes pair counts over the CURRENT symbol state and
+    takes the argmax under the engine tie-break, so a wrong merge in
+    any round cascades into every later round's counts.
+
+    Applying a chosen merge (a, b) in SQL: symbols ride as a
+    chr(31)-joined string (symbols never contain chr(31): chars +
+    '</w>' only); wrapping in sentinel separators makes the pattern
+    sep||a||sep||b||sep match WHOLE symbols only, and ITERATED
+    left-to-right non-overlapping replace converges to exactly the
+    engine's single-pass fold (each pass merges every site whose two
+    symbols are still intact; a site the fold cannot merge has lost
+    its left symbol into a prior merge and can never match). Six
+    nested replaces cover any blocked-chain depth reachable at the
+    fixture word lengths; the equivalence INCLUDING the alternating
+    worst case is pinned against bpe_fit on adversarial words in
+    tests/test_bpe.py."""
+    sep = "chr(31)"
+
+    def rep6(x: str, r: str) -> str:
+        for _ in range(6):
+            x = f"replace({x}, {r}.pat, {r}.rep)"
+        return x
+
+    parts: list[str] = [f"""
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(
+                   lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+    s0 AS (
+        SELECT freq,
+               array_to_string(
+                 list_transform(range(1, length(word) + 1),
+                   i -> CASE WHEN i = length(word)
+                             THEN substring(word, i, 1) || '</w>'
+                             ELSE substring(word, i, 1) END),
+                 {sep}) AS s
+        FROM wf
+    )"""]
+    for r in (1, 2, 3):
+        prev = f"s{r - 1}"
+        parts.append(f""",
+    p{r} AS (
+        SELECT parts[i] AS l, parts[i + 1] AS r,
+               CAST(sum(freq) AS BIGINT) AS n
+        FROM (SELECT freq, string_split(s, {sep}) AS parts FROM {prev}),
+             unnest(generate_series(1, len(parts) - 1)) AS t(i)
+        GROUP BY l, r
+    ),
+    b{r} AS (
+        SELECT l, r, n,
+               {sep} || l || {sep} || r || {sep} AS pat,
+               {sep} || l || r || {sep} AS rep
+        FROM p{r} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    )""")
+        if r < 3:
+            parts.append(f""",
+    s{r} AS (
+        SELECT freq, substring(r6, 2, length(r6) - 2) AS s FROM (
+            SELECT s0x.freq,
+                   {rep6(f"{sep} || s0x.s || {sep}", f"b{r}")} AS r6
+            FROM {prev} s0x CROSS JOIN b{r}
+        )
+    )""")
+    parts.append("""
+    SELECT CAST(1 AS BIGINT) AS rank, l AS left_sym, r AS right_sym, n
+    FROM b1
+    UNION ALL SELECT 2, l, r, n FROM b2
+    UNION ALL SELECT 3, l, r, n FROM b3
+    ORDER BY rank
+    """)
+    return "".join(parts)
+
+
+@query("q_bpe_merges3", declared=False, oracle=_bpe_merges3_oracle())
+def q_bpe_merges3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge LOOP, first three rounds, vs a fully unrolled
+    DuckDB replay (operators/vocab.py:bpe_fit): round r's pair counts
+    depend on rounds 1..r-1's chosen merges, so a hash match here
+    attests the data-dependent argmax ORDER itself — the part the
+    declared q_bpe_pairs (round-1 primitive) pins only statically,
+    closing VERDICT r11 watch item #1 beyond the pure-Python
+    reference equality in tests/test_bpe.py. min_freq=1 keeps the
+    engine's early-stop out of play (the oracle always emits three
+    rounds; the fixture corpus clears any floor anyway)."""
+    from ..operators.vocab import bpe_fit
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, 3, min_freq=1)
+    rows = [(m["rank"], m["left"], m["right"], m["n"]) for m in merges]
+    return spark.createDataFrame(
+        rows, "rank long, left_sym string, right_sym string, n long"
+    )
