@@ -81,6 +81,25 @@ def samples_from_documents(docs: DataFrame, max_tokens: int = 512,
     return chunked.unionByName(whole).select(sid.alias("sample_id"), "text")
 
 
+def _remove_dup_spans(train: DataFrame, k: int) -> DataFrame:
+    """Optional span-removal stage between curate and chunk: Lee et
+    al. 2022 exact substring dedup (operators/substrdedup.py) over the
+    train split — the funnel's reject gates drop whole documents;
+    this rewrites the SURVIVORS, stripping later occurrences of
+    duplicated >=k-token spans before any chunk boundary or token
+    budget is computed (dedup-then-chunk, so a removed span never
+    wastes budget or splits a window). Documents emptied by removal
+    are dropped here (an empty sample has nothing to pack; the loss
+    stays visible in the operator's own accounting columns)."""
+    from ..operators.substrdedup import dedup_substrings
+
+    return (
+        dedup_substrings(train, k=k)
+        .where(F.col("n_kept") > 0)
+        .select("doc_id", "text")
+    )
+
+
 def build_pretraining_dataset(spark: SparkSession, sf_dir: str,
                               out_dir: str | None = None,
                               budget: int = 2048, max_tokens: int = 512,
@@ -89,6 +108,7 @@ def build_pretraining_dataset(spark: SparkSession, sf_dir: str,
                               lang_rates: dict[str, float] | None = None,
                               seed: int = 0,
                               cfg: CurationConfig = CurationConfig(),
+                              substring_dedup_k: int | None = None,
                               ) -> tuple[DataFrame, DataFrame]:
     """Returns (packed, stats): ``packed`` is one row per sample —
     (sample_id, n_tokens, start_bin, start_offset, shard) — the exact
@@ -104,6 +124,13 @@ def build_pretraining_dataset(spark: SparkSession, sf_dir: str,
     spec is a whitelist, matching trainer config convention."""
     curated, stats = curate(spark, sf_dir, cfg=cfg)
     train = curated.where(F.col("split") == "train")
+    if substring_dedup_k is not None:
+        # before the mixture stage: epoch repetition is INTENTIONAL
+        # duplication — span dedup after it would strip the epochs
+        cleaned = _remove_dup_spans(
+            train.select("doc_id", "text"), substring_dedup_k
+        )
+        train = train.drop("text").join(cleaned, "doc_id")
     if lang_rates:
         from ..operators.mixture import mixture_sample
 
@@ -156,6 +183,7 @@ def build_tokenized_dataset(spark: SparkSession, sf_dir: str,
                             bins_per_shard: int = 16,
                             num_merges: int = 200,
                             cfg: CurationConfig = CurationConfig(),
+                            substring_dedup_k: int | None = None,
                             ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The tokenizer-aware assembly: curate -> chunk -> TRAIN a BPE
     tokenizer on the curated samples -> encode every sample to token
@@ -194,6 +222,10 @@ def build_tokenized_dataset(spark: SparkSession, sf_dir: str,
 
     curated, stats = curate(spark, sf_dir, cfg=cfg)
     train = curated.where(F.col("split") == "train")
+    if substring_dedup_k is not None:
+        train = _remove_dup_spans(
+            train.select("doc_id", "text"), substring_dedup_k
+        )
     samples = samples_from_documents(
         train, max_tokens, overlap, text_col="text"
     )
