@@ -393,7 +393,147 @@ class SemanticSoak(TwinSoak):
         )
 
 
-TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak}
+class ClfGateSoak(TwinSoak):
+    """A TRAINED damping='none' classifier gates the ingest stream
+    (pipelines/streaming_curation.py:gate_stream(clf_model=...)) —
+    the r11 trained-gate path gets the same durability drill as the
+    index twins (r11 VERDICT #5). Planted stream: alternating
+    good-template / bad-template docs, each carrying a unique suffix
+    token (so hash-collision noise rides every row, like real text).
+    Survivors land in a parquet FileStreamSink whose metadata log is
+    the exactly-once seam the kill/forced-replay injections attack.
+
+    Convergence oracle: the SAME gate evaluated in one batch pass
+    over the full planted population (the batch==in-row exactness
+    contract from tests/test_streaming_curation.py) — the sink must
+    hold exactly that id set, each id once, across kills and replays.
+    Class alignment (good admitted / bad rejected) is recorded as
+    evidence the gate discriminates, not just dedups."""
+
+    name = "clf"
+    GOOD = "alpha beta gamma delta "
+    BAD = "junk noise bad lorem "
+    _model = None
+
+    def _text(self, uid: int) -> str:
+        base = self.GOOD if uid % 2 == 0 else self.BAD
+        return (base * 8) + f"uid{uid}"
+
+    def batch_rows(self, batch_id: int) -> list:
+        return [
+            (i, self._text(i), "x")
+            for i in range(batch_id * self.rows,
+                           (batch_id + 1) * self.rows)
+        ]
+
+    def schema(self) -> str:
+        return "doc_id long, text string, lang string"
+
+    def _cfg(self):
+        from web3_flight_rpc_server_spark.pipelines.curation import (
+            CurationConfig,
+        )
+
+        return CurationConfig(
+            allowed_langs=("unknown",), min_quality=0.0,
+            min_clf_score=0.5,
+        )
+
+    def _get_model(self):
+        if ClfGateSoak._model is None:
+            from web3_flight_rpc_server_spark.operators.classifier import (
+                logreg_fit,
+            )
+
+            labeled = self.spark.createDataFrame(
+                [(i, self._text(i), "x", 1 - (i % 2)) for i in range(40)],
+                "doc_id long, text string, lang string, label int",
+            )
+            ClfGateSoak._model = logreg_fit(
+                labeled, "label", buckets=128, iters=8, lr=1.0,
+                damping="none",
+            )
+        return ClfGateSoak._model
+
+    def start(self):
+        from web3_flight_rpc_server_spark.pipelines.streaming_curation import (  # noqa: E501
+            gate_stream,
+        )
+
+        gated = gate_stream(self.stream_df(), self._cfg(),
+                            clf_model=self._get_model())
+        return (
+            gated.writeStream.format("parquet")
+            .option("path", self.idx)
+            .option("checkpointLocation", self.ckpt)
+            .start()
+        )
+
+    def probe_once(self) -> float:
+        # in-row scorer latency on a 2-doc batch through the same gate
+        from web3_flight_rpc_server_spark.pipelines.streaming_curation import (  # noqa: E501
+            gate_stream,
+        )
+
+        probe = self.spark.createDataFrame(
+            [(9_999_999, self._text(0), "x"),
+             (9_999_998, self._text(1), "x")],
+            self.schema(),
+        )
+        t0 = time.perf_counter()
+        gate_stream(probe, self._cfg(), clf_model=self._get_model()).count()
+        return time.perf_counter() - t0
+
+    def _batch_oracle(self, n_batches: int):
+        from web3_flight_rpc_server_spark.pipelines.streaming_curation import (  # noqa: E501
+            gate_stream,
+        )
+
+        n = n_batches * self.rows
+        planted = self.spark.createDataFrame(
+            [(i, self._text(i), "x") for i in range(n)], self.schema()
+        )
+        return {
+            r.doc_id
+            for r in gate_stream(
+                planted, self._cfg(), clf_model=self._get_model()
+            ).select("doc_id").collect()
+        }
+
+    def unique_population(self, n_batches: int) -> int:
+        self._oracle_ids = self._batch_oracle(n_batches)
+        self._n_planted = n_batches * self.rows
+        return len(self._oracle_ids)
+
+    def index_distinct_ids(self) -> int:
+        sink = {
+            r.doc_id
+            for r in self.spark.read.parquet(self.idx)
+            .select("doc_id").collect()
+        }
+        self._sink_ids = sink
+        # convergence demands the exact SET, not just matching counts
+        if hasattr(self, "_oracle_ids") and sink != self._oracle_ids:
+            return -1
+        return len(sink)
+
+    def no_duplicate_ids(self) -> bool:
+        df = self.spark.read.parquet(self.idx)
+        return df.groupBy("doc_id").count().where("count > 1").count() == 0
+
+    def run(self, n_batches: int, kills: int, sample_every: int,
+            seed: int = 11) -> dict:
+        rec = super().run(n_batches, kills, sample_every, seed)
+        good = {i for i in range(self._n_planted) if i % 2 == 0}
+        rec["planted"] = self._n_planted
+        rec["expected_good"] = len(good)
+        rec["admitted_good"] = len(self._sink_ids & good)
+        rec["admitted_bad"] = len(self._sink_ids - good)
+        return rec
+
+
+TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak,
+         "clf": ClfGateSoak}
 
 
 def main() -> int:

@@ -42,9 +42,12 @@ Suffix arrays (the paper's machinery) don't distribute; this is the
 fixed-stride-window formulation: one projection builds all window
 hashes inside array land (transform over sequence — no O(n^2) row
 blowup from carrying the token array through an explode), O(n*k)
-bytes hashed (the rolling-hash trick in operators/winnowing.py is the
-documented constant-factor optimization if the 50x byte factor ever
-dominates); the duplicate decision is one shuffle on the window hash
+bytes hashed — a constant 20-50x factor on a linear, shuffle-free,
+embarrassingly-parallel map pass (the same per-position cost shape
+as winnowing's k-gram hashing; a true O(1)-per-window polynomial
+rolling hash needs wrap-around long arithmetic, which Spark 4's
+ANSI overflow semantics make a poor codegen fit — documented trade,
+not an oversight); the duplicate decision is one shuffle on the window hash
 with bounded per-key state (count + min(struct) fold map-side — the
 boilerplate span repeated millions of times is the hottest key and
 folds to one struct per partition); ONLY duplicated occurrences
@@ -55,9 +58,9 @@ transform, hash, join and rebuild are all codegen.
 
 DuckDB twin: queries/dedup.py:q_substring_dedup (row_number-over-hash
 keep-first + generate_series coverage — identical removed set).
-Reference anchor: SURVEY.md C10 north-star row; the reference engine
-(pandas notebook `analysis.ipynb`) has no dedup tier at all — this is
-LLM-pipeline capability beyond it.
+Reference anchor: SURVEY.md C10 north-star row; the reference repo
+(Java server + `notebooks/ethereum_data_analysis.ipynb`) has no dedup
+tier at all — this is LLM-pipeline capability beyond it.
 """
 
 from __future__ import annotations
