@@ -105,6 +105,13 @@ def dedup_substrings(docs: DataFrame, k: int = 50,
         .select(id_col, F.col("__w.pos").alias("pos"),
                 F.col("__w.h").alias("h"))
     )
+    # occ feeds BOTH the keep-first aggregate and the join probe, so
+    # the plan runs the window-hash projection twice — MEASURED as the
+    # right trade: persisting it on the cache ledger was 18% faster at
+    # sf1 but 34% SLOWER at sf10 (31.5 -> 42.2 s warm), because
+    # materializing corpus-sized (id, pos, md5) rows costs more than
+    # recomputing a shuffle-free map pass; recompute wins at the scale
+    # that matters (BASELINE.md r12).
     dup_first = (
         occ.groupBy("h")
         .agg(
