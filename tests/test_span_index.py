@@ -1,0 +1,201 @@
+"""Persistent span index (operators/span_index.py): cross-batch Lee
+et al. span removal with content-based replay self-healing. Streaming
+state is not DuckDB-expressible, so this tier is pytest-gated like
+the other index twins (SURVEY §5 convention)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.span_index import (
+    compact_span_index,
+    ingest_spans_batch,
+    init_span_index,
+    read_span_manifest,
+    streaming_ingest_spans,
+)
+
+K = 4
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _init(spark, tmp_path, k=K):
+    root = str(tmp_path / "spanidx")
+    init_span_index(_df(spark, []), root, k=k)
+    return root
+
+
+def _ingest(spark, root, rows):
+    rejects, admitted = ingest_spans_batch(_df(spark, rows), root)
+    return (
+        {r.doc_id: r.reject_reason for r in rejects.collect()},
+        {r.doc_id: r for r in admitted.collect()},
+    )
+
+
+def test_first_batch_matches_batch_operator(spark, tmp_path):
+    """An empty index must make batch 1 behave exactly like the
+    one-shot operator (same keep-first, keeper protection, rebuild)."""
+    from web3_flight_rpc_server_spark.operators.substrdedup import (
+        dedup_substrings,
+    )
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e f g h z"),
+        (3, " ".join(["x"] * 10)),
+        (4, "p q r s t u v w"),
+    ]
+    root = _init(spark, tmp_path)
+    rej, adm = _ingest(spark, root, rows)
+    want = {r.doc_id: r for r in
+            dedup_substrings(_df(spark, rows), k=K).collect()}
+    assert rej == {}
+    for i, _t in rows:
+        assert adm[i].text == want[i].text
+        assert (adm[i].n_kept, adm[i].n_dropped) == (
+            want[i].n_kept, want[i].n_dropped)
+
+
+def test_cross_batch_span_removed_and_exact_copy_rejected(spark, tmp_path):
+    root = _init(spark, tmp_path)
+    _ingest(spark, root, [(1, "a b c d e f g h")])
+    rej, adm = _ingest(spark, root, [
+        (10, "P Q a b c d e f g h R"),   # batch-2 doc quoting batch 1
+        (11, "a b c d e f g h"),          # exact copy of history
+        (12, "fresh words only here now"),
+    ])
+    assert adm[10].text == "P Q R"
+    assert adm[10].n_dropped == 8
+    assert rej == {11: "all_spans_duplicated"}
+    assert adm[12].text == "fresh words only here now"
+
+
+def test_admitted_cleaned_text_is_the_indexed_canon(spark, tmp_path):
+    """Batch 3 must dedup against what batch 2 ADMITTED (its cleaned
+    text), not against what batch 2 submitted."""
+    root = _init(spark, tmp_path)
+    _ingest(spark, root, [(1, "a b c d e")])
+    _, adm2 = _ingest(spark, root, [(2, "a b c d e F G H I J")])
+    assert adm2[2].text == "F G H I J"
+    rej3, adm3 = _ingest(spark, root, [(3, "F G H I J")])
+    assert rej3 == {3: "all_spans_duplicated"}
+    assert adm3 == {}
+
+
+def test_replay_batch_rejected_by_identity(spark, tmp_path):
+    root = _init(spark, tmp_path)
+    rows = [(1, "a b c d e f"), (2, "g h i j k l")]
+    _ingest(spark, root, rows)
+    rej, adm = _ingest(spark, root, rows)
+    assert rej == {1: "already_admitted", 2: "already_admitted"}
+    assert adm == {}
+    idx = spark.read.parquet(root + "/windows")
+    assert idx.groupBy("h", "doc_id").count().where("count > 1") \
+        .count() == 0
+
+
+def test_crash_window_replay_converges(spark, tmp_path):
+    """Simulate a crash BETWEEN the window append and the id append:
+    the replayed batch must re-derive byte-identical admitted output
+    (self-exclusion hides its own half-appended windows) and append
+    idempotently."""
+    root = _init(spark, tmp_path)
+    _ingest(spark, root, [(1, "a b c d e f g h")])
+
+    batch2 = [(20, "x y a b c d e f g h z"), (21, "m n o p q r s t")]
+    rej, adm = _ingest(spark, root, batch2)
+    assert adm[20].text == "x y z"
+    # crash simulation: roll back the id append only (windows stay)
+    admitted_dir = root + "/admitted"
+    files = sorted(os.listdir(admitted_dir))
+    import shutil
+    import glob
+
+    # remove the newest admitted-id files by rewriting the dir with
+    # only doc_id=1 (pre-batch-2 state)
+    pre = spark.createDataFrame([(1,)], "doc_id long")
+    tmpd = str(tmp_path / "pre_ids")
+    pre.coalesce(1).write.parquet(tmpd)
+    shutil.rmtree(admitted_dir)
+    shutil.copytree(tmpd, admitted_dir)
+
+    rej2, adm2 = _ingest(spark, root, batch2)
+    assert adm2[20].text == "x y z"
+    assert (adm2[20].n_kept, adm2[20].n_dropped) == (
+        adm[20].n_kept, adm[20].n_dropped)
+    assert adm2[21].text == adm[21].text
+    idx = spark.read.parquet(root + "/windows")
+    assert idx.groupBy("h", "doc_id").count().where("count > 1") \
+        .count() == 0
+    assert files  # silence unused warning paranoia
+
+
+def test_k_mismatch_refused(spark, tmp_path):
+    root = _init(spark, tmp_path, k=4)
+    assert read_span_manifest(spark, root) == 4
+    src = str(tmp_path / "src_km")
+    os.makedirs(src)
+    with pytest.raises(ValueError, match="k="):
+        q = streaming_ingest_spans(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(src),
+            root, str(tmp_path / "ck"), k=7,
+        )
+        q.stop()
+
+
+def test_compaction_is_probe_invisible(spark, tmp_path):
+    root = _init(spark, tmp_path)
+    for b in range(4):
+        _ingest(spark, root, [
+            (100 + b, f"u{b} v{b} w{b} x{b} y{b} z{b}")
+        ])
+    before = {(r.h, r.doc_id)
+              for r in spark.read.parquet(root + "/windows").collect()}
+    compact_span_index(spark, root)
+    after = {(r.h, r.doc_id)
+             for r in spark.read.parquet(root + "/windows").collect()}
+    assert before == after
+    rej, adm = _ingest(spark, root, [(200, "u0 v0 w0 x0 y0 z0")])
+    assert rej == {200: "all_spans_duplicated"}
+
+
+def test_streaming_twin_converges_with_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "sidx")
+    ck = str(tmp_path / "ck")
+    got = {}
+
+    def on_admitted(df, batch_id):
+        for r in df.collect():
+            got[r.doc_id] = r.text
+
+    os.makedirs(src)
+    _df(spark, [(1, "a b c d e f g h")]).coalesce(1).write.parquet(
+        src + "/b0")
+    q = streaming_ingest_spans(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+        root, ck, k=K, on_admitted=on_admitted, compact_every=2,
+    )
+    try:
+        q.processAllAvailable()
+        _df(spark, [(2, "Q R a b c d e f g h S"),
+                    (3, "totally new tokens only here")]
+            ).coalesce(1).write.parquet(src + "/b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got[1] == "a b c d e f g h"
+    assert got[2] == "Q R S"
+    assert got[3] == "totally new tokens only here"
+    admitted_ids = {r.doc_id for r in
+                    spark.read.parquet(root + "/admitted").collect()}
+    assert admitted_ids == {1, 2, 3}

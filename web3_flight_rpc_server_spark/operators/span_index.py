@@ -1,0 +1,334 @@
+"""Persistent incremental EXACT-SUBSTRING-SPAN index: the streaming/
+ingestion twin of operators/substrdedup.py, completing the pattern
+every dedup tier in this repo follows (batch operator + persistent
+index + foreachBatch ingest loop — the MinHash, fingerprint and
+semantic twins in operators/incremental.py / fp_index.py /
+semdedup.py).
+
+Production shape: training data arrives continuously; a new batch's
+documents must not re-contribute long spans the historical corpus
+already contains (cross-batch Lee et al. 2022 removal), nor repeat
+spans within the batch. Each micro-batch:
+
+    1. identity exclusion — doc ids already admitted are rejected
+       outright (``already_admitted``): the replay short-circuit.
+    2. span removal — the batch's k-token windows probe the index;
+       any window whose text exists in the ADMITTED corpus (under a
+       DIFFERENT owner id — self-exclusion, see below) is a
+       no-keeper duplicate (history holds the keeper), and windows
+       duplicated batch-internally follow the batch operator's
+       keep-first + keeper-protection rule exactly.
+    3. admission — documents rebuilt from surviving tokens; a doc
+       whose every token was removed is rejected
+       (``all_spans_duplicated``), the visible-loss convention.
+    4. append — the ADMITTED (cleaned) text's distinct window hashes
+       land in the index as (h, doc_id) rows, anti-joined against
+       existing (h, doc_id) pairs so replayed appends are no-ops;
+       admitted ids append last.
+
+Replay self-healing is CONTENT-based, the fp_index present-id trick:
+index rows carry their owner doc_id and probes exclude rows owned by
+the probing document itself, so a batch replayed after a crash
+between the window append and the id append re-derives byte-identical
+admitted output (its own half-appended windows are invisible to it),
+re-appends idempotently, and converges — pinned with a forced replay
+in tests/test_span_index.py. Downstream hand-off inherits
+foreachBatch's at-least-once contract like every other twin.
+
+Index layout at ``root``: ``manifest/`` (1-row parquet pinning k +
+hash tier — reopening with a different k raises, the layout-pinning
+convention), ``windows/`` ((h: long, doc_id) pairs — xxhash64 of the
+window text, the production 64-bit tier; 8-byte hashes over ~one row
+per admitted token), ``admitted/`` (doc_id). ``compact_span_index``
+folds the per-batch small files through the crash-safe three-step
+swap (operators/fswap.py), probes bit-identical before/after;
+``streaming_ingest_spans(compact_every=N)`` runs it inside
+foreachBatch where serial micro-batches make "never concurrent with
+an append" hold by construction (the r10 in-loop convention).
+
+Scale shape: the probe shuffles window hashes of the BATCH against
+the index's (h, doc_id) equi-join — index-side shuffle is avoidable
+with the bucketed-table tier the other indexes offer; at v1 the
+windows dataset is plain parquet and the join is a standard hash
+join on h. Window construction is the batch operator's array-land
+projection (O(n*k) bytes hashed, shuffle-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def _sub(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name
+
+
+def _read_recovering(spark: SparkSession, live: str) -> DataFrame:
+    from .incremental import _read_recovering as _rr
+
+    return _rr(spark, live)
+
+
+def read_span_manifest(spark: SparkSession, path: str) -> int:
+    """Returns the index's k; FileNotFoundError when no index."""
+    try:
+        row = spark.read.parquet(_sub(path, "manifest")).collect()[0]
+    except AnalysisException as exc:
+        raise FileNotFoundError(
+            f"no span index at {path!r} — init_span_index() first"
+        ) from exc
+    return int(row.k)
+
+
+def init_span_index(docs: DataFrame, path: str, k: int = 50,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> None:
+    """Create an EMPTY span index with the given layout; ``docs``
+    supplies the id schema only (bootstrap-from-stream convention:
+    a hardcoded id type would poison content-hash string ids)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    spark = docs.sparkSession
+    spark.createDataFrame([(int(k), "xxhash64")], "k int, hash string") \
+        .coalesce(1).write.mode("errorifexists").parquet(_sub(path, "manifest"))
+    empty = docs.limit(0)
+    empty.select(
+        F.xxhash64(text_col).alias("h"), F.col(id_col)
+    ).write.parquet(_sub(path, "windows"))
+    empty.select(id_col).write.parquet(_sub(path, "admitted"))
+
+
+def _windows(docs: DataFrame, k: int, id_col: str,
+             text_col: str) -> DataFrame:
+    """(id_col, pos, h): every k-token window's xxhash64, built in
+    array land exactly like the batch operator (same literal-space
+    tokens, same slice/join window text — only the hash tier differs:
+    64-bit xxhash64 for 8-byte index rows vs the oracle-bridge md5)."""
+    toks = F.split(F.col(text_col), " ", -1)
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(id_col, toks.alias("__t"))
+        .where(F.size("__t") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - k),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.xxhash64(
+                            F.array_join(F.slice("__t", i + 1, k), " ")
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("__w"),
+        )
+        .select(id_col, F.col("__w.pos").alias("pos"),
+                F.col("__w.h").alias("h"))
+    )
+
+
+def ingest_spans_batch(docs: DataFrame, path: str,
+                       id_col: str = "doc_id",
+                       text_col: str = "text"
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Run one batch through the span-dedup admission loop. Returns
+    ``(rejects, admitted)`` — the ingest_media_batch API shape:
+    rejects carry (id_col, reject_reason) with first-failing reason
+    ``already_admitted`` | ``all_spans_duplicated``; admitted carry
+    (id_col, text, n_kept, n_dropped) with text REWRITTEN (later
+    occurrences of indexed/duplicated spans removed) and the index
+    updated with the admitted windows. Both returns are
+    localCheckpointed: safe to consume after release_caches()."""
+    spark = docs.sparkSession
+    k = read_span_manifest(spark, path)
+
+    prior = _read_recovering(spark, _sub(path, "admitted"))
+    replays = (
+        docs.join(prior, id_col, "left_semi")
+        .select(id_col, F.lit("already_admitted").alias("reject_reason"))
+    )
+    fresh = docs.join(prior, id_col, "left_anti").select(id_col, text_col)
+
+    occ = _windows(fresh, k, id_col, text_col)
+    idx = _read_recovering(spark, _sub(path, "windows"))
+
+    # indexed elsewhere = duplicate with NO in-batch keeper (history
+    # holds the keeper); self-owned index rows are excluded so a
+    # replayed half-appended batch sees exactly what its first run saw
+    hit = (
+        occ.alias("o")
+        .join(
+            idx.alias("x"),
+            (F.col("o.h") == F.col("x.h"))
+            & (F.col(f"o.{id_col}") != F.col(f"x.{id_col}")),
+            "left_semi",
+        )
+        .select(id_col, "pos", "h")
+    )
+    miss = occ.join(hit.select(id_col, "pos"), [id_col, "pos"],
+                    "left_anti")
+    # batch-local keep-first among the index misses (batch op rule)
+    local_first = (
+        miss.groupBy("h")
+        .agg(F.count("*").alias("__c"),
+             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+        .where(F.col("__c") >= 2)
+        .select("h", "__first")
+    )
+    local_dup = miss.join(local_first, "h").select(
+        id_col, "pos",
+        (F.struct(F.col(id_col), F.col("pos")) == F.col("__first"))
+        .alias("is_keeper"),
+    )
+    dup_occ = hit.select(
+        id_col, "pos", F.lit(False).alias("is_keeper")
+    ).unionByName(local_dup)
+
+    removed = (
+        dup_occ.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tp"),
+            "is_keeper",
+        )
+        .groupBy(id_col, "tp")
+        .agg(F.max("is_keeper").alias("__prot"))
+        .where(~F.col("__prot"))
+        .select(id_col, "tp")
+    )
+    toks = fresh.where(F.col(text_col).isNotNull()).select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ", -1))
+        .alias("tp", "tok")
+    )
+    kept = toks.join(removed, [id_col, "tp"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tp"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    dropped = removed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dropped")
+    )
+    out = (
+        fresh.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long")
+            .alias("n_dropped"),
+        )
+    )
+    emptied = out.where(
+        (F.col("n_kept") == 0) & (F.col("n_dropped") > 0)
+    ).select(id_col, F.lit("all_spans_duplicated").alias("reject_reason"))
+    admitted = out.join(emptied.select(id_col), id_col, "left_anti") \
+        .localCheckpoint(eager=True)
+    rejects = replays.unionByName(emptied).localCheckpoint(eager=True)
+
+    # windows of the CLEANED admitted text (the canonical corpus),
+    # anti-joined on (h, owner) so replayed appends are no-ops;
+    # admitted ids go LAST — a crash between the appends replays into
+    # the content-based self-exclusion path above
+    new_w = (
+        _windows(admitted, k, id_col, text_col)
+        .select("h", id_col).distinct()
+        .join(idx, ["h", id_col], "left_anti")
+    )
+    new_w.write.mode("append").parquet(_sub(path, "windows"))
+    admitted.select(id_col).write.mode("append").parquet(
+        _sub(path, "admitted")
+    )
+    return rejects, admitted
+
+
+def compact_span_index(spark: SparkSession, path: str) -> dict:
+    """Fold per-batch small files (and any replay-duplicated rows)
+    back into few distinct-row files via the crash-safe three-step
+    swap; probes bit-identical before/after. Run between ingest
+    cycles or via streaming_ingest_spans(compact_every=N)."""
+    from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+
+    out: dict = {}
+    for name in ("windows", "admitted"):
+        live = _sub(path, name)
+        recover_directory(spark, live)
+        df = spark.read.parquet(live)
+        before = df.rdd.getNumPartitions()
+        tmp = live + TMP_SUFFIX
+        df.distinct().coalesce(max(1, before // 8)) \
+            .write.mode("overwrite").parquet(tmp)
+        promote_directory(spark, live, tmp)
+        spark.catalog.refreshByPath(live)
+        out[name] = before
+    return out
+
+
+def streaming_ingest_spans(stream_docs: DataFrame, path: str,
+                           checkpoint_dir: str, k: int = 50,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           on_admitted=None,
+                           compact_every: int | None = None):
+    """readStream -> foreachBatch(ingest_spans_batch): continuous
+    span-dedup admission. Bootstraps an empty index when ``path`` has
+    none (stream-first corpora); refuses a k mismatch against an
+    existing manifest. ``on_admitted(df, batch_id)`` inherits
+    foreachBatch's at-least-once contract; the index itself converges
+    exactly under replay (content-based self-exclusion)."""
+    spark = stream_docs.sparkSession
+    try:
+        have = read_span_manifest(spark, path)
+        if have != k:
+            raise ValueError(
+                f"span index at {path!r} was built with k={have}, "
+                f"stream asked k={k} — window identities would differ"
+            )
+    except FileNotFoundError:
+        # bootstrap with the STREAM's own id/text types via a batch
+        # empty frame (a streaming DF cannot .write; and a hardcoded
+        # schema would poison content-hash string ids — the
+        # incremental-module convention)
+        init_span_index(
+            spark.createDataFrame(
+                [], stream_docs.select(id_col, text_col).schema
+            ),
+            path, k, id_col, text_col,
+        )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from .dedup import release_caches
+
+        if batch_df.isEmpty():
+            return
+        try:
+            _rej, admitted = ingest_spans_batch(
+                batch_df.select(id_col, text_col), path, id_col,
+                text_col,
+            )
+            if on_admitted is not None:
+                on_admitted(admitted, batch_id)
+            if compact_every is not None and batch_id % compact_every \
+                    == (compact_every - 1):
+                compact_span_index(batch_df.sparkSession, path)
+        finally:
+            release_caches()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
