@@ -659,3 +659,173 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load_table(spark, sf_dir, "documents")
     return dedup_substrings(docs, k=20).orderBy("doc_id")
+
+
+_SPAN_INGEST_ROOT = None
+
+
+def _span_ingest_root() -> str:
+    global _SPAN_INGEST_ROOT
+    if _SPAN_INGEST_ROOT is None:
+        import os
+        import tempfile
+
+        _SPAN_INGEST_ROOT = os.path.join(
+            tempfile.gettempdir(), f"w3frs_span_ingest_{os.getpid()}"
+        )
+    return _SPAN_INGEST_ROOT
+
+
+def _span_ingest_oracle() -> str:
+    """Batch-2 ingest verdicts recomputed from the AT-REST state:
+    batch 1's admitted (cleaned) text persisted by the Spark side is
+    the trusted history (the q_media_replay / q_trained_cells at-rest
+    convention); everything about batch 2 — windows, the
+    history-hit rule (no keeper), the batch-local keep-first rule,
+    keeper protection, position coverage, the rebuild and the
+    emptied-doc verdict — is recomputed in DuckDB from raw text, on
+    window TEXT equality (the collision-free ground truth the
+    engine's xxhash64 tier approximates)."""
+    root = _span_ingest_root()
+    return f"""
+    WITH b1 AS (
+        SELECT text FROM read_parquet('{root}/b1_admitted/*.parquet')
+    ),
+    b2 AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 2 = 1 AND text IS NOT NULL
+    ),
+    hist AS (
+        SELECT DISTINCT array_to_string(ts[i:i+19], ' ') AS w
+        FROM (SELECT string_split(text, ' ') AS ts FROM b1),
+             unnest(generate_series(1, len(ts) - 19)) AS t(i)
+        WHERE len(ts) >= 20
+    ),
+    occ AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               array_to_string(ts[i:i+19], ' ') AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM b2),
+             unnest(generate_series(1, len(ts) - 19)) AS t(i)
+        WHERE len(ts) >= 20
+    ),
+    hit AS (
+        SELECT o.doc_id, o.pos FROM occ o JOIN hist h ON o.w = h.w
+    ),
+    miss AS (
+        SELECT o.doc_id, o.pos, o.w FROM occ o
+        ANTI JOIN hit USING (doc_id, pos)
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY w ORDER BY doc_id, pos)
+                   AS rn,
+               count(*) OVER (PARTITION BY w) AS c
+        FROM miss
+    ),
+    dup AS (
+        SELECT doc_id, pos, FALSE AS is_keeper FROM hit
+        UNION ALL
+        SELECT doc_id, pos, rn = 1 FROM ranked WHERE c >= 2
+    ),
+    cov AS (
+        SELECT doc_id, CAST(pos + j AS INT) AS tp, is_keeper
+        FROM dup, unnest(generate_series(0, 19)) AS g(j)
+    ),
+    removedpos AS (
+        SELECT doc_id, tp FROM cov
+        GROUP BY doc_id, tp HAVING NOT bool_or(is_keeper)
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS tp, ts[i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM b2),
+             unnest(generate_series(1, len(ts))) AS t(i)
+    ),
+    keptt AS (
+        SELECT t.doc_id, t.tp, t.tok FROM toks t
+        ANTI JOIN removedpos r USING (doc_id, tp)
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM keptt GROUP BY doc_id
+    ),
+    outp AS (
+        SELECT d.doc_id,
+               coalesce(r.text, '') AS text,
+               coalesce(r.n_kept, 0) AS n_kept
+        FROM b2 d LEFT JOIN rebuilt r USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN n_kept = 0 THEN 'all_spans_duplicated'
+                ELSE 'admitted' END AS verdict,
+           CASE WHEN n_kept = 0 THEN '' ELSE text END AS text,
+           n_kept
+    FROM outp ORDER BY doc_id
+    """
+
+
+@query("q_span_ingest", declared=False, oracle=None)
+def q_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent span index ingest replay (operators/span_index.py):
+    even-id documents are ingested into a fresh index (batch 1, an
+    empty-index pass equal to the one-shot operator) and their
+    ADMITTED cleaned text persisted at rest; odd-id documents then
+    ingest as batch 2, and the oracle recomputes every batch-2
+    verdict, rewritten text and kept-token count in DuckDB from the
+    persisted batch-1 text + raw batch-2 text alone — the history-hit
+    no-keeper rule, batch-local keep-first, coverage, rebuild and the
+    emptied-doc rejection, on window-TEXT equality (ground truth for
+    the engine's xxhash64 tier). k=20, the q_substring_dedup fixture
+    convention. The oracle is attached after registration (it embeds
+    the per-process at-rest path, the q_media_replay pattern)."""
+    import os
+    import shutil
+
+    from ..operators.span_index import (
+        ingest_spans_batch,
+        init_span_index,
+    )
+
+    root = _span_ingest_root()
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    b1 = docs.where((F.col("doc_id") % 2 == 0)
+                    & F.col("text").isNotNull()).select("doc_id", "text")
+    b2 = docs.where((F.col("doc_id") % 2 == 1)
+                    & F.col("text").isNotNull()).select("doc_id", "text")
+
+    idx = os.path.join(root, "idx")
+    init_span_index(b1, idx, k=20)
+    _rej1, adm1 = ingest_spans_batch(b1, idx)
+    adm1.select("text").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "b1_admitted")
+    )
+    rej2, adm2 = ingest_spans_batch(b2, idx)
+    return (
+        adm2.select(
+            "doc_id", F.lit("admitted").alias("verdict"), "text",
+            "n_kept",
+        )
+        .unionByName(
+            rej2.select(
+                "doc_id", F.col("reject_reason").alias("verdict"),
+                F.lit("").alias("text"),
+                F.lit(0).cast("long").alias("n_kept"),
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _set_span_ingest_oracle() -> None:
+    from ..registry import REGISTRY, Query
+
+    q = REGISTRY["q_span_ingest"]
+    REGISTRY["q_span_ingest"] = Query(
+        q.name, q.fn, _span_ingest_oracle(), q.doc, q.declared
+    )
+
+
+_set_span_ingest_oracle()
