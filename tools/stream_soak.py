@@ -532,8 +532,82 @@ class ClfGateSoak(TwinSoak):
         return rec
 
 
+class SpanSoak(TwinSoak):
+    """Persistent span index (operators/span_index.py): docs with
+    disjoint per-id 12-token vocabulary; every 5th row replays an
+    earlier ORIGINAL doc's full text under a fresh id — an exact copy
+    whose every k=6 window is in the index, so it must be rejected
+    ``all_spans_duplicated``. Convergence: the admitted dataset holds
+    exactly the originals once each, and the windows dataset has no
+    duplicate (h, owner) rows across kills and forced replays."""
+
+    name = "span"
+    K = 6
+
+    def _text(self, uid: int) -> str:
+        return " ".join(f"tok{uid}x{j}" for j in range(12))
+
+    def batch_rows(self, batch_id: int) -> list:
+        rows = []
+        for r in range(self.rows):
+            i = batch_id * self.rows + r
+            if i % 5 == 4 and i >= 5:
+                rows.append((1_000_000 + i, self._text(i - 4)))
+            else:
+                rows.append((i, self._text(i)))
+        return rows
+
+    def schema(self) -> str:
+        return "doc_id long, text string"
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.span_index import (
+            streaming_ingest_spans,
+        )
+
+        return streaming_ingest_spans(
+            self.stream_df(), self.idx, self.ckpt, k=self.K,
+            compact_every=self.compact_every,
+        )
+
+    def probe_once(self) -> float:
+        from web3_flight_rpc_server_spark.operators.span_index import (
+            _windows,
+        )
+
+        probe = self.spark.createDataFrame(
+            [(9_999_999, self._text(0)), (9_999_998, self._text(1))],
+            self.schema(),
+        )
+        t0 = time.perf_counter()
+        w = _windows(probe, self.K, "doc_id", "text")
+        idx = self.spark.read.parquet(self.idx + "/windows")
+        w.join(idx, "h", "left_semi").count()
+        return time.perf_counter() - t0
+
+    def unique_population(self, n_batches: int) -> int:
+        n = n_batches * self.rows
+        return sum(1 for i in range(n) if not (i % 5 == 4 and i >= 5))
+
+    def index_distinct_ids(self) -> int:
+        return (
+            self.spark.read.parquet(self.idx + "/admitted")
+            .select("doc_id").distinct().count()
+        )
+
+    def no_duplicate_ids(self) -> bool:
+        w = self.spark.read.parquet(self.idx + "/windows")
+        a = self.spark.read.parquet(self.idx + "/admitted")
+        return (
+            w.groupBy("h", "doc_id").count().where("count > 1")
+            .count() == 0
+            and a.groupBy("doc_id").count().where("count > 1")
+            .count() == 0
+        )
+
+
 TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak,
-         "clf": ClfGateSoak}
+         "clf": ClfGateSoak, "span": SpanSoak}
 
 
 def main() -> int:
