@@ -764,7 +764,7 @@ def _span_ingest_oracle() -> str:
     """
 
 
-@query("q_span_ingest", declared=False, oracle=None)
+@query("q_span_ingest", declared=True, oracle=None)  # r12: took q_blocks_scan's slot; oracle attached below
 def q_span_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent span index ingest replay (operators/span_index.py):
     even-id documents are ingested into a fresh index (batch 1, an

@@ -144,6 +144,10 @@ def q_topic0_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_blocks_scan",
+    declared=False,  # r12 rotation: ceded its slot to q_span_ingest;
+    # A2 stays driver-attested by the live-source pytest suite
+    # (tests/test_ethereum_rpc_source.py) and this query remains
+    # oracle-parity-run in tests/test_oracle_parity.py (declared r1-r11)
     oracle="""
     SELECT CAST(b AS BIGINT)                          AS number,
            printf('0xblk%08d', b)                     AS hash,
