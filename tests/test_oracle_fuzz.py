@@ -26,7 +26,13 @@ QUERIES = all_queries()
 # a random corpus's J≈0.3 pairs collide in a band with p≈0.06), so
 # its fuzz contract is precision==1 + certain recall of exact copies,
 # not set equality.
-FUZZED = ["q_simhash", "q_winnow_overlap", "q_bm25"]
+# q_substring_dedup: removal semantics are deterministic set
+# algebra on ANY corpus (keep-first + coverage, no probabilistic
+# tier), so full set equality is the right fuzz contract; the
+# generator's mutated copies leave >=20-token shared runs that
+# exercise real span removal (r12).
+FUZZED = ["q_simhash", "q_winnow_overlap", "q_bm25",
+          "q_substring_dedup"]
 
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
