@@ -127,6 +127,25 @@ def test_score_rejects_damping_mismatch(spark, docs, model):
         ).collect()
 
 
+def test_score_rejects_unknown_args_descriptively(spark, docs, model):
+    # r12 ADVICE: an unknown damping/hasher on a sentinel-bearing
+    # model must raise the descriptive ValueError, not a KeyError
+    # out of the sentinel-code lookup
+    mdf = model.as_df(spark)
+    with pytest.raises(ValueError, match="unknown damping"):
+        classifier_score(docs, mdf, damping="sqrt").collect()
+    with pytest.raises(ValueError, match="unknown hasher"):
+        classifier_score(docs, mdf, hasher="sha1").collect()
+
+
+def test_score_rejects_empty_weight_table(spark, docs):
+    # r12 ADVICE: no b >= 0 rows and no -2 sentinel used to hit
+    # int(None) on the max(b) + 1 fallback
+    empty = spark.createDataFrame([(-1, 0.5)], "b long, w double")
+    with pytest.raises(ValueError, match="empty weight table"):
+        classifier_score(docs, empty).collect()
+
+
 def test_score_rejects_pruned_weight_table(spark, docs, model):
     # a nonzero-only "compacted" table would shift the hash modulus
     # under the old count(b >= 0) inference — now it raises

@@ -167,6 +167,167 @@ def test_compaction_is_probe_invisible(spark, tmp_path):
     assert rej == {200: "all_spans_duplicated"}
 
 
+def test_hash_tier_mismatch_refused(spark, tmp_path):
+    """A manifest pinning a non-xxhash64 hash tier must refuse the
+    probe outright — probing a foreign hash space with xxhash64
+    windows would never collide and silently admit every duplicate
+    (r12 ADVICE; the same refusal class as the k mismatch)."""
+    root = str(tmp_path / "spanidx_hash")
+    spark.createDataFrame(
+        [(K, "sha1-trunc64", None, 0)],
+        "k int, hash string, windows_table string, buckets int",
+    ).coalesce(1).write.parquet(root + "/manifest")
+    with pytest.raises(ValueError, match="hash tier"):
+        read_span_manifest(spark, root)
+    with pytest.raises(ValueError, match="hash tier"):
+        ingest_spans_batch(_df(spark, [(1, "a b c d e")]), root)
+
+
+def test_bucketed_windows_tier_no_exchange_on_index_side(spark, tmp_path):
+    """The metastore bucketed-windows tier: the probe join must
+    shuffle ONLY the batch side — the windows table's pinned (h) hash
+    partitioning satisfies the join's distribution requirement, so
+    the plan carries no Exchange over the index scan (the
+    incremental.py bands-table / fp_index.py chunks_table contract)."""
+    from web3_flight_rpc_server_spark.operators.span_index import (
+        _read_manifest,
+        _read_windows,
+        _windows,
+    )
+
+    plain_root = str(tmp_path / "spanidx_plain")
+    bt_root = str(tmp_path / "spanidx_bt")
+    table = "test_span_windows"
+    corpus = [(i, f"w{i} x{i} a b c d e f t{i}") for i in range(20)]
+    init_span_index(_df(spark, []), plain_root, k=K)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        init_span_index(_df(spark, []), bt_root, k=K,
+                        windows_table=table, buckets=8)
+        ingest_spans_batch(_df(spark, corpus), plain_root)
+        ingest_spans_batch(_df(spark, corpus), bt_root)
+
+        def _probe_plan(root):
+            m = _read_manifest(spark, root)
+            occ = _windows(_df(spark, [(100, "a b c d e f q r")]),
+                           K, "doc_id", "text")
+            idx = _read_windows(spark, root, m)
+            hit = occ.alias("o").join(
+                idx.alias("x"),
+                (F.col("o.h") == F.col("x.h"))
+                & (F.col("o.doc_id") != F.col("x.doc_id")),
+                "left_semi",
+            )
+            fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+                .fromString("formatted")
+            return hit._jdf.queryExecution().explainString(fmt)
+
+        plan = _probe_plan(bt_root)
+        assert "Bucketed: true" in plan, "index side not read as bucketed"
+        # exactly one h-exchange: the probe side's (the plain tier
+        # plans two — both join children shuffle)
+        assert plan.count("hashpartitioning(h#") == 1, plan
+        plain_plan = _probe_plan(plain_root)
+        assert plain_plan.count("hashpartitioning(h#") == 2, plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucketed_tier_bit_identical_and_replay_converges(spark, tmp_path):
+    """The bucketed tier must produce byte-identical admission
+    decisions to the plain-parquet tier across a multi-batch sequence,
+    follow the manifest's tier on append (bounded files: at most one
+    per non-empty bucket per append), and survive the crash-window
+    forced replay with the same convergence as v1."""
+    import shutil
+
+    plain_root = str(tmp_path / "sp_plain")
+    bt_root = str(tmp_path / "sp_bt")
+    table = "test_span_windows_bi"
+    batches = [
+        [(1, "a b c d e f g h"), (2, "x y a b c d e f g h z")],
+        [(10, "P Q a b c d e f g h R"), (11, "a b c d e f g h"),
+         (12, "fresh words only here now")],
+        [(20, "P Q R S T U V W"), (12, "fresh words only here now")],
+    ]
+    init_span_index(_df(spark, []), plain_root, k=K)
+    try:
+        init_span_index(_df(spark, []), bt_root, k=K,
+                        windows_table=table, buckets=4)
+        files_before = 0
+        for rows in batches:
+            rej_p, adm_p = _ingest(spark, plain_root, rows)
+            rej_b, adm_b = _ingest(spark, bt_root, rows)
+            assert rej_b == rej_p
+            assert {i: (r.text, r.n_kept, r.n_dropped)
+                    for i, r in adm_b.items()} == \
+                   {i: (r.text, r.n_kept, r.n_dropped)
+                    for i, r in adm_p.items()}
+            files_now = len(spark.table(table).inputFiles())
+            assert files_now - files_before <= 4, \
+                "append wrote more than one file per bucket"
+            files_before = files_now
+        # crash window: roll back the admitted-id append only; the
+        # replay must re-derive identical output via self-exclusion
+        batch4 = [(30, "M N a b c d e f g h O")]
+        _, adm4 = _ingest(spark, bt_root, batch4)
+        pre = spark.createDataFrame(
+            [(i,) for i in (1, 2, 10, 12, 20)], "doc_id long")
+        tmpd = str(tmp_path / "pre_ids_bt")
+        pre.coalesce(1).write.parquet(tmpd)
+        shutil.rmtree(bt_root + "/admitted")
+        shutil.copytree(tmpd, bt_root + "/admitted")
+        _, adm4r = _ingest(spark, bt_root, batch4)
+        assert adm4r[30].text == adm4[30].text == "M N O"
+        assert spark.table(table).groupBy("h", "doc_id").count() \
+            .where("count > 1").count() == 0
+        # compaction skips the metastore windows, folds admitted/
+        folded = compact_span_index(spark, bt_root)
+        assert "windows" not in folded and "admitted" in folded
+        rej5, _ = _ingest(spark, bt_root, [(40, "a b c d e f g h")])
+        assert rej5 == {40: "all_spans_duplicated"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_twin_bootstraps_bucketed_tier(spark, tmp_path):
+    """streaming_ingest_spans(windows_table=...) must bootstrap the
+    metastore tier and converge like the plain twin."""
+    src = str(tmp_path / "src_bt")
+    root = str(tmp_path / "sidx_bt")
+    table = "test_span_windows_stream"
+    got = {}
+
+    def on_admitted(df, batch_id):
+        for r in df.collect():
+            got[r.doc_id] = r.text
+
+    os.makedirs(src)
+    _df(spark, [(1, "a b c d e f g h")]).coalesce(1).write.parquet(
+        src + "/b0")
+    try:
+        q = streaming_ingest_spans(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+            root, str(tmp_path / "ck_bt"), k=K,
+            on_admitted=on_admitted,
+            windows_table=table, buckets=4,
+        )
+        try:
+            q.processAllAvailable()
+            _df(spark, [(2, "Q R a b c d e f g h S")]
+                ).coalesce(1).write.parquet(src + "/b1")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert got == {1: "a b c d e f g h", 2: "Q R S"}
+        assert spark.table(table).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_streaming_twin_converges_with_sink(spark, tmp_path):
     src = str(tmp_path / "src")
     root = str(tmp_path / "sidx")

@@ -117,6 +117,33 @@ def main() -> int:
     n_samples = samples.count()
     t_curate = time.monotonic() - t0
 
+    # ---- span-removal stage, measured in isolation (r12 VERDICT #3):
+    # the r12 substring_dedup_k stage sits in the flagship assembly
+    # with conservation tests only; this times it on the same
+    # permissive corpus the other stages see (the 10-replica bench
+    # structure gives it real duplicated volume to strip). Measured
+    # SEPARATELY so the curate/fit/encode/pack stage walls stay
+    # comparable with the r12 BASELINE rows; the removed-token
+    # fraction is the downstream token-budget effect at the
+    # whitespace tier, and x fertility estimates the subword tokens
+    # the budget would save.
+    from web3_flight_rpc_server_spark.operators.substrdedup import (
+        dedup_substrings,
+    )
+
+    span_k = 20  # the q_substring_dedup fixture convention
+    t0 = time.monotonic()
+    span = _persisted(
+        dedup_substrings(train.select("doc_id", "text"), k=span_k)
+    )
+    kept_t, dropped_t, emptied = span.agg(
+        F.sum("n_kept"), F.sum("n_dropped"),
+        F.sum(F.when((F.col("n_kept") == 0) & (F.col("n_dropped") > 0),
+                     1).otherwise(0)),
+    ).collect()[0]
+    t_span = time.monotonic() - t0
+    span_removed_frac = float(dropped_t) / float(kept_t + dropped_t)
+
     # corpus word economics (one extra pass, not counted in any stage)
     words = samples.select(
         F.explode(
@@ -162,6 +189,11 @@ def main() -> int:
 
     out.update({
         "stage_curate_chunk_s": round(t_curate, 2),
+        "stage_span_dedup_s": round(t_span, 2),
+        "span_k": span_k,
+        "span_removed_token_frac": round(span_removed_frac, 4),
+        "span_emptied_docs": int(emptied),
+        "span_bpe_tokens_saved_est": int(span_removed_frac * n_bpe),
         "stage_bpe_fit_s": round(t_fit, 2),
         "stage_encode_s": round(t_encode, 2),
         "stage_pack_write_s": round(t_pack, 2),

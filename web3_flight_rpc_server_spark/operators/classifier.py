@@ -197,6 +197,13 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
     (all buckets rows present, zeros included — what as_df writes);
     a pruned table raises. If the damping/hasher sentinels are
     present, a mismatching caller argument raises too."""
+    # argument membership first: an unknown damping/hasher must raise
+    # the descriptive error, not a KeyError out of the sentinel
+    # comparison below (r12 ADVICE)
+    if damping not in _DAMPING_CODE:
+        raise ValueError(f"unknown damping: {damping!r}")
+    if hasher not in _HASHER_CODE:
+        raise ValueError(f"unknown hasher: {hasher!r}")
     # one tiny collect over the broadcast-sized negative-b metadata:
     # a persisted model is self-describing
     meta = {int(r.b): float(r.w)
@@ -205,9 +212,14 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
     if -2 in meta:
         buckets = int(meta[-2])
     else:
-        buckets = int(
-            model_df.where("b >= 0").agg(F.max("b")).collect()[0][0]
-        ) + 1
+        max_b = model_df.where("b >= 0").agg(F.max("b")).collect()[0][0]
+        if max_b is None:
+            raise ValueError(
+                "empty weight table: no b >= 0 rows and no b = -2 "
+                "bucket-count sentinel — score only tables written by "
+                "LinearModel.as_df"
+            )
+        buckets = int(max_b) + 1
     if nneg != buckets:
         raise ValueError(
             f"weight table is not dense: {nneg} rows for modulus "

@@ -32,8 +32,8 @@ the probing document itself, so a batch replayed after a crash
 between the window append and the id append re-derives byte-identical
 admitted output (its own half-appended windows are invisible to it),
 re-appends idempotently, and converges — pinned with a forced replay
-in tests/test_span_index.py. Downstream hand-off inherits
-foreachBatch's at-least-once contract like every other twin.
+in tests/test_span_index.py. Downstream hand-off via on_admitted is
+at-MOST-once across one crash window (see streaming_ingest_spans).
 
 Index layout at ``root``: ``manifest/`` (1-row parquet pinning k +
 hash tier — reopening with a different k raises, the layout-pinning
@@ -46,15 +46,28 @@ swap (operators/fswap.py), probes bit-identical before/after;
 foreachBatch where serial micro-batches make "never concurrent with
 an append" hold by construction (the r10 in-loop convention).
 
-Scale shape: the probe shuffles window hashes of the BATCH against
-the index's (h, doc_id) equi-join — index-side shuffle is avoidable
-with the bucketed-table tier the other indexes offer; at v1 the
-windows dataset is plain parquet and the join is a standard hash
-join on h. Window construction is the batch operator's array-land
-projection (O(n*k) bytes hashed, shuffle-free).
+Scale shape: ``windows_table`` selects the metastore tier for the
+windows dataset — a bucketed table CLUSTERED BY (h) whose pinned hash
+partitioning satisfies the probe join's distribution requirement, so
+a probe shuffles ONLY the batch side with no Exchange over the index
+however large the admitted corpus grows (sources/bucketed.py's lever,
+the same contract as operators/incremental.py's bands table and
+operators/fp_index.py's chunks_table; plan-asserted in
+tests/test_span_index.py). Appends repartition the batch's new
+windows into the bucket layout first, so each append writes at most
+one file per non-empty bucket (bounded file growth; the metastore
+tier therefore needs no in-loop compaction — compact_span_index
+skips it and folds only admitted/, the fp_index chunks_table
+convention). At v1 (windows_table=None) the windows dataset is plain
+parquet and the probe is a standard hash join on h — the index side
+reshuffles per micro-batch, acceptable below metastore scale. Window
+construction is the batch operator's array-land projection (O(n*k)
+bytes hashed, shuffle-free) either way.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,32 +84,101 @@ def _read_recovering(spark: SparkSession, live: str) -> DataFrame:
     return _rr(spark, live)
 
 
-def read_span_manifest(spark: SparkSession, path: str) -> int:
-    """Returns the index's k; FileNotFoundError when no index."""
+@dataclass(frozen=True)
+class SpanIndexManifest:
+    """The layout a span index was built with — recorded with the
+    data so probes, appends and replays can never window or hash
+    differently (the fp_index/incremental manifest convention)."""
+    k: int
+    hash: str = "xxhash64"
+    windows_table: str | None = None
+    buckets: int = 0
+
+
+def _read_manifest(spark: SparkSession, path: str) -> SpanIndexManifest:
     try:
         row = spark.read.parquet(_sub(path, "manifest")).collect()[0]
     except AnalysisException as exc:
         raise FileNotFoundError(
             f"no span index at {path!r} — init_span_index() first"
         ) from exc
-    return int(row.k)
+    d = row.asDict()
+    m = SpanIndexManifest(
+        int(row.k), d.get("hash") or "xxhash64",
+        d.get("windows_table"), int(d.get("buckets") or 0),
+    )
+    # probing a future non-xxhash64 index with xxhash64 windows would
+    # silently mix hash spaces and admit every duplicate (r12 ADVICE)
+    if m.hash != "xxhash64":
+        raise ValueError(
+            f"span index at {path!r} was built with hash tier "
+            f"{m.hash!r}; this build probes with xxhash64 — window "
+            "identities would never collide, rebuild instead"
+        )
+    return m
+
+
+def read_span_manifest(spark: SparkSession, path: str) -> int:
+    """Returns the index's k; FileNotFoundError when no index;
+    ValueError when the manifest pins a hash tier this build does not
+    speak (mixed hash spaces would silently admit duplicates)."""
+    return _read_manifest(spark, path).k
+
+
+def _read_windows(spark: SparkSession, path: str,
+                  m: SpanIndexManifest) -> DataFrame:
+    if m.windows_table:
+        return spark.table(m.windows_table)
+    return _read_recovering(spark, _sub(path, "windows"))
+
+
+def _append_windows(new_w: DataFrame, path: str,
+                    m: SpanIndexManifest) -> None:
+    if m.windows_table:
+        # repartition by the bucket expression (same murmur3 pmod as
+        # bucketBy) so each task holds exactly one bucket: at most one
+        # file per non-empty bucket per append
+        (
+            new_w.repartition(m.buckets, "h")
+            .write.mode("append")
+            .bucketBy(m.buckets, "h").sortBy("h")
+            .saveAsTable(m.windows_table)
+        )
+    else:
+        new_w.write.mode("append").parquet(_sub(path, "windows"))
 
 
 def init_span_index(docs: DataFrame, path: str, k: int = 50,
                     id_col: str = "doc_id",
-                    text_col: str = "text") -> None:
+                    text_col: str = "text",
+                    windows_table: str | None = None,
+                    buckets: int = 64) -> None:
     """Create an EMPTY span index with the given layout; ``docs``
     supplies the id schema only (bootstrap-from-stream convention:
-    a hardcoded id type would poison content-hash string ids)."""
+    a hardcoded id type would poison content-hash string ids).
+    ``windows_table`` selects the bucketed-metastore tier for the
+    windows dataset (CLUSTERED BY (h) INTO ``buckets``): probes then
+    shuffle only the batch side."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     spark = docs.sparkSession
-    spark.createDataFrame([(int(k), "xxhash64")], "k int, hash string") \
-        .coalesce(1).write.mode("errorifexists").parquet(_sub(path, "manifest"))
+    spark.createDataFrame(
+        [(int(k), "xxhash64", windows_table,
+          int(buckets) if windows_table else 0)],
+        "k int, hash string, windows_table string, buckets int",
+    ).coalesce(1).write.mode("errorifexists").parquet(_sub(path, "manifest"))
     empty = docs.limit(0)
-    empty.select(
+    empty_w = empty.select(
         F.xxhash64(text_col).alias("h"), F.col(id_col)
-    ).write.parquet(_sub(path, "windows"))
+    )
+    if windows_table:
+        (
+            empty_w.write.mode("errorifexists")
+            .bucketBy(buckets, "h").sortBy("h")
+            .saveAsTable(windows_table)
+        )
+    else:
+        empty_w.write.parquet(_sub(path, "windows"))
     empty.select(id_col).write.parquet(_sub(path, "admitted"))
 
 
@@ -143,7 +225,8 @@ def ingest_spans_batch(docs: DataFrame, path: str,
     updated with the admitted windows. Both returns are
     localCheckpointed: safe to consume after release_caches()."""
     spark = docs.sparkSession
-    k = read_span_manifest(spark, path)
+    m = _read_manifest(spark, path)
+    k = m.k
 
     prior = _read_recovering(spark, _sub(path, "admitted"))
     replays = (
@@ -153,7 +236,7 @@ def ingest_spans_batch(docs: DataFrame, path: str,
     fresh = docs.join(prior, id_col, "left_anti").select(id_col, text_col)
 
     occ = _windows(fresh, k, id_col, text_col)
-    idx = _read_recovering(spark, _sub(path, "windows"))
+    idx = _read_windows(spark, path, m)
 
     # indexed elsewhere = duplicate with NO in-batch keeper (history
     # holds the keeper); self-owned index rows are excluded so a
@@ -248,7 +331,7 @@ def ingest_spans_batch(docs: DataFrame, path: str,
         .select("h", id_col).distinct()
         .join(idx, ["h", id_col], "left_anti")
     )
-    new_w.write.mode("append").parquet(_sub(path, "windows"))
+    _append_windows(new_w, path, m)
     admitted.select(id_col).write.mode("append").parquet(
         _sub(path, "admitted")
     )
@@ -259,11 +342,17 @@ def compact_span_index(spark: SparkSession, path: str) -> dict:
     """Fold per-batch small files (and any replay-duplicated rows)
     back into few distinct-row files via the crash-safe three-step
     swap; probes bit-identical before/after. Run between ingest
-    cycles or via streaming_ingest_spans(compact_every=N)."""
+    cycles or via streaming_ingest_spans(compact_every=N). With the
+    bucketed-metastore tier the windows dataset is skipped — appends
+    there are already repartitioned to at most one file per bucket,
+    and a rewrite goes through the metastore instead (the fp_index
+    chunks_table convention) — only admitted/ is folded."""
     from .fswap import TMP_SUFFIX, promote_directory, recover_directory
 
+    m = _read_manifest(spark, path)
     out: dict = {}
-    for name in ("windows", "admitted"):
+    names = ("admitted",) if m.windows_table else ("windows", "admitted")
+    for name in names:
         live = _sub(path, name)
         recover_directory(spark, live)
         df = spark.read.parquet(live)
@@ -282,13 +371,32 @@ def streaming_ingest_spans(stream_docs: DataFrame, path: str,
                            id_col: str = "doc_id",
                            text_col: str = "text",
                            on_admitted=None,
-                           compact_every: int | None = None):
+                           compact_every: int | None = None,
+                           windows_table: str | None = None,
+                           buckets: int = 64):
     """readStream -> foreachBatch(ingest_spans_batch): continuous
     span-dedup admission. Bootstraps an empty index when ``path`` has
-    none (stream-first corpora); refuses a k mismatch against an
-    existing manifest. ``on_admitted(df, batch_id)`` inherits
-    foreachBatch's at-least-once contract; the index itself converges
-    exactly under replay (content-based self-exclusion)."""
+    none (stream-first corpora; ``windows_table``/``buckets`` select
+    the bucketed-metastore tier at bootstrap — on an existing index
+    the manifest's tier wins); refuses a k mismatch against an
+    existing manifest.
+
+    Delivery contract for ``on_admitted(df, batch_id)``: weaker than
+    foreachBatch's at-least-once. The index itself converges exactly
+    under replay (content-based self-exclusion), but a crash AFTER
+    the index/admitted appends and BEFORE the downstream sink commits
+    makes the replayed batch short-circuit on identity
+    (``already_admitted``) and hand ``on_admitted`` an EMPTY frame —
+    effectively at-most-once for downstream hand-off across that one
+    crash window. The admitted dataset persists only ids, not the
+    rewritten text, so the first run's output is not recomputable
+    from the index alone (the rewrite depended on the pre-append
+    index state). A downstream that cannot tolerate the gap should
+    persist inside ``on_admitted`` idempotently keyed on
+    (batch_id, doc_id) BEFORE relying on the data, or consume the
+    admitted text from its own sink — the same seam as the
+    fp_index/semdedup twins, stated here because this twin's
+    short-circuit is by identity rather than by content."""
     spark = stream_docs.sparkSession
     try:
         have = read_span_manifest(spark, path)
@@ -307,6 +415,7 @@ def streaming_ingest_spans(stream_docs: DataFrame, path: str,
                 [], stream_docs.select(id_col, text_col).schema
             ),
             path, k, id_col, text_col,
+            windows_table=windows_table, buckets=buckets,
         )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

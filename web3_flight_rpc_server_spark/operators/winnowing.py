@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _persisted
+from .dedup import _persisted, shingle_sets
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
@@ -112,3 +112,88 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def containment_pairs_blocked(docs: DataFrame, threshold: float,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 3,
+                              k: int = 12, w: int = 6,
+                              min_shared: int = 2, max_df: int = 50,
+                              hash_fn: Callable[[Column], Column] | None = None,
+                              ) -> DataFrame:
+    """DIRECTED n-gram containment at scale: winnowing fingerprints
+    PROPOSE candidate pairs, the exact shingle-set ratio CONFIRMS on
+    the candidate set only — the composition
+    operators/dedup.py:ngram_containment_pairs' scale disposition
+    names as the 100 TB path for short-in-long duplication (SURVEY
+    C11, r12 record). Same output schema as the exact tier:
+    (src, dst, containment) where C(src -> dst) = |S_src ∩ S_dst| /
+    |S_src| >= threshold; both passing directions emit.
+
+    Why this composition works where banding can't: MinHash-LSH
+    estimates the SYMMETRIC Jaccard, which -> 0 for a short doc
+    quoted inside a long one, so the banded tier (correctly) never
+    proposes the pair. Winnowing selects rolling-hash minima
+    POSITIONALLY — a quoted span contributes the same fingerprints
+    to both documents regardless of the length ratio — so the
+    df-capped fingerprint equi-join surfaces exactly this class.
+
+    Cost shape: the propose stage is the fingerprint tier's capped
+    equi-join (linear fingerprint rows, max_df bounds the per-key
+    blowup); the confirm stage is candidate-bounded — one equi-join
+    of the pair list against the shingle-set arrays per side, then an
+    IN-ROW array_intersect (no shingle explode, no second shuffle
+    over the corpus). Nothing quadratic in the corpus anywhere.
+
+    RECALL STATEMENT (measured in tests/test_winnowing_containment.py
+    on planted short-in-long corpora vs the brute-force exact tier):
+    NOT complete in general — this is a filter-and-verify scheme, and
+    a pair is proposed only when the shared content includes
+    contiguous character spans: a shared span of length >=
+    w + k - 1 chars is guaranteed >= 1 shared fingerprint (the
+    winnowing guarantee), and clearing ``min_shared`` needs roughly
+    one additional window (w chars) per extra required print — all
+    subject to the shared prints surviving the ``max_df`` stop-print
+    cap. Containment reached through SCATTERED shared n-grams with no
+    span of >= w + k - 1 chars is invisible to the propose stage by
+    design. Quoted-extract / partial-copy duplication — the class
+    this exists for — is contiguous and well inside the guarantee at
+    the defaults (spans >= 17 chars). Precision is exact: the confirm
+    stage recomputes the true set ratio, so every emitted row is a
+    true containment pair (a subset of the brute-force tier's
+    output restricted to proposed candidates)."""
+    t = float(threshold)
+    cands = fingerprint_overlap_pairs(
+        docs, min_shared, k, w, max_df, id_col, text_col, hash_fn
+    ).select("d1", "d2")
+    sets = _persisted(shingle_sets(docs, id_col, text_col, n))
+    s1 = sets.select(
+        F.col(id_col).alias("d1"), F.col("shs").alias("__shs1"),
+        F.col("sz").alias("sz1"),
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("d2"), F.col("shs").alias("__shs2"),
+        F.col("sz").alias("sz2"),
+    )
+    inter = (
+        cands.join(s1, "d1").join(s2, "d2")
+        .select(
+            "d1", "d2", "sz1", "sz2",
+            F.size(F.array_intersect("__shs1", "__shs2")).alias("inter"),
+        )
+    )
+    fwd = (
+        inter.where(F.col("inter") / F.col("sz1") >= t)
+        .select(
+            F.col("d1").alias("src"), F.col("d2").alias("dst"),
+            (F.col("inter") / F.col("sz1")).alias("containment"),
+        )
+    )
+    rev = (
+        inter.where(F.col("inter") / F.col("sz2") >= t)
+        .select(
+            F.col("d2").alias("src"), F.col("d1").alias("dst"),
+            (F.col("inter") / F.col("sz2")).alias("containment"),
+        )
+    )
+    return fwd.unionByName(rev)

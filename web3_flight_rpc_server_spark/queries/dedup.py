@@ -665,12 +665,21 @@ _SPAN_INGEST_ROOT = None
 
 
 def _span_ingest_root() -> str:
+    """Per-process scratch root for the at-rest state the oracle
+    reads back. $SPARK_GRAFT_SPAN_INGEST_DIR overrides the
+    pid-derived default so the oracle SQL can be replayed standalone
+    or from another process against a previous run's state (r12
+    ADVICE; without the override, running the oracle before fn() in
+    the same process fails on the missing b1_admitted parquet — the
+    q_media_replay convention: fn() populates, oracle reads)."""
     global _SPAN_INGEST_ROOT
     if _SPAN_INGEST_ROOT is None:
         import os
         import tempfile
 
-        _SPAN_INGEST_ROOT = os.path.join(
+        _SPAN_INGEST_ROOT = os.environ.get(
+            "SPARK_GRAFT_SPAN_INGEST_DIR"
+        ) or os.path.join(
             tempfile.gettempdir(), f"w3frs_span_ingest_{os.getpid()}"
         )
     return _SPAN_INGEST_ROOT

@@ -472,6 +472,7 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bpe_pairs",
+    declared=False,
     oracle="""
     WITH words AS (
         SELECT unnest(regexp_extract_all(
@@ -511,9 +512,12 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate is the pure-Python reference equality in
     tests/test_bpe.py (merge-for-merge, count-for-count, plus
     encode-replays-training), this query pins the primitive every
-    round reuses. DECLARED since r11 (the r11 rotation: took
-    q_grouping_sets' slot — the BPE tier is new capability and C3
-    stays attested by q_time_rollup's grouping sets)."""
+    round reuses. DECLARED r11-r12 (took q_grouping_sets' slot);
+    undeclared since r13 — its slot went to q_bpe_merges3, whose
+    round 1 IS this primitive (zero-net swap, the r12 verdict's
+    named rotation): the declared window now attests the merge LOOP
+    order, not just the static round-1 counts. Stays oracle-checked
+    in tests/test_oracle_parity.py and benched in bench.py."""
     from ..operators.vocab import _adjacent_pair_counts, \
         _initial_symbols, bpe_word_freqs
 
@@ -611,7 +615,7 @@ def _bpe_merges3_oracle() -> str:
     return "".join(parts)
 
 
-@query("q_bpe_merges3", declared=False, oracle=_bpe_merges3_oracle())
+@query("q_bpe_merges3", oracle=_bpe_merges3_oracle())  # DECLARED r13: took q_bpe_pairs' slot (its round 1 subsumes that primitive)
 def q_bpe_merges3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE merge LOOP, first three rounds, vs a fully unrolled
     DuckDB replay (operators/vocab.py:bpe_fit): round r's pair counts
