@@ -442,3 +442,61 @@ def test_perplexity_gate_accepts_external_model(spark, sf_dir):
     ).collect()
     assert {r.doc_id for r in got
             if r.reject_reason == "perplexity"} == want
+
+
+def test_trained_langid_gate_replaces_heuristic(spark):
+    """langid_model_df opts the lang gate into the trained multiclass
+    classifier (operators/classifier.py:softmax_fit) — the CCNet
+    deployment shape. On vocab the stopword heuristic cannot place
+    (no stopwords -> 'unknown', so the heuristic path rejects
+    EVERYTHING under allowed_langs=('aa',)), the trained gate admits
+    exactly the modeled language; first-failing-gate ledger semantics
+    are unchanged (a blocklisted 'aa' doc still rejects as blocklist,
+    not lang)."""
+    import random
+
+    from web3_flight_rpc_server_spark.operators.classifier import (
+        softmax_fit,
+    )
+    from web3_flight_rpc_server_spark.pipelines.curation import (
+        CurationConfig,
+        curation_rejects,
+    )
+
+    rng = random.Random(7)
+    vocab = {
+        "aa": ["korv", "plim", "zast", "welk", "dorn"],
+        "bb": ["miro", "tesk", "fulb", "grop", "yeln"],
+    }
+
+    def _doc(i, lang, extra=""):
+        body = " ".join(rng.choice(vocab[lang]) for _ in range(12))
+        return (i, (body + extra), lang)
+
+    seed = spark.createDataFrame(
+        [_doc(i, "aa") for i in range(20)]
+        + [_doc(100 + i, "bb") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    model = softmax_fit(seed, "lang", buckets=64, iters=8, lr=1.0)
+    pool = spark.createDataFrame(
+        [_doc(1000 + i, "aa") for i in range(10)]
+        + [_doc(2000 + i, "bb") for i in range(10)]
+        + [_doc(3000, "aa", " slow")],  # blocklisted survivor-class doc
+        "doc_id long, text string, lang string",
+    ).drop("lang")  # the gate must not see the fixture label
+    cfg = CurationConfig(allowed_langs=("aa",), min_quality=0.0,
+                         neardup_threshold=1.01,
+                         contamination_frac=1.01)
+    rej = {r.doc_id: r.reject_reason
+           for r in curation_rejects(
+               pool, cfg, langid_model_df=model.as_df(spark)
+           ).collect()}
+    assert all(rej.get(1000 + i) is None for i in range(10))
+    assert all(rej.get(2000 + i) == "lang" for i in range(10))
+    assert rej.get(3000) == "blocklist"  # lang passed, next gate fired
+    # the heuristic path on the same pool: every doc is 'unknown'
+    rej_h = {r.doc_id: r.reject_reason
+             for r in curation_rejects(pool, cfg).collect()}
+    assert all(v == "lang" for v in rej_h.values())
+    assert len(rej_h) == 21

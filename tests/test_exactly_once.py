@@ -116,3 +116,187 @@ def test_engine_replay_after_checkpoint_restore(spark, tmp_path):
         (r.event_id, r.epoch) for r in read_committed(spark, out).collect()
     )
     assert rows == [(1, 0), (2, 1)], f"replayed epoch duplicated: {rows}"
+
+
+def _rows(spark, out):
+    return {(r.event_id, r.v, r.epoch)
+            for r in read_committed(spark, out).collect()}
+
+
+def _epoch_dirs(out):
+    data = os.path.join(out, "data")
+    return sorted(
+        d for d in os.listdir(data) if d.startswith("epoch=")
+    ) if os.path.isdir(data) else []
+
+
+def test_compaction_is_read_invisible_and_bounds_files(spark, tmp_path):
+    """compact_committed_epochs: read_committed output row-identical
+    (original epoch values preserved), per-epoch dirs folded into one
+    segment, epoch markers NEVER deleted — so an engine replay of a
+    long-compacted epoch is still dropped whole."""
+    from web3_flight_rpc_server_spark.streaming.exactly_once import (
+        compact_committed_epochs,
+    )
+
+    out = str(tmp_path / "sink")
+    sink = ExactlyOnceParquetSink(out)
+    for b in range(6):
+        sink(_df(spark, [(10 * b + i, f"v{b}") for i in range(3)]), b)
+    before = _rows(spark, out)
+    assert len(_epoch_dirs(out)) == 6
+    res = compact_committed_epochs(spark, out, target_files=2)
+    assert res == {"folded": 6, "upto": 5}
+    assert _rows(spark, out) == before
+    assert _epoch_dirs(out) == []
+    seg = os.path.join(out, "compact", "upto=5")
+    files = [f for f in os.listdir(seg) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 2
+    # markers survive: replaying a folded epoch changes nothing
+    assert sink.committed_epochs(spark) == list(range(6))
+    sink(_df(spark, [(999, "GARBAGE")]), 2)
+    assert _rows(spark, out) == before
+    # incremental: new epochs land per-epoch, a second pass folds them
+    # INTO the segment (previous segment + markers swapped)
+    sink(_df(spark, [(100, "v6")]), 6)
+    sink(_df(spark, [(101, "v7")]), 7)
+    mid = _rows(spark, out)
+    assert mid == before | {(100, "v6", 6), (101, "v7", 7)}
+    res2 = compact_committed_epochs(spark, out, target_files=2)
+    assert res2 == {"folded": 2, "upto": 7}
+    assert _rows(spark, out) == mid
+    assert _epoch_dirs(out) == []
+    assert not os.path.exists(os.path.join(out, "compact", "upto=5"))
+    # only the latest high-water marker survives (hadoop-local .crc
+    # sidecars are metadata, not markers)
+    assert [m for m in os.listdir(os.path.join(out, "_compact"))
+            if not m.startswith(".")] == ["7"]
+
+
+def test_compaction_keep_last_and_noop(spark, tmp_path):
+    from web3_flight_rpc_server_spark.streaming.exactly_once import (
+        compact_committed_epochs,
+    )
+
+    out = str(tmp_path / "sink")
+    sink = ExactlyOnceParquetSink(out)
+    for b in range(4):
+        sink(_df(spark, [(b, f"v{b}")]), b)
+    before = _rows(spark, out)
+    res = compact_committed_epochs(spark, out, keep_last=2)
+    assert res == {"folded": 2, "upto": 1}
+    assert _rows(spark, out) == before
+    assert _epoch_dirs(out) == ["epoch=2", "epoch=3"]
+    # single fresh epoch with keep_last=0 on an uncompacted dir: a
+    # 1-epoch fold is a pointless rewrite -> no-op (but with an
+    # existing segment it folds, keeping the invariant one-segment)
+    out2 = str(tmp_path / "sink2")
+    sink2 = ExactlyOnceParquetSink(out2)
+    sink2(_df(spark, [(1, "a")]), 0)
+    assert compact_committed_epochs(spark, out2) == {
+        "folded": 0, "upto": None
+    }
+
+
+def test_compaction_crash_windows_converge(spark, tmp_path):
+    """The two crash windows: (a) segment written, marker missing —
+    stale segment never read, next pass rewrites it; (b) marker
+    committed, folded epoch dirs not yet deleted — readers ignore
+    epochs <= marker, next pass deletes them."""
+    from web3_flight_rpc_server_spark.streaming.exactly_once import (
+        compact_committed_epochs,
+    )
+
+    out = str(tmp_path / "sink")
+    sink = ExactlyOnceParquetSink(out)
+    for b in range(3):
+        sink(_df(spark, [(b, f"v{b}")]), b)
+    truth = _rows(spark, out)
+    # (a) stale segment without marker
+    stale = os.path.join(out, "compact", "upto=2")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert _rows(spark, out) == truth
+    assert compact_committed_epochs(spark, out) == {
+        "folded": 3, "upto": 2
+    }
+    assert _rows(spark, out) == truth
+    # (b) marker committed but a folded epoch dir resurrects (crash
+    # before delete): invisible to readers, swept by the next pass
+    ghost = os.path.join(out, "data", "epoch=1")
+    os.makedirs(ghost)
+    _df(spark, [(777, "GHOST")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ghost)
+    assert _rows(spark, out) == truth
+    sink(_df(spark, [(50, "v3")]), 3)
+    compact_committed_epochs(spark, out)
+    assert _rows(spark, out) == truth | {(50, "v3", 3)}
+    assert _epoch_dirs(out) == []
+
+
+def test_gated_ingest_exactly_once_bounded_files(spark, tmp_path):
+    """The gated-ingest endpoint drill (r12 VERDICT #6): survivors of
+    the stateless gates land through the epoch-manifest sink with
+    in-loop compaction — the committed view equals the batch-oracle
+    survivor set, no duplicate ids, and the file count stays bounded
+    instead of growing one per batch."""
+    from web3_flight_rpc_server_spark.pipelines.curation import (
+        CurationConfig,
+    )
+    from web3_flight_rpc_server_spark.pipelines.streaming_curation import (
+        gate_stream,
+        gated_ingest_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "gated")
+    os.makedirs(src)
+    n_batches, rows = 12, 6
+
+    def _doc(i):
+        # odd ids carry a blocklisted token -> gated out; synthetic
+        # tokens hit no stopwords -> lang "unknown"
+        body = " ".join(f"alpha{j} beta{j}" for j in range(6))
+        bad = " badword" if i % 2 else ""
+        return (i, f"doc {i} {body}{bad}", "x")
+
+    cfg = CurationConfig(allowed_langs=("unknown",), min_quality=0.0,
+                         blocklist=("badword",))
+    schema = "doc_id long, text string, lang string"
+    for b in range(n_batches):
+        spark.createDataFrame(
+            [_doc(b * rows + r) for r in range(rows)], schema
+        ).coalesce(1).write.parquet(f"{src}/b{b:03d}")
+    q = gated_ingest_exactly_once(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+        out, str(tmp_path / "ck"), cfg=cfg, compact_every=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    planted = spark.createDataFrame(
+        [_doc(i) for i in range(n_batches * rows)], schema
+    )
+    want = {r.doc_id for r in
+            gate_stream(planted, cfg).select("doc_id").collect()}
+    # non-vacuity: the gate admits exactly the even ids
+    assert want == {i for i in range(n_batches * rows) if i % 2 == 0}
+    got_df = read_committed(spark, out)
+    got = [r.doc_id for r in got_df.select("doc_id").collect()]
+    assert set(got) == want and len(got) == len(want)
+    # bounded: after the last in-loop pass at batch 11, at most the
+    # consolidated segment + epochs since that pass remain
+    assert len(_epoch_dirs(out)) <= 4
+    total_files = sum(
+        len(files) for _, _, files in os.walk(os.path.join(out))
+        for f in [files] if True
+    )
+    n_parquet = sum(
+        f.endswith(".parquet") for _, _, files in os.walk(out)
+        for f in files
+    )
+    assert n_parquet <= 4 + 4  # segment (<=4 files) + <=4 live epochs

@@ -1,0 +1,147 @@
+"""Trained multiclass lang-id tier (operators/classifier.py:
+softmax_fit / langid_score — the CCNet deployment shape: a
+fastText-style linear lang-id over the hashed unigram+bigram feature
+map, replacing the stopword-argmax heuristic when a trained model is
+available). Full-batch GD is deterministic given the features, so
+the distributed fit must land on the numpy reference to float
+accumulation error — the logreg pin's contract, one softmax up."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web3_flight_rpc_server_spark.operators.classifier import (
+    hashed_doc_features,
+    langid_score,
+    softmax_fit,
+)
+
+BUCKETS = 128
+ITERS = 10
+LR = 1.0
+L2 = 1e-4
+VOCAB = {
+    "aa": ["the", "and", "with", "house", "water"],
+    "bb": ["der", "und", "mit", "haus", "wasser"],
+    "cc": ["le", "et", "avec", "maison", "eau"],
+}
+
+
+def _corpus():
+    rng = random.Random(5)
+    rows = []
+    langs = sorted(VOCAB)
+    for i in range(90):
+        lang = langs[i % 3]
+        rows.append((i, " ".join(rng.choice(VOCAB[lang])
+                                 for _ in range(12)), lang))
+    rows.append((900, "", langs[0]))  # token-free doc
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        _corpus(), "doc_id long, text string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    return softmax_fit(docs, "lang", buckets=BUCKETS, iters=ITERS,
+                       lr=LR, l2=L2)
+
+
+def _reference_fit(spark_feats, rows):
+    ids = sorted(i for i, _t, _l in rows)
+    idx = {d: j for j, d in enumerate(ids)}
+    classes = sorted({l for _i, _t, l in rows})
+    X = np.zeros((len(ids), BUCKETS))
+    for r in spark_feats:
+        X[idx[r.doc_id], r.b] = 1.0 + math.log(r.cnt)
+    Y = np.zeros((len(ids), len(classes)))
+    for i, _t, l in rows:
+        Y[idx[i], classes.index(l)] = 1.0
+    W = np.zeros((len(classes), BUCKETS))
+    b = np.zeros(len(classes))
+    n = len(ids)
+    for _ in range(ITERS):
+        M = X @ W.T + b
+        M -= M.max(axis=1, keepdims=True)
+        E = np.exp(M)
+        P = E / E.sum(axis=1, keepdims=True)
+        R = P - Y
+        W -= LR * ((R.T @ X) / n + L2 * W)
+        b -= LR * (R.sum(axis=0) / n)
+    return classes, W, b
+
+
+def test_softmax_fit_matches_numpy_reference(docs, model):
+    feats = hashed_doc_features(docs, BUCKETS).collect()
+    classes, W_ref, b_ref = _reference_fit(feats, _corpus())
+    assert list(model.classes) == classes
+    assert float(np.abs(model.weights - W_ref).max()) < 1e-10
+    assert float(np.abs(model.biases - b_ref).max()) < 1e-10
+
+
+def test_langid_separates_planted_languages(spark, docs, model):
+    got = {r.doc_id: (r.lang, r.prob)
+           for r in langid_score(docs, model.as_df(spark)).collect()}
+    truth = {i: l for i, _t, l in _corpus()}
+    hits = sum(1 for i, l in truth.items()
+               if i != 900 and got[i][0] == l)
+    assert hits == len(truth) - 1  # every real doc correctly id'd
+    for i in truth:
+        if i != 900:
+            assert got[i][1] > 1.0 / 3.0  # winner beats uniform
+
+
+def test_token_free_doc_scores_on_biases(spark, docs, model):
+    got = {r.doc_id: (r.lang, r.prob)
+           for r in langid_score(docs, model.as_df(spark)).collect()}
+    b = model.biases - model.biases.max()
+    e = np.exp(b)
+    want_cls = model.classes[int(
+        min(range(len(b)), key=lambda i: (-b[i], model.classes[i]))
+    )]
+    assert got[900][0] == want_cls
+    assert got[900][1] == pytest.approx(float(e.max() / e.sum()),
+                                        rel=1e-12)
+
+
+def test_persisted_model_scores_identically(spark, docs, model,
+                                            tmp_path):
+    path = str(tmp_path / "langid")
+    model.as_df(spark).coalesce(1).write.parquet(path)
+    fresh = {(r.doc_id, r.lang, r.prob)
+             for r in langid_score(docs, model.as_df(spark)).collect()}
+    loaded = {(r.doc_id, r.lang, r.prob)
+              for r in langid_score(
+                  docs, spark.read.parquet(path)).collect()}
+    assert fresh == loaded
+
+
+def test_langid_validation_errors(spark, docs, model):
+    mdf = model.as_df(spark)
+    with pytest.raises(ValueError, match="trained with hasher"):
+        langid_score(docs, mdf, hasher="md5").collect()
+    with pytest.raises(ValueError, match="unknown damping"):
+        langid_score(docs, mdf, damping="sqrt")
+    with pytest.raises(ValueError, match="bucket-count sentinel"):
+        langid_score(docs, mdf.where("cls <> ''"))
+    with pytest.raises(ValueError, match="not dense"):
+        langid_score(docs, mdf.where("cls = '' OR b < 0 OR w <> 0.0"))
+
+
+def test_fit_rejects_empty_class_label(spark):
+    bad = spark.createDataFrame(
+        [(1, "a b c", ""), (2, "d e f", "x")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="sentinel"):
+        softmax_fit(bad, "lang", buckets=16, iters=1)

@@ -606,8 +606,112 @@ class SpanSoak(TwinSoak):
         )
 
 
+class EoGateSoak(TwinSoak):
+    """Gated ingest through the epoch-manifest exactly-once sink with
+    in-loop epoch compaction (pipelines/streaming_curation.py:
+    gated_ingest_exactly_once — r12 VERDICT #6: the FileStreamSink
+    variant grows one file per batch by design; this endpoint bounds
+    it). Odd ids carry a blocklisted token and must never land; the
+    committed view must equal the batch-oracle survivor set exactly
+    through kills and forced replays, with file counts bounded by the
+    in-loop compaction."""
+
+    name = "eo"
+
+    def _text(self, uid: int) -> str:
+        body = " ".join(f"alpha{uid}x{j} beta{j}" for j in range(6))
+        bad = " badword" if uid % 2 else ""
+        return f"doc {uid} {body}{bad}"
+
+    def batch_rows(self, batch_id: int) -> list:
+        return [
+            (i, self._text(i), "x")
+            for i in range(batch_id * self.rows,
+                           (batch_id + 1) * self.rows)
+        ]
+
+    def schema(self) -> str:
+        return "doc_id long, text string, lang string"
+
+    def _cfg(self):
+        from web3_flight_rpc_server_spark.pipelines.curation import (
+            CurationConfig,
+        )
+
+        # synthetic tokens hit no stopwords -> lang "unknown" (the
+        # clf twin's convention); odd ids carry the blocklisted token
+        return CurationConfig(allowed_langs=("unknown",),
+                              min_quality=0.0, blocklist=("badword",))
+
+    def start(self):
+        from web3_flight_rpc_server_spark.pipelines.streaming_curation import (  # noqa: E501
+            gated_ingest_exactly_once,
+        )
+
+        return gated_ingest_exactly_once(
+            self.stream_df(), self.idx, self.ckpt, cfg=self._cfg(),
+            compact_every=self.compact_every,
+        )
+
+    def probe_once(self) -> float:
+        from web3_flight_rpc_server_spark.streaming.exactly_once import (
+            read_committed,
+        )
+
+        t0 = time.perf_counter()
+        read_committed(self.spark, self.idx).count()
+        return time.perf_counter() - t0
+
+    def _committed(self):
+        from web3_flight_rpc_server_spark.streaming.exactly_once import (
+            read_committed,
+        )
+
+        return read_committed(self.spark, self.idx)
+
+    def unique_population(self, n_batches: int) -> int:
+        from web3_flight_rpc_server_spark.pipelines.streaming_curation import (  # noqa: E501
+            gate_stream,
+        )
+
+        planted = self.spark.createDataFrame(
+            [(i, self._text(i), "x")
+             for i in range(n_batches * self.rows)], self.schema()
+        )
+        self._oracle_ids = {
+            r.doc_id for r in gate_stream(planted, self._cfg())
+            .select("doc_id").collect()
+        }
+        self._n_planted = n_batches * self.rows
+        return len(self._oracle_ids)
+
+    def index_distinct_ids(self) -> int:
+        sink = {r.doc_id for r in
+                self._committed().select("doc_id").collect()}
+        self._sink_ids = sink
+        if hasattr(self, "_oracle_ids") and sink != self._oracle_ids:
+            return -1
+        return len(sink)
+
+    def no_duplicate_ids(self) -> bool:
+        return (
+            self._committed().groupBy("doc_id").count()
+            .where("count > 1").count() == 0
+        )
+
+    def run(self, n_batches: int, kills: int, sample_every: int,
+            seed: int = 11) -> dict:
+        rec = super().run(n_batches, kills, sample_every, seed)
+        good = {i for i in range(self._n_planted) if i % 2 == 0}
+        rec["planted"] = self._n_planted
+        rec["expected_good"] = len(good)
+        rec["admitted_good"] = len(self._sink_ids & good)
+        rec["admitted_bad"] = len(self._sink_ids - good)
+        return rec
+
+
 TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak,
-         "clf": ClfGateSoak, "span": SpanSoak}
+         "clf": ClfGateSoak, "span": SpanSoak, "eo": EoGateSoak}
 
 
 def main() -> int:

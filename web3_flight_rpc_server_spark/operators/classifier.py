@@ -337,3 +337,252 @@ def classifier_score_expr(model: LinearModel, text_col: str = "text",
         F.lit(1.0)
         + F.exp(-classifier_margin_expr(model, text_col, hasher))
     )
+
+
+# ---------------------------------------------------------------------
+# Multiclass softmax tier: trained language ID (the CCNet deployment
+# shape — fastText-style linear lang-id over the same hashed
+# unigram+bigram feature map). One softmax generalization of
+# logreg_fit with the identical scale contract: per iteration the
+# cluster moves O(B) rows (now carrying C accumulator columns), the
+# driver collects a B x C gradient, and the model broadcasts for
+# scoring. C (number of languages) is model-bounded and small.
+# ---------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SoftmaxModel:
+    """Trained multiclass weights: ``weights[c, b]`` per (class, hash
+    bucket) plus per-class intercepts. ``classes`` is SORTED — class
+    order is part of the model identity (tie-breaks resolve to the
+    lexicographically smallest class)."""
+
+    weights: np.ndarray  # shape (n_classes, buckets)
+    biases: np.ndarray   # shape (n_classes,)
+    classes: tuple[str, ...]
+    buckets: int
+    damping: str = "log"
+    hasher: str = "xxhash64"
+
+    def as_df(self, spark: SparkSession) -> DataFrame:
+        """(cls, b, w) weight table: per class a DENSE b >= 0 block
+        plus the intercept at b = -1; training config rides as
+        cls = '' sentinel rows (b = -2 buckets, -3 damping code,
+        -4 hasher code — class labels are never empty, enforced at
+        fit). One parquet dataset carries the whole self-describing
+        model, the LinearModel.as_df convention."""
+        rows = []
+        for i, c in enumerate(self.classes):
+            rows += [(c, int(b), float(w))
+                     for b, w in enumerate(self.weights[i])]
+            rows.append((c, -1, float(self.biases[i])))
+        rows.append(("", -2, float(self.buckets)))
+        rows.append(("", -3, _DAMPING_CODE[self.damping]))
+        rows.append(("", -4, _HASHER_CODE[self.hasher]))
+        return spark.createDataFrame(rows, "cls string, b long, w double")
+
+
+def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
+                iters: int = 30, lr: float = 0.5, l2: float = 1e-4,
+                id_col: str = "doc_id", text_col: str = "text",
+                hasher: str = "xxhash64",
+                damping: str = "log") -> SoftmaxModel:
+    """Fit softmax(bias_c + sum_b w[c, b] * x[d, b]) to the string
+    ``label_col`` by full-batch gradient descent on the multiclass
+    cross-entropy (fixed ``iters``, replay-identical work). The
+    distributed shape mirrors logreg_fit exactly: the feature table
+    persists hash-partitioned by doc once; margins ride as C
+    conditional-sum columns off ONE broadcast join (the per-doc agg
+    reuses the feature partitioning, shuffle-free); softmax,
+    residuals and the label one-hot are pure row expressions over
+    those C columns; the residual join back to features is
+    co-partitioned; the only per-iteration shuffle is the B-bounded
+    gradient agg and the only driver traffic the B x C gradient
+    collect. Reference-pinned against numpy in
+    tests/test_classifier.py."""
+    spark = docs.sparkSession
+    feats = hashed_doc_features(docs, buckets, id_col, text_col,
+                                hasher).select(
+        id_col, "b", _damp(F.col("cnt"), damping).alias("x")
+    )
+    labels = docs.select(
+        id_col, F.col(label_col).cast("string").alias("y")
+    )
+    feats = feats.repartition(id_col).persist()
+    labels = labels.repartition(id_col).persist()
+    n = labels.count()
+    if n == 0:
+        raise ValueError("empty corpus")
+    classes = sorted(
+        r.y for r in labels.select("y").distinct().collect()
+        if r.y is not None
+    )
+    if not classes:
+        raise ValueError("no non-null labels")
+    if "" in classes:
+        raise ValueError(
+            "empty-string class label collides with the metadata "
+            "sentinel rows — relabel"
+        )
+    C = len(classes)
+    W = np.zeros((C, buckets))
+    biases = np.zeros(C)
+    try:
+        for _ in range(iters):
+            w_df = F.broadcast(spark.createDataFrame(
+                [(int(b), *[float(W[i, b]) for i in range(C)])
+                 for b in range(buckets)],
+                "b long, " + ", ".join(
+                    f"__w{i} double" for i in range(C)
+                ),
+            ))
+            margins = (
+                feats.join(w_df, "b")
+                .groupBy(id_col)
+                .agg(*[
+                    F.sum(F.col(f"__w{i}") * F.col("x")).alias(f"__m{i}")
+                    for i in range(C)
+                ])
+            )
+            j = labels.join(margins, id_col, "left")
+            mi = [
+                F.coalesce(F.col(f"__m{i}"), F.lit(0.0))
+                + F.lit(float(biases[i]))
+                for i in range(C)
+            ]
+            mx = F.greatest(*mi) if C > 1 else mi[0]
+            exps = [F.exp(m - mx) for m in mi]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            resid = j.select(
+                id_col,
+                *[
+                    (exps[i] / denom
+                     - (F.col("y") == F.lit(classes[i])).cast("double")
+                     ).alias(f"__r{i}")
+                    for i in range(C)
+                ],
+            )
+            grad_rows = (
+                feats.join(resid, id_col)
+                .groupBy("b")
+                .agg(*[
+                    F.sum(F.col(f"__r{i}") * F.col("x")).alias(f"__g{i}")
+                    for i in range(C)
+                ])
+                .collect()  # <= buckets rows x C cols: driver-bounded
+            )
+            G = np.zeros((C, buckets))
+            for row in grad_rows:
+                for i in range(C):
+                    G[i, row.b] = row[f"__g{i}"]
+            gb_row = resid.agg(*[
+                F.sum(f"__r{i}").alias(f"__g{i}") for i in range(C)
+            ]).collect()[0]
+            gb = np.array([gb_row[f"__g{i}"] or 0.0 for i in range(C)])
+            W -= lr * (G / n + l2 * W)
+            biases -= lr * (gb / n)
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    return SoftmaxModel(W, biases, tuple(classes), buckets, damping,
+                        hasher)
+
+
+def langid_score(docs: DataFrame, model_df: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 hasher: str = "xxhash64",
+                 damping: str = "log") -> DataFrame:
+    """(id_col, lang, prob): argmax class and its softmax probability
+    per document from a persisted (cls, b, w) SoftmaxModel table —
+    tie-break margin DESC then class ASC (deterministic). One
+    broadcast-sized collect of the model, one join against a
+    B-row wide weight table, one per-doc agg; softmax and argmax are
+    pure row expressions over the C margin columns — no per-class row
+    blowup, all codegen. A document with zero features scores on the
+    biases alone (the left join's null margins). Same self-describing
+    validation as classifier_score: sentinel config rows must match
+    the caller's arguments, each class block must be DENSE."""
+    spark = docs.sparkSession
+    if damping not in _DAMPING_CODE:
+        raise ValueError(f"unknown damping: {damping!r}")
+    if hasher not in _HASHER_CODE:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    rows = model_df.collect()  # model-bounded: C x (B + 1) + 3 rows
+    meta = {int(r.b): float(r.w) for r in rows if r.cls == ""}
+    if -2 not in meta:
+        raise ValueError(
+            "not a SoftmaxModel table: missing the cls='' b=-2 "
+            "bucket-count sentinel (write with SoftmaxModel.as_df)"
+        )
+    buckets = int(meta[-2])
+    for code, arg, table, what in (
+        (-3, damping, _DAMPING_CODE, "damping"),
+        (-4, hasher, _HASHER_CODE, "hasher"),
+    ):
+        if code in meta and meta[code] != table[arg]:
+            trained = {v: k for k, v in table.items()}[meta[code]]
+            raise ValueError(
+                f"model was trained with {what}={trained!r} but "
+                f"scoring was asked for {what}={arg!r} — scores "
+                "would be silently wrong"
+            )
+    Wd: dict = {}
+    biases: dict = {}
+    for r in rows:
+        if r.cls == "":
+            continue
+        if r.b == -1:
+            biases[r.cls] = float(r.w)
+        elif r.b >= 0:
+            Wd.setdefault(r.cls, {})[int(r.b)] = float(r.w)
+    classes = sorted(Wd)
+    if not classes:
+        raise ValueError("empty weight table: no class rows")
+    for c in classes:
+        if len(Wd[c]) != buckets or c not in biases:
+            raise ValueError(
+                f"class {c!r} block is not dense ({len(Wd[c])} rows "
+                f"for modulus {buckets}) or lacks its b=-1 intercept "
+                "— score only tables written by SoftmaxModel.as_df"
+            )
+    C = len(classes)
+    w_df = F.broadcast(spark.createDataFrame(
+        [(b, *[Wd[c][b] for c in classes]) for b in range(buckets)],
+        "b long, " + ", ".join(f"__w{i} double" for i in range(C)),
+    ))
+    feats = hashed_doc_features(docs, buckets, id_col, text_col,
+                                hasher).select(
+        id_col, "b", _damp(F.col("cnt"), damping).alias("x")
+    )
+    margins = (
+        feats.join(w_df, "b")
+        .groupBy(id_col)
+        .agg(*[
+            F.sum(F.col(f"__w{i}") * F.col("x")).alias(f"__m{i}")
+            for i in range(C)
+        ])
+    )
+    j = docs.select(id_col).join(margins, id_col, "left")
+    mi = [
+        F.coalesce(F.col(f"__m{i}"), F.lit(0.0))
+        + F.lit(float(biases[classes[i]]))
+        for i in range(C)
+    ]
+    mx = F.greatest(*mi) if C > 1 else mi[0]
+    exps = [F.exp(m - mx) for m in mi]
+    denom = exps[0]
+    for e in exps[1:]:
+        denom = denom + e
+    # first class (ASC) whose margin equals the max — margin-desc,
+    # class-asc tie-break as one chained conditional
+    winner = F.lit(classes[-1])
+    winner_p = exps[-1] / denom
+    for i in range(C - 2, -1, -1):
+        hit = mi[i] == mx
+        winner = F.when(hit, F.lit(classes[i])).otherwise(winner)
+        winner_p = F.when(hit, exps[i] / denom).otherwise(winner_p)
+    return j.select(
+        id_col, winner.alias("lang"), winner_p.alias("prob")
+    )

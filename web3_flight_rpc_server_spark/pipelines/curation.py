@@ -151,7 +151,8 @@ def curation_rejects(docs: DataFrame,
                      cfg: CurationConfig = CurationConfig(),
                      pairs_fn=None, with_quarantine: bool = False,
                      embeddings: DataFrame | None = None,
-                     ppl_model=None):
+                     ppl_model=None,
+                     langid_model_df: DataFrame | None = None):
     """(doc_id, reject_reason) for every rejected doc — the funnel's
     loss ledger. Docs absent from the result survive every gate.
 
@@ -193,17 +194,40 @@ def curation_rejects(docs: DataFrame,
     # flags are a tiny fraction of the doc payload. Handle tracked by
     # operators.dedup's cache ledger; hosts call release_caches()
     # after the consuming action.
-    feats = _persisted(
-        docs.select(
+    #
+    # ``langid_model_df`` (a persisted SoftmaxModel table,
+    # operators/classifier.py:softmax_fit) opts the lang gate into the
+    # TRAINED multiclass lang-id — the CCNet deployment shape: the
+    # fastText-style scorer's argmax replaces the stopword-argmax
+    # heuristic. One broadcast-sized model join per corpus scan; the
+    # first-failing-gate ledger semantics are identical either way.
+    if langid_model_df is not None:
+        from ..operators.classifier import langid_score
+
+        pred = langid_score(docs, langid_model_df).select(
+            "doc_id", F.col("lang").alias("__lang")
+        )
+        lang_src = docs.select(
             "doc_id",
             "text",
-            _lang_pred(toks).alias("__lang"),
             round4(_quality(F.col("text"), toks)).alias("__q"),
             F.arrays_overlap(
                 toks, F.array(*[F.lit(w) for w in cfg.blocklist])
             ).alias("__blocked"),
+        ).join(pred, "doc_id")
+        feats = _persisted(lang_src)
+    else:
+        feats = _persisted(
+            docs.select(
+                "doc_id",
+                "text",
+                _lang_pred(toks).alias("__lang"),
+                round4(_quality(F.col("text"), toks)).alias("__q"),
+                F.arrays_overlap(
+                    toks, F.array(*[F.lit(w) for w in cfg.blocklist])
+                ).alias("__blocked"),
+            )
         )
-    )
 
     lang_bad = feats.where(
         ~F.col("__lang").isin(*cfg.allowed_langs)
@@ -363,17 +387,21 @@ def curation_rejects(docs: DataFrame,
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None,
            cfg: CurationConfig = CurationConfig(),
-           embeddings: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+           embeddings: DataFrame | None = None,
+           langid_model_df: DataFrame | None = None
+           ) -> tuple[DataFrame, DataFrame]:
     """Run the full curation funnel over the documents table. Returns
     (curated, stats): curated docs carry quality features and a
     deterministic md5-bucket train/val split; stats is the per-stage
     funnel ledger (kept + each reject_reason with counts). With
     ``out_dir`` the curated set is also written partitioned by split
     (the layout a downstream trainer shards by). ``embeddings``
-    (doc_id, embedding) activates the optional semantic_dup gate —
-    see curation_rejects."""
+    (doc_id, embedding) activates the optional semantic_dup gate;
+    ``langid_model_df`` opts the lang gate into the trained
+    multiclass lang-id — see curation_rejects."""
     docs = tables.load_table(spark, sf_dir, "documents")
-    rejects = curation_rejects(docs, cfg, embeddings=embeddings)
+    rejects = curation_rejects(docs, cfg, embeddings=embeddings,
+                               langid_model_df=langid_model_df)
 
     marked = docs.join(rejects, "doc_id", "left")
     stats = (

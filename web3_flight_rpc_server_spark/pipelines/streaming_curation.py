@@ -94,3 +94,50 @@ def curate_stream(docs: DataFrame, event_time: str, delay: str,
         .withWatermark(event_time, delay)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def gated_ingest_exactly_once(docs: DataFrame, out_dir: str,
+                              checkpoint_dir: str,
+                              cfg: CurationConfig = CurationConfig(),
+                              keep_cols: tuple[str, ...] = (),
+                              clf_model=None,
+                              compact_every: int | None = None):
+    """gate_stream survivors landed through the epoch-manifest
+    exactly-once sink (streaming/exactly_once.py) instead of the
+    native FileStreamSink — the endpoint for the one-file-per-batch
+    growth the native sink has no in-loop hook for (r12 VERDICT #6).
+    Per micro-batch: the stateless gates run inside the epoch (the
+    sink's ``transform``, so gating is covered by the same
+    exactly-once guarantee), survivors land under
+    ``data/epoch=<batchId>``, and every ``compact_every`` batches the
+    committed epochs fold into one consolidated segment
+    (compact_committed_epochs — file counts stay bounded however long
+    the stream runs; serial micro-batches make the in-loop call safe
+    by construction, the index twins' convention). Read the survivor
+    table with streaming/exactly_once.py:read_committed — NOT a raw
+    directory listing: the reader trusts epoch + compaction markers,
+    so torn epochs and mid-compaction garbage are invisible.
+
+    Returns the started StreamingQuery."""
+    from ..streaming.exactly_once import (
+        ExactlyOnceParquetSink,
+        compact_committed_epochs,
+    )
+
+    sink = ExactlyOnceParquetSink(
+        out_dir,
+        transform=lambda df: gate_stream(df, cfg, keep_cols, clf_model),
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df, batch_id)
+        if compact_every is not None and batch_id % compact_every == (
+            compact_every - 1
+        ):
+            compact_committed_epochs(batch_df.sparkSession, out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

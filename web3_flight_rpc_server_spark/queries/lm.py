@@ -236,3 +236,90 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(docs, weights, hasher="md5").select(
         "doc_id", round4(F.col("score")).alias("score")
     ).orderBy("doc_id")
+
+
+# the at-rest artifact q_langid trains/writes — per-process path,
+# same rationale as _CLF_PATH above
+_LANGID_PATH = _os.path.join(
+    _tempfile.gettempdir(), f"w3frs_langid_{_os.getpid()}"
+)
+
+
+@query(
+    "q_langid",
+    declared=False,
+    oracle=f"""
+    WITH{_ARRS},
+    feats AS (
+        SELECT doc_id, f FROM (
+            SELECT doc_id, unnest(arr) AS f FROM arrs
+            UNION ALL
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS f
+            FROM arrs, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+        )
+    ),
+    cnts AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 15))::BIGINT % 256 AS b,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM feats GROUP BY doc_id, b
+    ),
+    wt AS (
+        SELECT cls, b, w FROM read_parquet('{_LANGID_PATH}/*.parquet')
+        WHERE cls <> '' AND b >= 0
+    ),
+    bias AS (
+        SELECT cls, w AS bw FROM read_parquet('{_LANGID_PATH}/*.parquet')
+        WHERE cls <> '' AND b = -1
+    ),
+    m AS (
+        SELECT c.doc_id, w.cls, sum(w.w * (1 + ln(c.cnt))) AS m
+        FROM cnts c JOIN wt w USING (b) GROUP BY c.doc_id, w.cls
+    ),
+    allm AS (
+        SELECT d.doc_id, bias.cls, coalesce(m.m, 0) + bias.bw AS m
+        FROM documents d CROSS JOIN bias
+        LEFT JOIN m ON m.doc_id = d.doc_id AND m.cls = bias.cls
+    ),
+    sm AS (
+        SELECT doc_id, cls, m,
+               max(m) OVER (PARTITION BY doc_id) AS mx
+        FROM allm
+    ),
+    sm2 AS (
+        SELECT doc_id, cls, exp(m - mx) AS e,
+               sum(exp(m - mx)) OVER (PARTITION BY doc_id) AS denom,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY m DESC, cls ASC) AS rn
+        FROM sm
+    )
+    SELECT doc_id, cls AS lang,
+           floor(e / denom * 10000 + 0.5) / 10000 AS prob4
+    FROM sm2 WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multiclass language ID (operators/classifier.py:
+    softmax_fit / langid_score — the CCNet deployment shape): a
+    fastText-style softmax over the DSIR feature map, fit
+    distributively on the corpus with the fixture ``lang`` as the
+    seed label, weights persisted at rest, every document's argmax
+    language + softmax probability recomputed by the oracle from raw
+    text plus the persisted (cls, b, w) table alone — feature hash,
+    tf damping, per-class margins, max-shifted softmax and the
+    margin-desc/class-asc argmax tie-break all replayed in DuckDB
+    (the q_quality_score at-rest pattern, one softmax up). Training
+    is an iterative fixpoint SQL cannot express; it is
+    numpy-reference-pinned in tests/test_langid.py."""
+    from ..operators.classifier import langid_score, softmax_fit
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    model = softmax_fit(docs, "lang", buckets=256, iters=8, lr=1.0,
+                        hasher="md5")
+    model.as_df(spark).coalesce(1).write.mode("overwrite").parquet(
+        _LANGID_PATH
+    )
+    weights = spark.read.parquet(_LANGID_PATH)
+    return langid_score(docs, weights, hasher="md5").select(
+        "doc_id", "lang", round4(F.col("prob")).alias("prob4")
+    ).orderBy("doc_id")

@@ -14,6 +14,7 @@ from .backfill import HybridPlan, plan_hybrid, run_hybrid  # noqa: F401
 from .dedup import watermarked_dedup  # noqa: F401
 from .exactly_once import (  # noqa: F401
     ExactlyOnceParquetSink,
+    compact_committed_epochs,
     read_committed,
 )
 from .lifecycle import QueryRegistry  # noqa: F401

@@ -99,15 +99,141 @@ class ExactlyOnceParquetSink:
         return sorted(out)
 
 
+def _compacted_upto(fs, jvm, compact_markers_dir: str) -> int | None:
+    """Highest committed compaction high-water mark, or None."""
+    dirp = jvm.org.apache.hadoop.fs.Path(compact_markers_dir)
+    if not fs.exists(dirp):
+        return None
+    marks = [
+        int(st.getPath().getName())
+        for st in fs.listStatus(dirp)
+        if not st.getPath().getName().startswith(".")
+    ]
+    return max(marks) if marks else None
+
+
+def compact_committed_epochs(spark: SparkSession, out_dir: str,
+                             keep_last: int = 0,
+                             target_files: int = 4) -> dict:
+    """Fold committed per-epoch data directories into ONE consolidated
+    segment so a long-running sink's file count stays bounded — the
+    endpoint for the one-epoch-dir-per-batch growth the sink shares
+    with every per-batch file sink (r12 VERDICT #6). Safe to run
+    INSIDE the foreachBatch callback every N batches (micro-batches
+    are serial, so "never concurrent with a sink write" holds by
+    construction — the index twins' in-loop convention) or between
+    runs of the stream.
+
+    Crash-safe by the sink's own marker discipline, extended:
+
+    - epoch markers under ``_epochs/`` are NEVER deleted — a replayed
+      epoch is still skipped wholesale after any compaction, so the
+      exactly-once contract is untouched;
+    - folded rows keep their ORIGINAL ``epoch`` value as a physical
+      column in the consolidated segment (``compact/upto=<n>``), so
+      :func:`read_committed` output is row-identical before/after;
+    - the segment is written first, then its high-water marker under
+      ``_compact/<n>`` commits via create-then-rename; only AFTER the
+      marker do the folded epoch dirs and the previous segment get
+      deleted. A crash before the marker leaves an unread stale
+      segment (cleaned on the next pass); a crash after it leaves
+      already-folded epoch dirs that readers ignore (epoch <= marker)
+      and the next pass deletes. Every window re-converges.
+
+    ``keep_last`` preserves the newest N committed epochs unfolded
+    (useful when a downstream tails recent epochs directly).
+    Returns {"folded": n_epochs, "upto": high_water or None}."""
+    sink = ExactlyOnceParquetSink(out_dir)
+    fs, jvm = _fs(spark, out_dir)
+    P = jvm.org.apache.hadoop.fs.Path
+    compact_dir = f"{sink.out_dir}/compact"
+    markers_dir = f"{sink.out_dir}/_compact"
+    prev = _compacted_upto(fs, jvm, markers_dir)
+
+    # recovery sweep: epoch data dirs at or below the committed mark
+    # and segments other than the committed one are garbage from a
+    # crashed previous pass — readers already ignore them
+    if fs.exists(P(compact_dir)):
+        for st in fs.listStatus(P(compact_dir)):
+            name = st.getPath().getName()
+            if name.startswith("upto=") and (
+                prev is None or name != f"upto={prev}"
+            ):
+                fs.delete(st.getPath(), True)
+    epochs = sink.committed_epochs(spark)
+    if prev is not None:
+        for e in epochs:
+            if e <= prev:
+                d = P(f"{sink.data_dir}/epoch={e}")
+                if fs.exists(d):
+                    fs.delete(d, True)
+
+    live = [e for e in epochs if prev is None or e > prev]
+    fold = live[: len(live) - keep_last] if keep_last else live
+    if not fold or (prev is None and len(fold) < 2):
+        return {"folded": 0, "upto": prev}
+    upto = max(fold)
+
+    from pyspark.sql import functions as F
+
+    pieces = [
+        spark.read.parquet(f"{sink.data_dir}/epoch={e}")
+        .withColumn("epoch", F.lit(e).cast("int"))
+        for e in fold
+    ]
+    df = pieces[0]
+    for p in pieces[1:]:
+        df = df.unionByName(p)
+    if prev is not None:
+        df = spark.read.parquet(
+            f"{compact_dir}/upto={prev}"
+        ).unionByName(df)
+    df.coalesce(target_files).write.mode("overwrite").parquet(
+        f"{compact_dir}/upto={upto}"
+    )
+    # marker commit, then cleanup (next pass re-runs any missed step)
+    fs.mkdirs(P(markers_dir))
+    tmp = P(f"{markers_dir}/.{upto}.inprogress")
+    fs.create(tmp, True).close()
+    if not fs.rename(tmp, P(f"{markers_dir}/{upto}")):
+        fs.delete(tmp, False)
+    for e in fold:
+        fs.delete(P(f"{sink.data_dir}/epoch={e}"), True)
+    if prev is not None:
+        fs.delete(P(f"{compact_dir}/upto={prev}"), True)
+        fs.delete(P(f"{markers_dir}/{prev}"), False)
+    return {"folded": len(fold), "upto": upto}
+
+
 def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     """Committed epochs only, as one DataFrame with an ``epoch``
-    partition column. Uncommitted/torn epoch dirs are never read —
-    the reader trusts markers, not directory listings."""
+    column. Uncommitted/torn epoch dirs are never read — the reader
+    trusts markers, not directory listings. After
+    :func:`compact_committed_epochs`, folded rows come from the
+    consolidated segment (their original epoch preserved as a
+    physical column) and only epochs above the compaction high-water
+    mark are read from per-epoch dirs — row-identical output."""
     sink = ExactlyOnceParquetSink(out_dir)
+    fs, jvm = _fs(spark, out_dir)
     epochs = sink.committed_epochs(spark)
     if not epochs:
         raise ValueError(f"no committed epochs under {out_dir}")
-    return (
-        spark.read.option("basePath", sink.data_dir)
-        .parquet(*[f"{sink.data_dir}/epoch={e}" for e in epochs])
-    )
+    upto = _compacted_upto(fs, jvm, f"{sink.out_dir}/_compact")
+    live = [e for e in epochs if upto is None or e > upto]
+    parts = []
+    if upto is not None:
+        parts.append(
+            spark.read.parquet(f"{sink.out_dir}/compact/upto={upto}")
+        )
+    if live:
+        from pyspark.sql import functions as F
+
+        parts.append(
+            spark.read.option("basePath", sink.data_dir)
+            .parquet(*[f"{sink.data_dir}/epoch={e}" for e in live])
+            .withColumn("epoch", F.col("epoch").cast("int"))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
