@@ -133,9 +133,15 @@ def main() -> int:
 
     span_k = 20  # the q_substring_dedup fixture convention
     t0 = time.monotonic()
-    span = _persisted(
-        dedup_substrings(train.select("doc_id", "text"), k=span_k)
+    # materialize the train slice first — the _remove_dup_spans
+    # composition shape: the operator scans its input ~4x and a
+    # live funnel plan re-runs the gate joins per scan (measured at
+    # sf10: 89.6 s live vs 8.0 + 24.9 s checkpointed = 2.7x; the
+    # checkpoint wall is charged to this stage)
+    train_mat = train.select("doc_id", "text").localCheckpoint(
+        eager=True
     )
+    span = _persisted(dedup_substrings(train_mat, k=span_k))
     kept_t, dropped_t, emptied = span.agg(
         F.sum("n_kept"), F.sum("n_dropped"),
         F.sum(F.when((F.col("n_kept") == 0) & (F.col("n_dropped") > 0),
@@ -143,6 +149,11 @@ def main() -> int:
     ).collect()[0]
     t_span = time.monotonic() - t0
     span_removed_frac = float(dropped_t) / float(kept_t + dropped_t)
+    # drop the stage's cache NOW: the rebuilt-text cache pinned through
+    # the fit/encode/pack stages starves their execution memory
+    # (measured: sf10 encode 8 s -> 29 s with the cache resident) and
+    # would break stage comparability with the r12 rows
+    span.unpersist()
 
     # corpus word economics (one extra pass, not counted in any stage)
     words = samples.select(
