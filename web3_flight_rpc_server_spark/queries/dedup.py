@@ -582,6 +582,108 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "dst")
 
 
+def _containment_blocked_oracle(threshold: float = 0.8, k: int = 12,
+                                w: int = 6, min_shared: int = 2,
+                                max_df: int = 50) -> str:
+    """SQL twin of the COMPOSED blocked containment path: the
+    q_winnow_overlap oracle's propose stage (rolling k-gram md5
+    minima, df cap, shared-count floor) feeding the q_containment
+    oracle's exact directed confirm, restricted to the proposed
+    candidate set — so a hash match checks the composition itself,
+    not just its two halves."""
+    h = MD5_PREFIX60_SQL.format(f"substr(t, CAST(i AS INT), {k})")
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, lower(text) AS t,
+               len(lower(text)) - {k - 1} AS ng
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i, {h} AS h
+        FROM pos, unnest(generate_series(1, ng)) AS u(i)
+    ),
+    wmins AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                   AS m,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, m AS fp FROM wmins
+            WHERE i <= n - {w - 1}),
+    rare AS (SELECT fp FROM fps GROUP BY fp
+             HAVING count(*) <= {max_df}),
+    fpr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    ),
+    tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.d1, c.d2, count(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.d1
+        JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT i.d1, i.d2, i.i, s1.n AS n1, s2.n AS n2
+        FROM inter i
+        JOIN sz s1 ON i.d1 = s1.doc_id
+        JOIN sz s2 ON i.d2 = s2.doc_id
+    ),
+    directed AS (
+        SELECT d1 AS src, d2 AS dst, i * 1.0 / n1 AS c
+        FROM sized WHERE i * 1.0 / n1 >= {threshold}
+        UNION ALL
+        SELECT d2, d1, i * 1.0 / n2
+        FROM sized WHERE i * 1.0 / n2 >= {threshold}
+    )
+    SELECT src, dst,
+           floor(c * 10000 + 0.5) / 10000 AS containment
+    FROM directed ORDER BY src, dst
+    """
+
+
+@query("q_containment_blocked", declared=False,
+       oracle=_containment_blocked_oracle())
+def q_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB containment path
+    (operators/winnowing.py:containment_pairs_blocked — r13, making
+    the r12 scale disposition real): winnowing fingerprints PROPOSE
+    candidate pairs (df-capped equi-join, the only corpus-wide
+    stage), the exact directed shingle ratio CONFIRMS on the
+    candidate set via an in-row array_intersect. Declared with the
+    md5-bridge hash so the oracle replays the identical rolling-hash
+    minima; the oracle then reruns the whole composition — propose,
+    cap, floor, confirm, both directed ratios — in DuckDB, so a hash
+    match attests the composition's recall surface on this corpus,
+    not just its halves. Planted short-in-long recall/precision vs
+    the brute-force tier is pinned in
+    tests/test_winnowing_containment.py."""
+    from ..operators.winnowing import containment_pairs_blocked
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    pairs = containment_pairs_blocked(
+        docs, threshold=0.8, hash_fn=md5_prefix60
+    )
+    return pairs.select(
+        "src", "dst", round4(pairs.containment).alias("containment")
+    ).orderBy("src", "dst")
+
+
 @query(
     "q_substring_dedup",
     declared=True,  # r12 rotation: took q_chunk's slot
