@@ -145,3 +145,85 @@ def test_fit_rejects_empty_class_label(spark):
     )
     with pytest.raises(ValueError, match="sentinel"):
         softmax_fit(bad, "lang", buckets=16, iters=1)
+
+
+def test_inrow_langid_matches_batch_scorer(spark):
+    """langid_expr (pure row expression, the streaming gate form)
+    must agree with langid_score's argmax exactly for a
+    damping='none' model — the classifier_margin_expr contract, one
+    softmax up — and raise for log-damped models."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, " ".join(rng.choice(VOCAB[sorted(VOCAB)[i % 3]])
+                         for _ in range(10)), sorted(VOCAB)[i % 3])
+            for i in range(60)] + [(900, "", "aa")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    from web3_flight_rpc_server_spark.operators.classifier import (
+        langid_expr,
+    )
+
+    m_none = softmax_fit(docs, "lang", buckets=BUCKETS, iters=6,
+                         lr=1.0, damping="none")
+    batch = {r.doc_id: r.lang
+             for r in langid_score(docs, m_none.as_df(spark),
+                                   damping="none").collect()}
+    inrow = {r.doc_id: r.l for r in docs.select(
+        "doc_id", langid_expr(m_none, "text").alias("l")
+    ).collect()}
+    assert inrow == batch
+
+    m_log = softmax_fit(docs, "lang", buckets=BUCKETS, iters=2)
+    with pytest.raises(ValueError, match="damping='none'"):
+        langid_expr(m_log, "text")
+
+
+def test_gate_stream_trained_langid(spark, tmp_path):
+    """gate_stream(langid_model=...): the trained lang-id gates a
+    real stream — modeled-language docs admitted, the other language
+    rejected, where the stopword heuristic would call everything
+    'unknown' and admit nothing."""
+    import os
+
+    from web3_flight_rpc_server_spark.pipelines.curation import (
+        CurationConfig,
+    )
+    from web3_flight_rpc_server_spark.pipelines.streaming_curation import (
+        gate_stream,
+    )
+
+    seed = spark.createDataFrame(
+        [(i, " ".join(VOCAB[sorted(VOCAB)[i % 3]]), sorted(VOCAB)[i % 3])
+         for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    model = softmax_fit(seed, "lang", buckets=BUCKETS, iters=6,
+                        lr=1.0, damping="none")
+    cfg = CurationConfig(allowed_langs=("aa",), min_quality=0.0)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, " ".join(VOCAB["aa"] * 2), "x"),
+         (2, " ".join(VOCAB["bb"] * 2), "x")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(src + "/b0")
+    out = []
+    q = (
+        gate_stream(
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .parquet(src + "/*"),
+            cfg, langid_model=model,
+        )
+        .writeStream.foreachBatch(
+            lambda df, bid: out.extend(r.doc_id for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert out == [1]

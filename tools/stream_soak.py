@@ -606,6 +606,59 @@ class SpanSoak(TwinSoak):
         )
 
 
+class SpanBtSoak(SpanSoak):
+    """The span soak through the r13 bucketed-metastore windows tier
+    (windows_table= — probes shuffle only the batch side): identical
+    planted stream and convergence oracle as the plain twin, so a
+    green run shows the replay/self-healing semantics survive the
+    tier end-to-end, not just in the pytest crash drill."""
+
+    name = "span_bt"
+    TABLE = "soak_span_windows_bt"
+
+    def _win(self):
+        return self.spark.table(self.TABLE)
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.span_index import (
+            streaming_ingest_spans,
+        )
+
+        # fresh soak (no manifest yet): drop a stale table from a
+        # previous run so the bootstrap's errorifexists can't trip;
+        # restarts after kills keep the live table (manifest exists)
+        if not os.path.isdir(os.path.join(self.idx, "manifest")):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.TABLE}")
+        return streaming_ingest_spans(
+            self.stream_df(), self.idx, self.ckpt, k=self.K,
+            compact_every=self.compact_every,
+            windows_table=self.TABLE, buckets=16,
+        )
+
+    def probe_once(self) -> float:
+        from web3_flight_rpc_server_spark.operators.span_index import (
+            _windows,
+        )
+
+        probe = self.spark.createDataFrame(
+            [(9_999_999, self._text(0)), (9_999_998, self._text(1))],
+            self.schema(),
+        )
+        t0 = time.perf_counter()
+        w = _windows(probe, self.K, "doc_id", "text")
+        w.join(self._win(), "h", "left_semi").count()
+        return time.perf_counter() - t0
+
+    def no_duplicate_ids(self) -> bool:
+        a = self.spark.read.parquet(self.idx + "/admitted")
+        return (
+            self._win().groupBy("h", "doc_id").count()
+            .where("count > 1").count() == 0
+            and a.groupBy("doc_id").count().where("count > 1")
+            .count() == 0
+        )
+
+
 class EoGateSoak(TwinSoak):
     """Gated ingest through the epoch-manifest exactly-once sink with
     in-loop epoch compaction (pipelines/streaming_curation.py:
@@ -711,7 +764,8 @@ class EoGateSoak(TwinSoak):
 
 
 TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak,
-         "clf": ClfGateSoak, "span": SpanSoak, "eo": EoGateSoak}
+         "clf": ClfGateSoak, "span": SpanSoak, "span_bt": SpanBtSoak,
+         "eo": EoGateSoak}
 
 
 def main() -> int:

@@ -586,3 +586,89 @@ def langid_score(docs: DataFrame, model_df: DataFrame,
     return j.select(
         id_col, winner.alias("lang"), winner_p.alias("prob")
     )
+
+
+def langid_margin_exprs(model: SoftmaxModel, text_col: str = "text",
+                        hasher: str | None = None) -> list:
+    """Per-class margins as PURE ROW EXPRESSIONS — the multiclass
+    analog of classifier_margin_expr, so a trained lang-id can gate
+    an unbounded stream with zero state. Same exactness contract:
+    only damping="none" models (the in-row form sums w[bucket(f)]
+    over feature OCCURRENCES, which equals the batch scorer's
+    per-bucket sum exactly when x = cnt); hasher defaults to the
+    trained one and mismatches raise. Cost: C aggregate passes over
+    the in-row feature array (the per-feature hash is recomputed per
+    class — C is model-bounded and small, and HOF lambdas have no
+    common-subexpression elimination, so a shared-hash form would
+    not actually share it)."""
+    if model.damping != "none":
+        raise ValueError(
+            f"in-row margins are only exact for damping='none' "
+            f"models; this model was trained with "
+            f"damping={model.damping!r} — use langid_score (batch, "
+            "aggregating) or retrain with damping='none' for stream "
+            "gating"
+        )
+    if hasher is None:
+        hasher = model.hasher
+    elif hasher != model.hasher:
+        raise ValueError(
+            f"model was trained with hasher={model.hasher!r} but the "
+            f"expression was asked for hasher={hasher!r}"
+        )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    m = F.size(toks) - 1
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m), F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    from .lm import md5_prefix60 as _md5
+
+    if hasher == "md5":
+        bucket = lambda f: _md5(f) % F.lit(model.buckets)  # noqa: E731
+    elif hasher == "xxhash64":
+        bucket = lambda f: F.pmod(  # noqa: E731
+            F.xxhash64(f), F.lit(model.buckets)
+        )
+    else:
+        raise ValueError(f"unknown hasher: {hasher!r}")
+    def _margin(warr, bias):
+        # a closure (not a default arg: pyspark reads the lambda's
+        # ARITY to bind higher-order-function variables)
+        return F.aggregate(
+            feats,
+            F.lit(bias),
+            lambda acc, f: acc + F.element_at(
+                warr, (bucket(f) + 1).cast("int")
+            ),
+        )
+
+    return [
+        _margin(
+            F.array(*[F.lit(float(x)) for x in model.weights[i]]),
+            float(model.biases[i]),
+        )
+        for i in range(len(model.classes))
+    ]
+
+
+def langid_expr(model: SoftmaxModel, text_col: str = "text",
+                hasher: str | None = None):
+    """The argmax language as ONE ROW EXPRESSION (margin DESC, class
+    ASC tie-break — identical to langid_score's): the stateless
+    streaming form of the trained lang-id gate. Exactness contract
+    as langid_margin_exprs (damping="none" only; in-row == batch
+    argmax pinned in tests/test_langid.py)."""
+    mi = langid_margin_exprs(model, text_col, hasher)
+    classes = list(model.classes)
+    mx = F.greatest(*mi) if len(mi) > 1 else mi[0]
+    winner = F.lit(classes[-1])
+    for i in range(len(classes) - 2, -1, -1):
+        winner = F.when(mi[i] == mx, F.lit(classes[i])).otherwise(winner)
+    return winner

@@ -42,7 +42,8 @@ def dup_bigram_frac(toks) -> F.Column:
 def gate_stream(docs: DataFrame,
                 cfg: CurationConfig = CurationConfig(),
                 keep_cols: tuple[str, ...] = (),
-                clf_model=None) -> DataFrame:
+                clf_model=None,
+                langid_model=None) -> DataFrame:
     """Apply the funnel's stateless gates to a (streaming or batch)
     documents relation; survivors keep doc_id/text/lang plus the
     rounded quality score, the order-insensitive fingerprint, and any
@@ -54,10 +55,22 @@ def gate_stream(docs: DataFrame,
     pure row expression (classifier_score_expr — the weight vector is
     a B-element literal, no aggregation, no state), so the same
     DCLM-style scorer that filters the batch pool gates the ingest
-    stream with zero extra shuffle."""
+    stream with zero extra shuffle.
+
+    ``langid_model`` (a damping="none" SoftmaxModel) swaps the
+    stopword-argmax language heuristic for the TRAINED multiclass
+    lang-id as a pure row expression (langid_expr) — the streaming
+    twin of curate(langid_model_df=...), CCNet's deployment shape on
+    an unbounded stream."""
     toks = tokens("text")
+    if langid_model is not None:
+        from ..operators.classifier import langid_expr
+
+        lang_col = langid_expr(langid_model, "text")
+    else:
+        lang_col = _lang_pred(toks)
     pred = (
-        _lang_pred(toks).isin(*cfg.allowed_langs)
+        lang_col.isin(*cfg.allowed_langs)
         & (round4(_quality(F.col("text"), toks)) >= cfg.min_quality)
         & ~F.arrays_overlap(
             toks, F.array(*[F.lit(w) for w in cfg.blocklist])
