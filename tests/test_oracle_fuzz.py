@@ -31,8 +31,14 @@ QUERIES = all_queries()
 # tier), so full set equality is the right fuzz contract; the
 # generator's mutated copies leave >=20-token shared runs that
 # exercise real span removal (r12).
+# q_containment_blocked (r13): the COMPOSED winnow-propose +
+# exact-confirm path is deterministic given the md5 tier (rolling
+# minima, df cap, shared floor, set ratios — no probabilistic
+# stage), so set equality holds on any corpus; the generator's
+# mutated copies and shared passages give the propose stage real
+# candidates.
 FUZZED = ["q_simhash", "q_winnow_overlap", "q_bm25",
-          "q_substring_dedup"]
+          "q_substring_dedup", "q_containment_blocked"]
 
 _VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
