@@ -283,13 +283,28 @@ def test_bucketed_tier_bit_identical_and_replay_converges(spark, tmp_path):
         assert adm4r[30].text == adm4[30].text == "M N O"
         assert spark.table(table).groupBy("h", "doc_id").count() \
             .where("count > 1").count() == 0
-        # compaction skips the metastore windows, folds admitted/
+        # compaction folds the cumulative per-append growth through
+        # the metastore swap: <= buckets files after, rows identical,
+        # probes unchanged
+        rows_before = {(r.h, r.doc_id)
+                       for r in spark.table(table).collect()}
         folded = compact_span_index(spark, bt_root)
-        assert "windows" not in folded and "admitted" in folded
+        assert "windows" in folded and "admitted" in folded
+        assert len(spark.table(table).inputFiles()) <= 4
+        assert {(r.h, r.doc_id)
+                for r in spark.table(table).collect()} == rows_before
         rej5, _ = _ingest(spark, bt_root, [(40, "a b c d e f g h")])
         assert rej5 == {40: "all_spans_duplicated"}
+        # crash window: live table dropped, tmp present -> the next
+        # open completes the rename and probes see the full index
+        spark.sql(f"ALTER TABLE {table} RENAME TO {table}__fswap_tmp")
+        rej6, _ = _ingest(spark, bt_root, [(41, "a b c d e f g h")])
+        assert rej6 == {41: "all_spans_duplicated"}
+        assert spark.catalog.tableExists(table)
+        assert not spark.catalog.tableExists(f"{table}__fswap_tmp")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__fswap_tmp")
 
 
 def test_streaming_twin_bootstraps_bucketed_tier(spark, tmp_path):

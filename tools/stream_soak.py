@@ -150,7 +150,7 @@ class TwinSoak:
                     q.processAllAvailable()
                 if (b + 1) % sample_every == 0 or b == n_batches - 1:
                     record["file_counts"].append(
-                        {"batch": b + 1, "files": n_data_files(self.idx)}
+                        {"batch": b + 1, "files": self.count_files()}
                     )
                     record["probe_latency_s"].append(
                         {"batch": b + 1,
@@ -174,6 +174,9 @@ class TwinSoak:
 
     def no_duplicate_ids(self) -> bool:
         raise NotImplementedError
+
+    def count_files(self) -> int:
+        return n_data_files(self.idx)
 
 
 class MinhashSoak(TwinSoak):
@@ -617,6 +620,12 @@ class SpanBtSoak(SpanSoak):
     TABLE = "soak_span_windows_bt"
 
     def _win(self):
+        # the swap compaction replaces the table's files from the
+        # streaming clone session; THIS session's relation cache is
+        # per-session, so an external reader refreshes first —
+        # standard Spark changed-table semantics (documented in
+        # compact_span_index)
+        self.spark.catalog.refreshTable(self.TABLE)
         return self.spark.table(self.TABLE)
 
     def start(self):
@@ -657,6 +666,12 @@ class SpanBtSoak(SpanSoak):
             and a.groupBy("doc_id").count().where("count > 1")
             .count() == 0
         )
+
+    def count_files(self) -> int:
+        # the windows dataset lives in the warehouse table, not under
+        # idx/ — count BOTH so the series shows the metastore-swap
+        # compaction bounding the per-append file growth
+        return n_data_files(self.idx) + len(self._win().inputFiles())
 
 
 class EoGateSoak(TwinSoak):

@@ -54,11 +54,12 @@ however large the admitted corpus grows (sources/bucketed.py's lever,
 the same contract as operators/incremental.py's bands table and
 operators/fp_index.py's chunks_table; plan-asserted in
 tests/test_span_index.py). Appends repartition the batch's new
-windows into the bucket layout first, so each append writes at most
-one file per non-empty bucket (bounded file growth; the metastore
-tier therefore needs no in-loop compaction — compact_span_index
-skips it and folds only admitted/, the fp_index chunks_table
-convention). At v1 (windows_table=None) the windows dataset is plain
+windows into the bucket layout first (at most one file per non-empty
+bucket per append), and compact_span_index folds the cumulative
+per-append growth through a crash-safe metastore-level swap
+(write __fswap_tmp -> DROP -> RENAME, with rename recovery at every
+open), so compact_every bounds the table's file count over an
+unbounded stream. At v1 (windows_table=None) the windows dataset is plain
 parquet and the probe is a standard hash join on h — the index side
 reshuffles per micro-batch, acceptable below metastore scale. Window
 construction is the batch operator's array-land projection (O(n*k)
@@ -125,9 +126,28 @@ def read_span_manifest(spark: SparkSession, path: str) -> int:
     return _read_manifest(spark, path).k
 
 
+def _tmp_table(name: str) -> str:
+    return name + "__fswap_tmp"
+
+
+def _recover_windows_table(spark: SparkSession, table: str) -> None:
+    """Complete a metastore-level swap a crash interrupted: the
+    compaction sequence is write-tmp -> DROP live -> RENAME tmp to
+    live, so 'live missing but tmp present' means the tmp holds the
+    complete folded dataset — finish the rename (the fswap
+    recover_directory discipline, lifted to the catalog)."""
+    cat = spark.catalog
+    if not cat.tableExists(table) and cat.tableExists(_tmp_table(table)):
+        spark.sql(
+            f"ALTER TABLE {_tmp_table(table)} RENAME TO {table}"
+        )
+        cat.refreshTable(table)
+
+
 def _read_windows(spark: SparkSession, path: str,
                   m: SpanIndexManifest) -> DataFrame:
     if m.windows_table:
+        _recover_windows_table(spark, m.windows_table)
         return spark.table(m.windows_table)
     return _read_recovering(spark, _sub(path, "windows"))
 
@@ -135,6 +155,7 @@ def _read_windows(spark: SparkSession, path: str,
 def _append_windows(new_w: DataFrame, path: str,
                     m: SpanIndexManifest) -> None:
     if m.windows_table:
+        _recover_windows_table(new_w.sparkSession, m.windows_table)
         # repartition by the bucket expression (same murmur3 pmod as
         # bucketBy) so each task holds exactly one bucket: at most one
         # file per non-empty bucket per append
@@ -340,17 +361,51 @@ def ingest_spans_batch(docs: DataFrame, path: str,
 
 def compact_span_index(spark: SparkSession, path: str) -> dict:
     """Fold per-batch small files (and any replay-duplicated rows)
-    back into few distinct-row files via the crash-safe three-step
-    swap; probes bit-identical before/after. Run between ingest
-    cycles or via streaming_ingest_spans(compact_every=N). With the
-    bucketed-metastore tier the windows dataset is skipped — appends
-    there are already repartitioned to at most one file per bucket,
-    and a rewrite goes through the metastore instead (the fp_index
-    chunks_table convention) — only admitted/ is folded."""
+    back into few distinct-row files; probes bit-identical
+    before/after. Run between ingest cycles or via
+    streaming_ingest_spans(compact_every=N). Plain tier: the
+    crash-safe three-step directory swap (operators/fswap.py). With
+    the bucketed-metastore tier the windows dataset folds through a
+    metastore-level swap instead: the distinct rows rewrite into a
+    __fswap_tmp table with the SAME bucket spec (repartitioned to at
+    most one file per bucket), then DROP live + RENAME tmp — appends
+    add <= ``buckets`` files per batch, so without this the table
+    still grows ~buckets files per append cumulatively (measured:
+    2,123 files after a 150-batch soak without it). Crash windows:
+    tmp written but live not dropped -> next pass drops the stale
+    tmp and redoes; live dropped but tmp not renamed -> every
+    probe/append/compaction first completes the rename
+    (_recover_windows_table, the fswap recover discipline lifted to
+    the catalog). admitted/ always folds via the directory swap."""
     from .fswap import TMP_SUFFIX, promote_directory, recover_directory
 
     m = _read_manifest(spark, path)
     out: dict = {}
+    if m.windows_table:
+        t, tmp = m.windows_table, _tmp_table(m.windows_table)
+        _recover_windows_table(spark, t)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        before = len(spark.table(t).inputFiles())
+        (
+            spark.table(t).distinct()
+            .repartition(m.buckets, "h")
+            .write.bucketBy(m.buckets, "h").sortBy("h")
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE {t}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        # the session caches the relation's file listing by table
+        # identity: without the refresh the next probe plans over the
+        # PRE-swap file names and fails FILE_NOT_EXIST mid-scan.
+        # Relation caches are PER-SESSION: this refresh covers the
+        # compacting session (incl. the streaming foreachBatch clone,
+        # which runs both the compaction and the subsequent probes);
+        # any OTHER session reading the windows table across a
+        # compaction must REFRESH TABLE first — standard Spark
+        # changed-table semantics, same as any table rewritten
+        # underneath a reader
+        spark.catalog.refreshTable(t)
+        out["windows"] = before
     names = ("admitted",) if m.windows_table else ("windows", "admitted")
     for name in names:
         live = _sub(path, name)
