@@ -236,6 +236,34 @@ def test_compaction_crash_windows_converge(spark, tmp_path):
     assert _epoch_dirs(out) == []
 
 
+def test_stranded_compaction_markers_reclaimed(spark, tmp_path):
+    """A crash between a pass's marker commit and its cleanup strands
+    the OLDER marker; deleting only the tracked prev at the end of a
+    pass would leave stale marks behind forever (harmless for reads —
+    _compacted_upto takes max — but never reclaimed, r13 ADVICE). The
+    recovery sweep now deletes every marker below the current max."""
+    from web3_flight_rpc_server_spark.streaming.exactly_once import (
+        compact_committed_epochs,
+    )
+
+    out = str(tmp_path / "sink")
+    sink = ExactlyOnceParquetSink(out)
+    for b in range(3):
+        sink(_df(spark, [(b, f"v{b}")]), b)
+    truth = _rows(spark, out)
+    compact_committed_epochs(spark, out)  # marker 2 commits
+    # fabricate the stranded marks a crashed cleanup leaves behind
+    mdir = os.path.join(out, "_compact")
+    for stale in ("0", "1"):
+        open(os.path.join(mdir, stale), "w").close()
+    assert _rows(spark, out) == truth  # reads take max: unaffected
+    sink(_df(spark, [(50, "v3")]), 3)
+    compact_committed_epochs(spark, out)
+    assert [m for m in os.listdir(mdir)
+            if not m.startswith(".")] == ["3"]
+    assert _rows(spark, out) == truth | {(50, "v3", 3)}
+
+
 def test_gated_ingest_exactly_once_bounded_files(spark, tmp_path):
     """The gated-ingest endpoint drill (r12 VERDICT #6): survivors of
     the stateless gates land through the epoch-manifest sink with

@@ -138,6 +138,42 @@ def test_langid_validation_errors(spark, docs, model):
         langid_score(docs, mdf.where("cls = '' OR b < 0 OR w <> 0.0"))
 
 
+def test_null_labels_excluded_from_fit(spark, docs, model):
+    """Docs with a NULL label must not dilute the learning rate: their
+    residuals are NULL (y == class is NULL) so they never drive the
+    gradient, and counting them in n silently shrank every step (r13
+    ADVICE). A fit over the corpus plus null-labeled extras must land
+    on the same weights as the fit without them."""
+    extra = spark.createDataFrame(
+        [(1000 + i, "noise words here", None) for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    diluted = softmax_fit(docs.unionByName(extra), "lang",
+                          buckets=BUCKETS, iters=ITERS, lr=LR, l2=L2)
+    assert list(diluted.classes) == list(model.classes)
+    assert float(np.abs(diluted.weights - model.weights).max()) < 1e-9
+    assert float(np.abs(diluted.biases - model.biases).max()) < 1e-9
+
+
+def test_fit_rejects_all_null_labels(spark):
+    bad = spark.createDataFrame(
+        [(1, "a b c", None)], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="no non-null labels"):
+        softmax_fit(bad, "lang", buckets=16, iters=1)
+
+
+def test_intercept_only_class_trips_dense_validation(spark, docs,
+                                                     model):
+    """A corrupt table where a class keeps ONLY its b=-1 intercept row
+    must raise the dense-block error, not be silently dropped from
+    scoring (r13 ADVICE — the mirror of weights-without-intercept)."""
+    mdf = model.as_df(spark)
+    corrupt = mdf.where("cls = '' OR cls <> 'aa' OR b = -1")
+    with pytest.raises(ValueError, match="not dense"):
+        langid_score(docs, corrupt)
+
+
 def test_fit_rejects_empty_class_label(spark):
     bad = spark.createDataFrame(
         [(1, "a b c", ""), (2, "d e f", "x")],
@@ -227,3 +263,49 @@ def test_gate_stream_trained_langid(spark, tmp_path):
     finally:
         q.stop()
     assert out == [1]
+
+
+def test_gated_ingest_exactly_once_trained_langid(spark, tmp_path):
+    """gated_ingest_exactly_once(langid_model=...): the trained
+    lang-id gate works on the exactly-once sink path too (r13 ADVICE —
+    the parameter used to stop at plain gate_stream)."""
+    import os
+
+    from web3_flight_rpc_server_spark.pipelines.curation import (
+        CurationConfig,
+    )
+    from web3_flight_rpc_server_spark.pipelines.streaming_curation import (
+        gated_ingest_exactly_once,
+    )
+    from web3_flight_rpc_server_spark.streaming.exactly_once import (
+        read_committed,
+    )
+
+    seed = spark.createDataFrame(
+        [(i, " ".join(VOCAB[sorted(VOCAB)[i % 3]]), sorted(VOCAB)[i % 3])
+         for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    model = softmax_fit(seed, "lang", buckets=BUCKETS, iters=6,
+                        lr=1.0, damping="none")
+    cfg = CurationConfig(allowed_langs=("aa",), min_quality=0.0)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, " ".join(VOCAB["aa"] * 2), "x"),
+         (2, " ".join(VOCAB["bb"] * 2), "x")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.parquet(src + "/b0")
+    q = gated_ingest_exactly_once(
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .parquet(src + "/*"),
+        str(tmp_path / "gated"), str(tmp_path / "ck"),
+        cfg=cfg, langid_model=model,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [r.doc_id for r in read_committed(
+        spark, str(tmp_path / "gated")).collect()]
+    assert got == [1]

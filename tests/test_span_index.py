@@ -307,6 +307,37 @@ def test_bucketed_tier_bit_identical_and_replay_converges(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}__fswap_tmp")
 
 
+def test_torn_ctas_tmp_is_swept_not_wedged(spark, tmp_path):
+    """A crash mid-write of the compaction's scratch CTAS leaves the
+    tmp table's warehouse directory non-empty (_temporary staging)
+    with NO catalog entry — DROP TABLE IF EXISTS alone is a no-op
+    there and the next CTAS refuses the non-empty location, wedging
+    compaction until manual cleanup (r13 ADVICE, medium). The swap
+    must sweep the directory and proceed."""
+    from urllib.parse import urlparse
+
+    root = str(tmp_path / "sp_torn")
+    table = "test_span_windows_torn"
+    init_span_index(_df(spark, []), root, k=K,
+                    windows_table=table, buckets=4)
+    try:
+        _ingest(spark, root, [(1, "a b c d e f g h")])
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        base = urlparse(wh).path or wh
+        torn = os.path.join(base, f"{table}__fswap_tmp")
+        os.makedirs(os.path.join(torn, "_temporary"), exist_ok=True)
+        with open(os.path.join(torn, "part-torn.parquet"), "w") as f:
+            f.write("junk")
+        folded = compact_span_index(spark, root)
+        assert "windows" in folded
+        assert not os.path.exists(torn)
+        rej, _ = _ingest(spark, root, [(2, "a b c d e f g h")])
+        assert rej == {2: "all_spans_duplicated"}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__fswap_tmp")
+
+
 def test_streaming_twin_bootstraps_bucketed_tier(spark, tmp_path):
     """streaming_ingest_spans(windows_table=...) must bootstrap the
     metastore tier and converge like the plain twin."""

@@ -405,20 +405,21 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
                                 hasher).select(
         id_col, "b", _damp(F.col("cnt"), damping).alias("x")
     )
+    # null-label docs are EXCLUDED before n is counted: their residual
+    # columns evaluate to NULL (y == class is NULL) so they contribute
+    # nothing to the gradient — counting them in n would silently
+    # dilute the effective learning rate (r13 ADVICE)
     labels = docs.select(
         id_col, F.col(label_col).cast("string").alias("y")
-    )
+    ).where(F.col(label_col).isNotNull())
     feats = feats.repartition(id_col).persist()
     labels = labels.repartition(id_col).persist()
     n = labels.count()
     if n == 0:
-        raise ValueError("empty corpus")
+        raise ValueError("no non-null labels")
     classes = sorted(
         r.y for r in labels.select("y").distinct().collect()
-        if r.y is not None
     )
-    if not classes:
-        raise ValueError("no non-null labels")
     if "" in classes:
         raise ValueError(
             "empty-string class label collides with the metadata "
@@ -537,15 +538,20 @@ def langid_score(docs: DataFrame, model_df: DataFrame,
             biases[r.cls] = float(r.w)
         elif r.b >= 0:
             Wd.setdefault(r.cls, {})[int(r.b)] = float(r.w)
-    classes = sorted(Wd)
+    # class set = union of weight-row and intercept-row labels: a
+    # corrupt table where a class has ONLY its b=-1 intercept row must
+    # trip the dense-block error below, not be silently dropped from
+    # scoring (r13 ADVICE — the mirror of weights-without-intercept)
+    classes = sorted(set(Wd) | set(biases))
     if not classes:
         raise ValueError("empty weight table: no class rows")
     for c in classes:
-        if len(Wd[c]) != buckets or c not in biases:
+        if len(Wd.get(c, {})) != buckets or c not in biases:
             raise ValueError(
-                f"class {c!r} block is not dense ({len(Wd[c])} rows "
-                f"for modulus {buckets}) or lacks its b=-1 intercept "
-                "— score only tables written by SoftmaxModel.as_df"
+                f"class {c!r} block is not dense "
+                f"({len(Wd.get(c, {}))} rows for modulus {buckets}) "
+                "or lacks its b=-1 intercept — score only tables "
+                "written by SoftmaxModel.as_df"
             )
     C = len(classes)
     w_df = F.broadcast(spark.createDataFrame(

@@ -46,6 +46,7 @@ import logging
 
 OLD_SUFFIX = ".old"
 TMP_SUFFIX = ".compacting"
+TMP_TABLE_SUFFIX = "__fswap_tmp"
 
 _log = logging.getLogger(__name__)
 
@@ -164,6 +165,76 @@ def rebuild_directory(spark, live: str, write_fn) -> None:
     ).close()
     promote_directory(spark, live, tmp)
     spark.catalog.refreshByPath(live)
+
+
+def tmp_table(name: str) -> str:
+    """The scratch-table name a metastore-level swap writes into."""
+    return name + TMP_TABLE_SUFFIX
+
+
+def recover_table(spark, table: str) -> None:
+    """Complete a metastore-level swap a crash interrupted: the
+    :func:`swap_table` sequence is write-tmp -> DROP live -> RENAME
+    tmp to live, so 'live missing but tmp present' means the tmp holds
+    the complete folded dataset — finish the rename (the
+    :func:`recover_directory` discipline, lifted to the catalog).
+    Callers invoke it before every probe, append and compaction of a
+    swappable table, so the table self-heals like the directory tiers."""
+    cat = spark.catalog
+    if not cat.tableExists(table) and cat.tableExists(tmp_table(table)):
+        spark.sql(f"ALTER TABLE {tmp_table(table)} RENAME TO {table}")
+        cat.refreshTable(table)
+
+
+def _default_table_location(spark, table: str) -> str:
+    """Where the session's catalog puts a managed table of this name —
+    needed to sweep a torn CTAS that died before registering the
+    table (directory exists, no catalog entry)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parts = table.lower().split(".")
+    rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
+    return wh.rstrip("/") + "/" + rel
+
+
+def sweep_tmp_table(spark, tmp: str) -> None:
+    """Remove a stale swap scratch table AND its warehouse directory.
+    ``DROP TABLE IF EXISTS`` alone does not cover the torn-CTAS crash
+    window: a crash mid-write leaves the managed location non-empty
+    (e.g. ``_temporary`` staging) with NO catalog entry, so the drop
+    is a no-op and the next CTAS refuses the non-empty location —
+    compaction would wedge until manual cleanup (r13 ADVICE). Dropping
+    a registered managed table removes its directory; the directory
+    delete below covers the unregistered leftover."""
+    if spark.catalog.tableExists(tmp):
+        spark.sql(f"DROP TABLE {tmp}")
+    fs, jvm, p = _hadoop(spark, _default_table_location(spark, tmp))
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def swap_table(spark, table: str, write_fn) -> None:
+    """Crash-safe metastore-level fold of a bucketed table — the
+    :func:`promote_directory` discipline where the identity readers
+    hold is a CATALOG name, not a path (bucket metadata lives in the
+    metastore, so a directory swap alone would lose ``Bucketed:
+    true``). Sequence: recover any half-done prior swap, sweep the
+    scratch (catalog entry and torn-CTAS directory both), run
+    ``write_fn(tmp_name)`` to CTAS the folded data under the scratch
+    name, then DROP live + RENAME tmp + refresh. Crash windows: tmp
+    written but live not dropped -> next pass sweeps the stale tmp and
+    redoes; live dropped but tmp not renamed -> :func:`recover_table`
+    finishes the rename at every subsequent open. Single-writer
+    contract as :func:`promote_directory`."""
+    tmp = tmp_table(table)
+    recover_table(spark, table)
+    sweep_tmp_table(spark, tmp)
+    write_fn(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    # relation caches are per-session and keyed by table identity:
+    # without the refresh the next probe plans over pre-swap file
+    # names and fails FILE_NOT_EXIST mid-scan
+    spark.catalog.refreshTable(table)
 
 
 def recover_directory(spark, live: str) -> str:

@@ -127,21 +127,18 @@ def read_span_manifest(spark: SparkSession, path: str) -> int:
 
 
 def _tmp_table(name: str) -> str:
-    return name + "__fswap_tmp"
+    from .fswap import tmp_table
+
+    return tmp_table(name)
 
 
 def _recover_windows_table(spark: SparkSession, table: str) -> None:
-    """Complete a metastore-level swap a crash interrupted: the
-    compaction sequence is write-tmp -> DROP live -> RENAME tmp to
-    live, so 'live missing but tmp present' means the tmp holds the
-    complete folded dataset — finish the rename (the fswap
-    recover_directory discipline, lifted to the catalog)."""
-    cat = spark.catalog
-    if not cat.tableExists(table) and cat.tableExists(_tmp_table(table)):
-        spark.sql(
-            f"ALTER TABLE {_tmp_table(table)} RENAME TO {table}"
-        )
-        cat.refreshTable(table)
+    """Complete a metastore-level swap a crash interrupted — the
+    fswap.recover_table discipline (shared since r14 with the
+    fp_index chunks_table and incremental bands tiers)."""
+    from .fswap import recover_table
+
+    recover_table(spark, table)
 
 
 def _read_windows(spark: SparkSession, path: str,
@@ -372,39 +369,34 @@ def compact_span_index(spark: SparkSession, path: str) -> dict:
     add <= ``buckets`` files per batch, so without this the table
     still grows ~buckets files per append cumulatively (measured:
     2,123 files after a 150-batch soak without it). Crash windows:
-    tmp written but live not dropped -> next pass drops the stale
-    tmp and redoes; live dropped but tmp not renamed -> every
+    tmp written but live not dropped -> next pass SWEEPS the stale
+    tmp (catalog entry AND torn-CTAS directory — a mid-write crash
+    leaves staging files with no catalog entry, which a bare DROP IF
+    EXISTS would miss and the next CTAS would refuse, r13 ADVICE) and
+    redoes; live dropped but tmp not renamed -> every
     probe/append/compaction first completes the rename
-    (_recover_windows_table, the fswap recover discipline lifted to
-    the catalog). admitted/ always folds via the directory swap."""
+    (fswap.recover_table). Relation caches are PER-SESSION: the swap
+    refreshes the compacting session (incl. the streaming foreachBatch
+    clone); any OTHER session reading the windows table across a
+    compaction must REFRESH TABLE first — standard changed-table
+    semantics. admitted/ always folds via the directory swap."""
     from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+    from .fswap import swap_table
 
     m = _read_manifest(spark, path)
     out: dict = {}
     if m.windows_table:
-        t, tmp = m.windows_table, _tmp_table(m.windows_table)
+        t = m.windows_table
         _recover_windows_table(spark, t)
-        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         before = len(spark.table(t).inputFiles())
-        (
-            spark.table(t).distinct()
-            .repartition(m.buckets, "h")
-            .write.bucketBy(m.buckets, "h").sortBy("h")
-            .saveAsTable(tmp)
+        folded = spark.table(t).distinct().repartition(m.buckets, "h")
+        swap_table(
+            spark, t,
+            lambda tmp: (
+                folded.write.bucketBy(m.buckets, "h").sortBy("h")
+                .saveAsTable(tmp)
+            ),
         )
-        spark.sql(f"DROP TABLE {t}")
-        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
-        # the session caches the relation's file listing by table
-        # identity: without the refresh the next probe plans over the
-        # PRE-swap file names and fails FILE_NOT_EXIST mid-scan.
-        # Relation caches are PER-SESSION: this refresh covers the
-        # compacting session (incl. the streaming foreachBatch clone,
-        # which runs both the compaction and the subsequent probes);
-        # any OTHER session reading the windows table across a
-        # compaction must REFRESH TABLE first — standard Spark
-        # changed-table semantics, same as any table rewritten
-        # underneath a reader
-        spark.catalog.refreshTable(t)
         out["windows"] = before
     names = ("admitted",) if m.windows_table else ("windows", "admitted")
     for name in names:

@@ -114,6 +114,7 @@ def gated_ingest_exactly_once(docs: DataFrame, out_dir: str,
                               cfg: CurationConfig = CurationConfig(),
                               keep_cols: tuple[str, ...] = (),
                               clf_model=None,
+                              langid_model=None,
                               compact_every: int | None = None):
     """gate_stream survivors landed through the epoch-manifest
     exactly-once sink (streaming/exactly_once.py) instead of the
@@ -137,9 +138,13 @@ def gated_ingest_exactly_once(docs: DataFrame, out_dir: str,
         compact_committed_epochs,
     )
 
+    # every gate_stream lever forwards — the trained lang-id gate is
+    # usable on the exactly-once path too (r13 ADVICE)
     sink = ExactlyOnceParquetSink(
         out_dir,
-        transform=lambda df: gate_stream(df, cfg, keep_cols, clf_model),
+        transform=lambda df: gate_stream(
+            df, cfg, keep_cols, clf_model, langid_model
+        ),
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -152,7 +152,12 @@ def compact_committed_epochs(spark: SparkSession, out_dir: str,
 
     # recovery sweep: epoch data dirs at or below the committed mark
     # and segments other than the committed one are garbage from a
-    # crashed previous pass — readers already ignore them
+    # crashed previous pass — readers already ignore them. Compaction
+    # MARKERS below the max likewise: a crash between a marker commit
+    # and its cleanup leaves the older marker behind, and deleting
+    # only the immediately-previous one at the end of this pass would
+    # strand it forever (harmless for reads — _compacted_upto takes
+    # max — but never reclaimed, r13 ADVICE)
     if fs.exists(P(compact_dir)):
         for st in fs.listStatus(P(compact_dir)):
             name = st.getPath().getName()
@@ -160,6 +165,11 @@ def compact_committed_epochs(spark: SparkSession, out_dir: str,
                 prev is None or name != f"upto={prev}"
             ):
                 fs.delete(st.getPath(), True)
+    if prev is not None and fs.exists(P(markers_dir)):
+        for st in fs.listStatus(P(markers_dir)):
+            name = st.getPath().getName()
+            if not name.startswith(".") and int(name) < prev:
+                fs.delete(st.getPath(), False)
     epochs = sink.committed_epochs(spark)
     if prev is not None:
         for e in epochs:
@@ -201,7 +211,12 @@ def compact_committed_epochs(spark: SparkSession, out_dir: str,
         fs.delete(P(f"{sink.data_dir}/epoch={e}"), True)
     if prev is not None:
         fs.delete(P(f"{compact_dir}/upto={prev}"), True)
-        fs.delete(P(f"{markers_dir}/{prev}"), False)
+    # every marker below the new high water, not just prev: a crash in
+    # an earlier pass's cleanup may have stranded older marks
+    for st in fs.listStatus(P(markers_dir)):
+        name = st.getPath().getName()
+        if not name.startswith(".") and int(name) < upto:
+            fs.delete(st.getPath(), False)
     return {"folded": len(fold), "upto": upto}
 
 
