@@ -272,6 +272,76 @@ def test_bucketed_chunks_tier_no_exchange_on_index_side(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_bucketed_chunks_compaction_and_crash_windows(spark, tmp_path):
+    """In-loop metastore-swap compaction for the chunks_table tier
+    (r13 VERDICT #1, the gap compact_fp_index used to skip): probes
+    bit-identical across the fold, bucket layout preserved, file count
+    folded to <= buckets, bucket stats still verify (the fold is pure
+    layout hygiene, no distinct), and both crash windows self-heal —
+    live dropped with tmp present, and a torn tmp CTAS directory
+    swept rather than wedging the next pass (r13 ADVICE)."""
+    import os
+    from urllib.parse import urlparse
+
+    path = str(tmp_path / "fpidx_bt_c")
+    table = "test_fp_chunks_compact"
+    try:
+        write_fingerprint_index(_fps(spark, [(1, B1)]), path,
+                                max_hamming=RADIUS, chunks_table=table,
+                                buckets=4, max_bucket=100)
+        for i in range(4):
+            write_fingerprint_index(
+                _fps(spark, [(10 + i, _flip(B2, 8 * (i + 1)))]), path,
+                append=True,
+            )
+        probe = _fps(spark, [(200, _flip(B1, 2)), (201, _flip(B2, 3))])
+        before_pairs = {
+            (r.new_id, r.idx_id, r.hamming)
+            for r in dedup_fingerprints_against_index(
+                probe, path).collect()
+        }
+        rows_before = {tuple(r) for r in spark.table(table).collect()}
+        res = compact_fp_index(spark, path)
+        assert "chunks" in res
+        n_after = len(spark.table(table).inputFiles())
+        assert n_after <= 4 and n_after <= res["chunks"][0]
+        assert {tuple(r) for r in spark.table(table).collect()} \
+            == rows_before
+        assert verify_fp_bucket_stats(spark, path)
+        assert {
+            (r.new_id, r.idx_id, r.hamming)
+            for r in dedup_fingerprints_against_index(
+                probe, path).collect()
+        } == before_pairs
+        # crash window: live dropped, tmp present -> rename completed
+        # at the next open
+        spark.sql(f"ALTER TABLE {table} RENAME TO {table}__fswap_tmp")
+        assert {
+            (r.new_id, r.idx_id, r.hamming)
+            for r in dedup_fingerprints_against_index(
+                probe, path).collect()
+        } == before_pairs
+        assert spark.catalog.tableExists(table)
+        assert not spark.catalog.tableExists(f"{table}__fswap_tmp")
+        # crash window: torn tmp CTAS swept, compaction not wedged
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        base = urlparse(wh).path or wh
+        torn = os.path.join(base, f"{table}__fswap_tmp")
+        os.makedirs(os.path.join(torn, "_temporary"), exist_ok=True)
+        with open(os.path.join(torn, "part-torn.parquet"), "w") as f:
+            f.write("junk")
+        res2 = compact_fp_index(spark, path)
+        assert "chunks" in res2 and not os.path.exists(torn)
+        assert {
+            (r.new_id, r.idx_id, r.hamming)
+            for r in dedup_fingerprints_against_index(
+                probe, path).collect()
+        } == before_pairs
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__fswap_tmp")
+
+
 def test_probe_one_row_per_pair_min_hamming(spark, tmp_path):
     """An id appearing with SEVERAL distinct fingerprints (duplicate
     probe ids, or a caller that violated id uniqueness across appends)

@@ -313,6 +313,88 @@ class FpSoak(TwinSoak):
         )
 
 
+class MinhashBtSoak(MinhashSoak):
+    """The MinHash soak through the bucketed-metastore bands tier
+    (bands_table= — probes shuffle only the batch side) with the r14
+    in-loop swap_table compaction: identical planted stream and
+    convergence oracle as the plain twin, file counts including the
+    warehouse table so the series shows the fold bounding the
+    per-append growth (the exact gap r13 VERDICT #1 named)."""
+
+    name = "minhash_bt"
+    TABLE = "soak_minhash_bands_bt"
+
+    def _bands(self):
+        # compaction swaps the table from the streaming clone session;
+        # an external reader refreshes first (documented changed-table
+        # semantics, same as the span_bt twin)
+        self.spark.catalog.refreshTable(self.TABLE)
+        return self.spark.table(self.TABLE)
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.incremental import (
+            streaming_ingest,
+        )
+
+        if not os.path.isdir(os.path.join(self.idx, "manifest")):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.TABLE}")
+        return streaming_ingest(
+            self.stream_df(), self.idx, self.ckpt, threshold=0.5,
+            compact_every=self.compact_every,
+            bands_table=self.TABLE, buckets=16,
+        )
+
+    def no_duplicate_ids(self) -> bool:
+        sh = self.spark.read.parquet(self.idx + "/shingles")
+        return (
+            self._bands().groupBy("doc_id", "band").count()
+            .where("count > 1").count() == 0
+            and sh.groupBy("doc_id").count()
+            .where("count > 1").count() == 0
+        )
+
+    def count_files(self) -> int:
+        return n_data_files(self.idx) + len(self._bands().inputFiles())
+
+
+class FpBtSoak(FpSoak):
+    """The fingerprint soak through the bucketed-metastore chunks tier
+    (chunks_table=) with the r14 in-loop swap_table compaction — same
+    contract as MinhashBtSoak."""
+
+    name = "fp_bt"
+    TABLE = "soak_fp_chunks_bt"
+
+    def _chunks(self):
+        self.spark.catalog.refreshTable(self.TABLE)
+        return self.spark.table(self.TABLE)
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.fp_index import (
+            streaming_ingest_fingerprints,
+        )
+
+        if not os.path.isdir(os.path.join(self.idx, "manifest")):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.TABLE}")
+        return streaming_ingest_fingerprints(
+            self.stream_df(), self.idx, self.ckpt, max_hamming=6,
+            compact_every=self.compact_every,
+            chunks_table=self.TABLE, buckets=16,
+        )
+
+    def index_distinct_ids(self) -> int:
+        return self._chunks().select("id").distinct().count()
+
+    def no_duplicate_ids(self) -> bool:
+        return (
+            self._chunks().groupBy("id", "chunk_idx").count()
+            .where("count > 1").count() == 0
+        )
+
+    def count_files(self) -> int:
+        return n_data_files(self.idx) + len(self._chunks().inputFiles())
+
+
 class SemanticSoak(TwinSoak):
     """Seeded random unit vectors (dim 16 — random pairs sit far below
     the 0.92 threshold); every 5th row replays an earlier vector under
@@ -780,7 +862,7 @@ class EoGateSoak(TwinSoak):
 
 TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak,
          "clf": ClfGateSoak, "span": SpanSoak, "span_bt": SpanBtSoak,
-         "eo": EoGateSoak}
+         "eo": EoGateSoak, "minhash_bt": MinhashBtSoak, "fp_bt": FpBtSoak}
 
 
 def main() -> int:

@@ -85,6 +85,9 @@ def _read_fp_manifest(spark: SparkSession, path: str) -> FpIndexManifest:
 def _read_chunks(spark: SparkSession, path: str,
                  m: FpIndexManifest) -> DataFrame:
     if m.chunks_table:
+        from .fswap import recover_table
+
+        recover_table(spark, m.chunks_table)
         return spark.table(m.chunks_table)
     return _read_recovering(spark, _sub(path, "chunks"))
 
@@ -140,8 +143,16 @@ def write_fingerprint_index(fps: DataFrame, path: str,
 
     def _write_chunks(df: DataFrame, write_mode: str) -> None:
         if chunks_table:
+            from .fswap import recover_table
+
+            recover_table(spark, chunks_table)
+            # repartition by the bucket expression (same murmur3 pmod
+            # as bucketBy) so each task holds exactly one bucket: at
+            # most one file per non-empty bucket per append (the span
+            # tier's append discipline)
             (
-                df.write.mode(write_mode)
+                df.repartition(buckets, "chunk_idx", "chunk")
+                .write.mode(write_mode)
                 .bucketBy(buckets, "chunk_idx", "chunk")
                 .sortBy("chunk_idx", "chunk")
                 .saveAsTable(chunks_table)
@@ -157,13 +168,15 @@ def write_fingerprint_index(fps: DataFrame, path: str,
         ).write.mode(write_mode).parquet(_sub(path, "bucket_stats"))
 
     if append:
-        from .fswap import recover_directory
+        from .fswap import recover_directory, recover_table
 
         subs = [] if chunks_table else ["chunks"]
         if max_bucket is not None:
             subs.append("bucket_stats")
         for sub in subs:
             recover_directory(spark, _sub(path, sub))
+        if chunks_table:
+            recover_table(spark, chunks_table)
         batch_ids = F.broadcast(chunks.select("id").distinct())
         try:
             existing = (
@@ -362,17 +375,47 @@ def compact_fp_index(spark: SparkSession, path: str,
     each promoted with the crash-safe three-step swap
     (operators/fswap.py; identical discipline and caveats to
     operators/incremental.py:compact_index — run between ingest
-    cycles, the swap is not coordinated with concurrent appends; the
-    bucketed metastore tier compacts through the metastore instead).
-    Probes before/after are identical. Returns
+    cycles or inside streaming_ingest_fingerprints(compact_every=N),
+    where serial micro-batches make "never concurrent with an append"
+    hold by construction). With the bucketed-metastore tier the
+    chunks dataset folds through fswap.swap_table — appends add <= 1
+    file per non-empty bucket per batch, so without the in-loop fold
+    the table still grows ~buckets files per append cumulatively (the
+    exact gap the span soak measured at 2,123 files/150 batches, r13
+    VERDICT #1); the fold rewrites into one file per bucket with the
+    SAME bucket spec, so ``Bucketed: true`` and the probe-side-only
+    shuffle survive, and every crash window self-heals via
+    recover_table/sweep_tmp_table at the next open. Probes
+    before/after are identical. Returns
     {dataset: (files_before, files_after)}."""
     from .fswap import TMP_SUFFIX, promote_directory, recover_directory
+    from .fswap import recover_table, swap_table
 
     m = _read_fp_manifest(spark, path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     out = {}
-    if not m.chunks_table:
+    if m.chunks_table:
+        t = m.chunks_table
+        recover_table(spark, t)
+        before = len(spark.table(t).inputFiles())
+        # no distinct: appends are id-excluded, so rows are already
+        # unique — the fold is pure layout hygiene (verify_fp_
+        # bucket_stats counts rows, a distinct here could break it)
+        folded = spark.table(t).repartition(
+            m.buckets, "chunk_idx", "chunk"
+        )
+        swap_table(
+            spark, t,
+            lambda tmp: (
+                folded.write
+                .bucketBy(m.buckets, "chunk_idx", "chunk")
+                .sortBy("chunk_idx", "chunk")
+                .saveAsTable(tmp)
+            ),
+        )
+        out["chunks"] = (before, len(spark.table(t).inputFiles()))
+    else:
         live = _sub(path, "chunks")
         recover_directory(spark, live)
         src = jvm.org.apache.hadoop.fs.Path(live)

@@ -228,7 +228,21 @@ def swap_table(spark, table: str, write_fn) -> None:
     tmp = tmp_table(table)
     recover_table(spark, table)
     sweep_tmp_table(spark, tmp)
-    write_fn(tmp)
+    # plan the fold with bucketed READS off: reading the live bucketed
+    # table makes Catalyst drop the caller's repartition-into-bucket-
+    # layout as redundant (the scan's bucket spec "already satisfies"
+    # it) and then disable the bucketed scan anyway — the CTAS would
+    # write one file per (input split, bucket) instead of one per
+    # bucket, defeating the fold (measured: a 20-file table folded to
+    # 20 files). The WRITE side is unaffected: bucket ids are computed
+    # per row regardless of this conf.
+    key = "spark.sql.sources.bucketing.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        write_fn(tmp)
+    finally:
+        spark.conf.set(key, prev)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     # relation caches are per-session and keyed by table identity:

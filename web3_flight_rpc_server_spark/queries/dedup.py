@@ -657,7 +657,7 @@ def _containment_blocked_oracle(threshold: float = 0.8, k: int = 12,
     """
 
 
-@query("q_containment_blocked", declared=False,
+@query("q_containment_blocked",
        oracle=_containment_blocked_oracle())
 def q_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed 100 TB containment path
@@ -672,7 +672,8 @@ def q_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     match attests the composition's recall surface on this corpus,
     not just its halves. Planted short-in-long recall/precision vs
     the brute-force tier is pinned in
-    tests/test_winnowing_containment.py."""
+    tests/test_winnowing_containment.py. Declared in r14 (took
+    q_transitions' slot — r13 VERDICT #2)."""
     from ..operators.winnowing import containment_pairs_blocked
 
     docs = tables.load_table(spark, sf_dir, "documents")

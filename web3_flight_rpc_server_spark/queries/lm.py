@@ -247,7 +247,6 @@ _LANGID_PATH = _os.path.join(
 
 @query(
     "q_langid",
-    declared=False,
     oracle=f"""
     WITH{_ARRS},
     feats AS (
@@ -310,7 +309,9 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin-desc/class-asc argmax tie-break all replayed in DuckDB
     (the q_quality_score at-rest pattern, one softmax up). Training
     is an iterative fixpoint SQL cannot express; it is
-    numpy-reference-pinned in tests/test_langid.py."""
+    numpy-reference-pinned in tests/test_langid.py. Declared in r14
+    (took q_retention's slot — r13 VERDICT #2: the strongest
+    undeclared row, parity green at both SFs in r13)."""
     from ..operators.classifier import langid_score, softmax_fit
 
     docs = tables.load_table(spark, sf_dir, "documents")

@@ -286,6 +286,7 @@ def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_retention",
+    declared=False,
     oracle="""
     WITH per AS (
         SELECT user_id,
@@ -306,8 +307,10 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the notebook-analytics staple the reference's per-slice
     value_counts can't express. One window pass + one distinct-count
     aggregate; the oracle recomputes both cross-engine. Declared in r7
-    (rotated in for q_filter_case_insensitive, whose A9 semantics stay
-    attested by unit tests and the q_filter_in_list family)."""
+    (rotated in for q_filter_case_insensitive); undeclared since r14 —
+    its slot went to q_langid, C15 stays attested by q_sessionize +
+    q_user_funnel and this oracle keeps running in
+    tests/test_oracle_parity.py's whole-registry parametrize."""
     from ..operators.sequencing import retention_matrix
 
     ev = tables.load_table(spark, sf_dir, "events")
@@ -316,6 +319,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_transitions",
+    declared=False,
     oracle="""
     WITH seq AS (
         SELECT user_id, event_type,
@@ -341,8 +345,10 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event transition matrix (operators/sequencing.py): per-user
     time-ordered adjacent (from, to) event-type pairs with
     per-from-state probabilities — linear lag+count, no sequence
-    collection. Declared in r7 (rotated in for q_top1, whose B16
-    semantics stay attested via q_value_counts ordering + q_having)."""
+    collection. Declared in r7 (rotated in for q_top1); undeclared
+    since r14 — its slot went to q_containment_blocked, C15 stays
+    attested by q_sessionize + q_user_funnel and this oracle keeps
+    running in tests/test_oracle_parity.py."""
     from ..operators.sequencing import transition_matrix
 
     ev = tables.load_table(spark, sf_dir, "events")
