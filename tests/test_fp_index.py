@@ -437,3 +437,59 @@ def test_streaming_ingest_fp_auto_compaction(spark, tmp_path):
     assert {1, 2, 100, 101, 102} <= admitted_all
     assert compacted <= 2, compacted
     assert verify_fp_bucket_stats(spark, path)
+
+
+def test_on_admitted_at_least_once_across_crash(spark, tmp_path):
+    """r13 VERDICT #3: a crash after the index append but before the
+    downstream commit replays the batch; previously-admitted ids
+    self-match the index (new_id == idx_id at Hamming 0) and must be
+    re-handed to on_admitted, so an idempotent downstream sink
+    converges instead of losing the batch."""
+    import os
+
+    from web3_flight_rpc_server_spark.operators.fp_index import (
+        streaming_ingest_fingerprints,
+    )
+
+    src = str(tmp_path / "src_alo")
+    path = str(tmp_path / "fpidx_alo")
+    ck = str(tmp_path / "ck_alo")
+    sink: set = set()
+
+    def on_admitted(df, batch_id):
+        sink.update(r.media_id for r in df.collect())
+
+    def start():
+        return streaming_ingest_fingerprints(
+            spark.readStream.schema("media_id long, phash long")
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+            path, ck, max_hamming=RADIUS, on_admitted=on_admitted,
+        )
+
+    os.makedirs(src)
+    _fps(spark, [(1, B1)]).coalesce(1).write.parquet(src + "/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+        _fps(spark, [(2, B2), (3, B3)]).coalesce(1).write.parquet(
+            src + "/b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sink == {1, 2, 3}
+    commits = os.path.join(ck, "commits")
+    newest = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(newest)))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    sink -= {2, 3}  # downstream lost batch 1's delivery
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sink == {1, 2, 3}, "replayed ids were not re-delivered"
+    chunks = spark.read.parquet(path + "/chunks")
+    assert chunks.groupBy("id", "chunk_idx").count() \
+        .where("count > 1").count() == 0

@@ -406,3 +406,67 @@ def test_streaming_twin_converges_with_sink(spark, tmp_path):
     admitted_ids = {r.doc_id for r in
                     spark.read.parquet(root + "/admitted").collect()}
     assert admitted_ids == {1, 2, 3}
+
+
+def _force_replay(ck):
+    commits = os.path.join(ck, "commits")
+    newest = max(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(newest)))
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_on_admitted_at_least_once_across_crash(spark, tmp_path):
+    """The r13 documented caveat closed (r13 VERDICT #3): a crash
+    AFTER the index appends but BEFORE the downstream commit replays
+    the batch as already_admitted — the twin must recover the first
+    run's rows (rewritten text included) from the persisted admitted
+    dataset and hand them to on_admitted again, so an idempotent
+    downstream sink keyed on doc_id converges to the batch-oracle
+    survivor set instead of losing the batch."""
+    src = str(tmp_path / "src_alo")
+    root = str(tmp_path / "sidx_alo")
+    ck = str(tmp_path / "ck_alo")
+    sink: dict = {}
+
+    def on_admitted(df, batch_id):
+        for r in df.collect():
+            sink[r.doc_id] = r.text
+
+    def start():
+        return streaming_ingest_spans(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+            root, ck, k=K, on_admitted=on_admitted,
+        )
+
+    os.makedirs(src)
+    _df(spark, [(1, "a b c d e f g h")]).coalesce(1).write.parquet(
+        src + "/b0")
+    q = start()
+    try:
+        q.processAllAvailable()
+        _df(spark, [(2, "Q R a b c d e f g h S"),
+                    (3, "totally new tokens only here")]
+            ).coalesce(1).write.parquet(src + "/b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = dict(sink)
+    assert first == {1: "a b c d e f g h", 2: "Q R S",
+                     3: "totally new tokens only here"}
+    # crash simulation: the index appends committed but the DOWNSTREAM
+    # lost batch 1's delivery, and the engine replays the batch
+    _force_replay(ck)
+    sink.pop(2)
+    sink.pop(3)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sink == first, "replayed batch's rows were not re-delivered"
+    # and the index did not duplicate anything on the replay
+    adm = spark.read.parquet(root + "/admitted")
+    assert adm.groupBy("doc_id").count().where("count > 1").count() == 0

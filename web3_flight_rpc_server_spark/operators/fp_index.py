@@ -473,8 +473,13 @@ def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
     fingerprints probe an index that already holds their first copies
     and collide at Hamming 0 (rejected), and the append itself
     excludes already-present ids. ``on_admitted(ids_df, batch_id)``
-    hands survivors to downstream sinks under foreachBatch's
-    at-least-once contract.
+    hands survivors to downstream sinks at-least-once END TO END
+    (r14, closing the r13 caveat): on a replay, ids that self-match
+    the index (new_id == idx_id — only possible when a previous run
+    of this batch admitted them) are joined back and handed down
+    again alongside fresh admissions, so a crash between the index
+    append and the downstream commit no longer loses the batch;
+    downstream must be idempotent keyed on the id.
 
     ``compact_every=N`` runs compact_fp_index every N micro-batches,
     INSIDE the foreachBatch callback — micro-batches execute serially,
@@ -505,11 +510,25 @@ def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
         if batch_df.isEmpty():
             return
         try:
-            admitted, _dups = ingest_fingerprints(
+            admitted, dups = ingest_fingerprints(
                 batch_df.select(id_col, fp_col), path, id_col, fp_col
             )
             if on_admitted is not None:
-                on_admitted(admitted, batch_id)
+                # at-least-once hand-off across the crash seam (r13
+                # VERDICT #3): a batch replayed after its append
+                # committed re-meets its own first copies as SELF
+                # pairs — new_id == idx_id is only possible when this
+                # id's fingerprint is already IN the index, i.e. a
+                # previous run admitted it but its downstream commit
+                # may have been lost. Hand those ids down again;
+                # downstream stays idempotent keyed on the id (the
+                # foreachBatch contract).
+                prev = dups.where(
+                    F.col("new_id") == F.col("idx_id")
+                ).select(F.col("new_id").alias(id_col)).distinct()
+                on_admitted(
+                    admitted.unionByName(prev).distinct(), batch_id
+                )
             if compact_every is not None and batch_id % compact_every == (
                 compact_every - 1
             ):

@@ -607,8 +607,12 @@ def streaming_ingest_embeddings(stream_emb: DataFrame, index_path: str,
 
     Replay safety is ingest_embeddings' contract: replayed vectors
     meet their first copies at cosine 1.0 (rejected) and the append
-    excludes present ids. ``on_admitted(ids_df, batch_id)`` runs under
-    foreachBatch's at-least-once delivery.
+    excludes present ids. ``on_admitted(ids_df, batch_id)`` delivers
+    at-least-once END TO END (r14, closing the r13 caveat): on a
+    replay, ids that self-match the index (new_id == idx_id — only
+    possible when a previous run admitted them) are joined back and
+    handed down again alongside fresh admissions; downstream must be
+    idempotent keyed on the id.
 
     ``compact_every=N`` runs compact_trained_ivf_index every N
     micro-batches, INSIDE the foreachBatch callback — micro-batches
@@ -639,12 +643,25 @@ def streaming_ingest_embeddings(stream_emb: DataFrame, index_path: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        admitted, _dups = ingest_embeddings(
+        admitted, dups = ingest_embeddings(
             batch_df.select(id_col, vec_col), index_path, threshold,
             top_m, id_col,
         )
         if on_admitted is not None:
-            on_admitted(admitted, batch_id)
+            # at-least-once hand-off across the crash seam (r13
+            # VERDICT #3): a replayed batch's previously-admitted
+            # vectors meet their own first copies as SELF pairs
+            # (new_id == idx_id at cosine 1.0 — only possible when
+            # this id is already in the index). Join them back so a
+            # crash between the index append and the downstream
+            # commit no longer loses the batch; downstream stays
+            # idempotent keyed on the id (the foreachBatch contract).
+            prev = dups.where(
+                F.col("new_id") == F.col("idx_id")
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            on_admitted(
+                admitted.unionByName(prev).distinct(), batch_id
+            )
         if compact_every is not None and batch_id % compact_every == (
             compact_every - 1
         ):

@@ -33,13 +33,19 @@ between the window append and the id append re-derives byte-identical
 admitted output (its own half-appended windows are invisible to it),
 re-appends idempotently, and converges — pinned with a forced replay
 in tests/test_span_index.py. Downstream hand-off via on_admitted is
-at-MOST-once across one crash window (see streaming_ingest_spans).
+at-LEAST-once since r14: the admitted dataset persists the full
+rewritten row, so a replay recovers and re-hands the rows whose
+downstream commit a crash may have lost (see streaming_ingest_spans).
 
 Index layout at ``root``: ``manifest/`` (1-row parquet pinning k +
 hash tier — reopening with a different k raises, the layout-pinning
 convention), ``windows/`` ((h: long, doc_id) pairs — xxhash64 of the
 window text, the production 64-bit tier; 8-byte hashes over ~one row
-per admitted token), ``admitted/`` (doc_id). ``compact_span_index``
+per admitted token), ``admitted/`` ((doc_id, text, n_kept, n_dropped)
+— the full admitted output: the rewritten text depends on the
+pre-append index state and is not recomputable from the index alone,
+so persisting it is what makes replay hand-off possible; it is also
+the canonical cleaned corpus). ``compact_span_index``
 folds the per-batch small files through the crash-safe three-step
 swap (operators/fswap.py), probes bit-identical before/after;
 ``streaming_ingest_spans(compact_every=N)`` runs it inside
@@ -197,7 +203,17 @@ def init_span_index(docs: DataFrame, path: str, k: int = 50,
         )
     else:
         empty_w.write.parquet(_sub(path, "windows"))
-    empty.select(id_col).write.parquet(_sub(path, "admitted"))
+    # admitted/ persists the FULL admitted row (id, rewritten text,
+    # n_kept, n_dropped) — the rewrite depends on the pre-append index
+    # state so it is not recomputable from the index alone, and
+    # persisting it is what lets a replayed batch hand its
+    # previously-admitted rows back to on_admitted (at-least-once
+    # downstream delivery, r13 VERDICT #3) instead of an empty frame
+    empty.select(
+        id_col, F.col(text_col),
+        F.lit(0).cast("long").alias("n_kept"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    ).write.parquet(_sub(path, "admitted"))
 
 
 def _windows(docs: DataFrame, k: int, id_col: str,
@@ -350,9 +366,11 @@ def ingest_spans_batch(docs: DataFrame, path: str,
         .join(idx, ["h", id_col], "left_anti")
     )
     _append_windows(new_w, path, m)
-    admitted.select(id_col).write.mode("append").parquet(
-        _sub(path, "admitted")
-    )
+    # the full admitted row lands, not just the id: the rewritten text
+    # is the one artifact a replay cannot re-derive (it depended on
+    # the pre-append index state), and persisting it turns the
+    # downstream hand-off at-least-once (streaming_ingest_spans)
+    admitted.write.mode("append").parquet(_sub(path, "admitted"))
     return rejects, admitted
 
 
@@ -428,22 +446,19 @@ def streaming_ingest_spans(stream_docs: DataFrame, path: str,
     the manifest's tier wins); refuses a k mismatch against an
     existing manifest.
 
-    Delivery contract for ``on_admitted(df, batch_id)``: weaker than
-    foreachBatch's at-least-once. The index itself converges exactly
-    under replay (content-based self-exclusion), but a crash AFTER
-    the index/admitted appends and BEFORE the downstream sink commits
-    makes the replayed batch short-circuit on identity
-    (``already_admitted``) and hand ``on_admitted`` an EMPTY frame —
-    effectively at-most-once for downstream hand-off across that one
-    crash window. The admitted dataset persists only ids, not the
-    rewritten text, so the first run's output is not recomputable
-    from the index alone (the rewrite depended on the pre-append
-    index state). A downstream that cannot tolerate the gap should
-    persist inside ``on_admitted`` idempotently keyed on
-    (batch_id, doc_id) BEFORE relying on the data, or consume the
-    admitted text from its own sink — the same seam as the
-    fp_index/semdedup twins, stated here because this twin's
-    short-circuit is by identity rather than by content."""
+    Delivery contract for ``on_admitted(df, batch_id)``: genuinely
+    AT-LEAST-ONCE since r14 (closing the r13 documented caveat). The
+    index itself converges exactly under replay (content-based
+    self-exclusion); a crash AFTER the index/admitted appends and
+    BEFORE the downstream sink commits makes the replayed batch
+    short-circuit on identity (``already_admitted``) — and those ids'
+    first-run rows are then RECOVERED from the persisted admitted
+    dataset (which stores the full rewritten output, not just ids)
+    and handed to ``on_admitted`` again alongside any fresh
+    admissions. Downstream must therefore be idempotent keyed on the
+    doc id — the same contract foreachBatch itself carries — and a
+    sink that is converges to the batch-oracle survivor set across
+    any crash (drilled in tests/test_span_index.py)."""
     spark = stream_docs.sparkSession
     try:
         have = read_span_manifest(spark, path)
@@ -471,11 +486,31 @@ def streaming_ingest_spans(stream_docs: DataFrame, path: str,
         if batch_df.isEmpty():
             return
         try:
-            _rej, admitted = ingest_spans_batch(
+            rej, admitted = ingest_spans_batch(
                 batch_df.select(id_col, text_col), path, id_col,
                 text_col,
             )
             if on_admitted is not None:
+                # at-least-once hand-off across the crash seam (r13
+                # VERDICT #3): ids the identity exclusion rejected as
+                # already_admitted were admitted by a PREVIOUS run of
+                # this batch whose downstream commit may have been
+                # lost — recover their first-run rows from the
+                # persisted admitted dataset and hand them down again
+                # (downstream stays idempotent keyed on the id, the
+                # same contract foreachBatch itself carries)
+                replayed = rej.where(
+                    F.col("reject_reason") == "already_admitted"
+                ).select(id_col)
+                if not replayed.isEmpty():
+                    prior = _read_recovering(
+                        batch_df.sparkSession, _sub(path, "admitted")
+                    )
+                    recovered = prior.join(
+                        F.broadcast(replayed), id_col, "left_semi"
+                    ).select(id_col, text_col, "n_kept", "n_dropped")
+                    admitted = admitted.unionByName(recovered) \
+                        .localCheckpoint(eager=True)
                 on_admitted(admitted, batch_id)
             if compact_every is not None and batch_id % compact_every \
                     == (compact_every - 1):
