@@ -285,7 +285,7 @@ def run_isolated(sf_dir: str) -> int:
     return 1 if errors else 0
 
 
-def measure_ingest() -> float:
+def measure_ingest() -> dict:
     """Backfill ingest throughput through the live-source plumbing
     (Python DataSource, paged partitions), measured in a FRESH
     PROCESS: this figure's role is the ENGINE-SIDE ceiling, and
@@ -301,7 +301,16 @@ def measure_ingest() -> float:
     subprocess pays the one-time Python-worker spin-up outside the
     measurement, like any long-running backfill would; best-of-2
     because single-shot throughput still ramps (JIT, worker reuse)
-    and the reported number is a ceiling."""
+    and the reported number is a ceiling.
+
+    PROTOCOL (r14, pinning the r13 VERDICT #6 ask): the headline
+    ``ingest_blocks_per_s`` is the MEDIAN of ``runs`` fresh-process
+    measurements (default 5, SPARK_GRAFT_INGEST_RUNS to override),
+    with every per-run value recorded alongside — the figure swung
+    18.1k -> 36.1k blocks/s across single-shot sessions with zero
+    source changes, so one subprocess under-constrains it;
+    round-over-round comparisons should read the median against the
+    previous round's recorded spread."""
     ingest_blocks = 50_000
     ingest_script = f"""
 import sys, time
@@ -321,14 +330,28 @@ def ingest(n):
 ingest(2_000)
 print("INGEST_S", min(ingest({ingest_blocks}) for _ in range(2)))
 """
-    proc = subprocess.run(
-        [sys.executable, "-c", ingest_script],
-        capture_output=True, text=True, timeout=600,
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("INGEST_S "):
-            return ingest_blocks / float(line.split()[1])
-    raise RuntimeError(f"ingest bench subprocess failed: {proc.stderr[-2000:]}")
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_INGEST_RUNS", "5")))
+    rates: list[float] = []
+    for _ in range(runs):
+        proc = subprocess.run(
+            [sys.executable, "-c", ingest_script],
+            capture_output=True, text=True, timeout=600,
+        )
+        rate = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("INGEST_S "):
+                rate = ingest_blocks / float(line.split()[1])
+        if rate is None:
+            raise RuntimeError(
+                f"ingest bench subprocess failed: {proc.stderr[-2000:]}"
+            )
+        rates.append(round(rate))
+    return {
+        "median": round(statistics.median(rates)),
+        "min": min(rates),
+        "max": max(rates),
+        "runs": rates,
+    }
 
 
 def main() -> int:
@@ -410,7 +433,10 @@ def main() -> int:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "reps": reps,
-        "ingest_blocks_per_s": round(measure_ingest()),
+        # median of N fresh-process runs; the full spread rides along
+        # (the r14 ingest protocol — see measure_ingest)
+        "ingest_blocks_per_s": (ing := measure_ingest())["median"],
+        "ingest_spread": ing,
         "sf": sf,
     }
     if oracle_timings:
