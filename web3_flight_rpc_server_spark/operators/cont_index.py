@@ -520,6 +520,37 @@ def compact_containment_index(spark: SparkSession, path: str,
     return out
 
 
+_CONT_INDEX_CACHE: dict = {}
+_CONT_INDEX_LOCK = __import__("threading").Lock()
+_CONT_KEY_LOCKS: dict = {}
+
+
+def cont_index_for(docs: DataFrame, cache_key: tuple,
+                   **layout) -> str:
+    """Materialize (once per process per cache_key) a containment
+    index for a corpus and return its path — the fp_index_for /
+    ivf_index_for scratch-cache amortization (miss path serialized
+    per key; a deployment passes an explicit shared path to
+    write_containment_index instead of leaning on this)."""
+    import os
+    import tempfile
+    import threading
+
+    path = _CONT_INDEX_CACHE.get(cache_key)
+    if path is not None and os.path.isdir(path):
+        return path
+    with _CONT_INDEX_LOCK:
+        key_lock = _CONT_KEY_LOCKS.setdefault(cache_key,
+                                              threading.Lock())
+    with key_lock:
+        path = _CONT_INDEX_CACHE.get(cache_key)
+        if path is None or not os.path.isdir(path):
+            path = tempfile.mkdtemp(prefix="cont_index_")
+            write_containment_index(docs, path, **layout)
+            _CONT_INDEX_CACHE[cache_key] = path
+        return path
+
+
 def streaming_ingest_containment(stream_docs: DataFrame, path: str,
                                  checkpoint_dir: str, threshold: float,
                                  n: int = 3, k: int = 12, w: int = 6,

@@ -657,6 +657,119 @@ def _containment_blocked_oracle(threshold: float = 0.8, k: int = 12,
     """
 
 
+def _cont_index_probe_oracle(threshold: float = 0.8, k: int = 12,
+                             w: int = 6, min_shared: int = 2,
+                             max_df: int = 50) -> str:
+    """SQL twin of the PERSISTENT containment index probe: the blocked
+    composition split even (indexed) vs odd (probe) — winnow fps per
+    side, stop-fp cap computed over the INDEX population only (the
+    manifest contract), cross-side candidates clearing min_shared,
+    exact directed confirm. A hash match attests the index's
+    manifest-pinned propose/confirm path end to end."""
+    h = MD5_PREFIX60_SQL.format(f"substr(t, CAST(i AS INT), {k})")
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, lower(text) AS t,
+               len(lower(text)) - {k - 1} AS ng
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i, {h} AS h
+        FROM pos, unnest(generate_series(1, ng)) AS u(i)
+    ),
+    wmins AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                   AS m,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, m AS fp FROM wmins
+            WHERE i <= n - {w - 1}),
+    idx_fps AS (SELECT * FROM fps WHERE doc_id % 2 = 0),
+    probe_fps AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+    hot AS (SELECT fp FROM idx_fps GROUP BY fp
+            HAVING count(*) > {max_df}),
+    probe_ok AS (
+        SELECT p.doc_id, p.fp FROM probe_fps p
+        LEFT JOIN hot ho ON p.fp = ho.fp WHERE ho.fp IS NULL
+    ),
+    cand AS (
+        SELECT p.doc_id AS new_id, x.doc_id AS idx_id
+        FROM probe_ok p JOIN idx_fps x ON p.fp = x.fp
+        GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+    ),
+    tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        FROM tok, UNNEST(range(1, len(ts) - 1)) AS u(i)
+        WHERE len(ts) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.new_id, c.idx_id, count(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.new_id
+        JOIN sh b ON b.doc_id = c.idx_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT i.new_id, i.idx_id, i.i, sn.n AS n_new, si.n AS n_idx
+        FROM inter i
+        JOIN sz sn ON i.new_id = sn.doc_id
+        JOIN sz si ON i.idx_id = si.doc_id
+    ),
+    directed AS (
+        SELECT new_id AS src, idx_id AS dst, i * 1.0 / n_new AS c
+        FROM sized WHERE i * 1.0 / n_new >= {threshold}
+        UNION ALL
+        SELECT idx_id, new_id, i * 1.0 / n_idx
+        FROM sized WHERE i * 1.0 / n_idx >= {threshold}
+    )
+    SELECT src, dst,
+           floor(c * 10000 + 0.5) / 10000 AS containment
+    FROM directed ORDER BY src, dst
+    """
+
+
+@query("q_cont_index_probe", declared=False,
+       oracle=_cont_index_probe_oracle())
+def q_cont_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-extract serving from the PERSISTENT containment index
+    (operators/cont_index.py, new r14 — closing the batch+index+stream
+    pattern for the containment family): even-id documents are indexed
+    once per process (cont_index_for scratch cache, the
+    q_fp_index_probe amortization), odd-id documents probe it. Built
+    with the md5-bridge hash so the DuckDB oracle replays identical
+    rolling-hash minima; the oracle reruns the index's whole
+    propose/confirm path — index-side stop-fp cap, cross-side
+    min_shared candidates, exact directed confirm against the stored
+    shingle sets — so a hash match attests the manifest-pinned probe
+    end to end. Undeclared (oracle-parity-run in
+    tests/test_oracle_parity.py); a future rotation candidate."""
+    from ..operators.cont_index import (
+        cont_index_for,
+        containment_against_index,
+    )
+
+    docs = tables.load_table(spark, sf_dir, "documents")
+    idx_path = cont_index_for(
+        docs.where(F.col("doc_id") % 2 == 0),
+        cache_key=("cont_probe", sf_dir), hash="md5_prefix60",
+    )
+    pairs = containment_against_index(
+        docs.where(F.col("doc_id") % 2 == 1), idx_path, 0.8
+    )
+    return pairs.select(
+        "src", "dst", round4(F.col("containment")).alias("containment")
+    ).orderBy("src", "dst")
+
+
 @query("q_containment_blocked",
        oracle=_containment_blocked_oracle())
 def q_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
