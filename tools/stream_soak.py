@@ -478,6 +478,85 @@ class SemanticSoak(TwinSoak):
         )
 
 
+class ContSoak(TwinSoak):
+    """Persistent containment index (operators/cont_index.py, r14):
+    docs with disjoint per-id 14-token vocabulary; every 5th row
+    replays an earlier ORIGINAL doc's full text under a fresh id — an
+    exact copy, contained both ways in the indexed original, so the
+    min-id rule rejects the newcomer. Convergence: the shingles
+    dataset holds exactly the originals once each and the fps dataset
+    has no duplicate (fp, owner) rows across kills and forced
+    replays."""
+
+    name = "cont"
+
+    def _text(self, uid: int) -> str:
+        # long-ish tokens so each doc carries >= w + k - 1 contiguous
+        # chars and the winnowing guarantee applies
+        return " ".join(f"token{uid}word{j}item" for j in range(14))
+
+    def batch_rows(self, batch_id: int) -> list:
+        rows = []
+        for r in range(self.rows):
+            i = batch_id * self.rows + r
+            if i % 5 == 4 and i >= 5:
+                rows.append((1_000_000 + i, self._text(i - 4)))
+            else:
+                rows.append((i, self._text(i)))
+        return rows
+
+    def schema(self) -> str:
+        return "doc_id long, text string"
+
+    def start(self):
+        from web3_flight_rpc_server_spark.operators.cont_index import (
+            streaming_ingest_containment,
+        )
+
+        return streaming_ingest_containment(
+            self.stream_df(), self.idx, self.ckpt, threshold=0.8,
+            compact_every=self.compact_every,
+        )
+
+    def probe_once(self) -> float:
+        from web3_flight_rpc_server_spark.operators.cont_index import (
+            containment_against_index,
+        )
+        from web3_flight_rpc_server_spark.operators.dedup import (
+            release_caches,
+        )
+
+        probe = self.spark.createDataFrame(
+            [(9_999_999, self._text(0)), (9_999_998, self._text(1))],
+            self.schema(),
+        )
+        t0 = time.perf_counter()
+        containment_against_index(probe, self.idx, 0.8).count()
+        dt = time.perf_counter() - t0
+        release_caches()
+        return dt
+
+    def unique_population(self, n_batches: int) -> int:
+        n = n_batches * self.rows
+        return sum(1 for i in range(n) if not (i % 5 == 4 and i >= 5))
+
+    def index_distinct_ids(self) -> int:
+        return (
+            self.spark.read.parquet(self.idx + "/shingles")
+            .select("doc_id").distinct().count()
+        )
+
+    def no_duplicate_ids(self) -> bool:
+        fps = self.spark.read.parquet(self.idx + "/fps")
+        sh = self.spark.read.parquet(self.idx + "/shingles")
+        return (
+            fps.groupBy("fp", "doc_id").count()
+            .where("count > 1").count() == 0
+            and sh.groupBy("doc_id").count()
+            .where("count > 1").count() == 0
+        )
+
+
 class ClfGateSoak(TwinSoak):
     """A TRAINED damping='none' classifier gates the ingest stream
     (pipelines/streaming_curation.py:gate_stream(clf_model=...)) —
@@ -862,7 +941,8 @@ class EoGateSoak(TwinSoak):
 
 TWINS = {"minhash": MinhashSoak, "fp": FpSoak, "semantic": SemanticSoak,
          "clf": ClfGateSoak, "span": SpanSoak, "span_bt": SpanBtSoak,
-         "eo": EoGateSoak, "minhash_bt": MinhashBtSoak, "fp_bt": FpBtSoak}
+         "eo": EoGateSoak, "minhash_bt": MinhashBtSoak,
+         "fp_bt": FpBtSoak, "cont": ContSoak}
 
 
 def main() -> int:
