@@ -151,17 +151,36 @@ def _read_fps(spark: SparkSession, path: str,
     return _read_recovering(spark, _sub(path, "fps"))
 
 
-def _batch_fps(docs: DataFrame, m: ContIndexManifest, id_col: str,
-               text_col: str) -> DataFrame:
-    """Distinct (fp, id) winnowing-fingerprint rows of a corpus under
-    the manifest's windowing — persisted array stage first (the 50x
-    explode re-evaluation trap, operators/winnowing.py:96-100)."""
+def _batch_arrays(docs: DataFrame, m: ContIndexManifest, id_col: str,
+                  text_col: str) -> DataFrame:
+    """Persisted winnow_fingerprints arrays of a corpus under the
+    manifest's windowing (the 50x explode re-evaluation trap,
+    operators/winnowing.py:96-100). Hosts that need fps, internal
+    pairs AND the append featurize ONCE through this and inject the
+    frame downstream (the incremental-module _sets convention)."""
     from .dedup import _persisted
     from .winnowing import winnow_fingerprints
 
-    arrays = _persisted(winnow_fingerprints(
+    return _persisted(winnow_fingerprints(
         docs, m.k, m.w, id_col, text_col, _hash_fn(m.hash)
     ))
+
+
+def _batch_fps(docs: DataFrame, m: ContIndexManifest, id_col: str,
+               text_col: str,
+               _arrays: DataFrame | None = None) -> DataFrame:
+    """Distinct (fp, id) winnowing-fingerprint rows of a corpus under
+    the manifest's windowing. ``_arrays`` (covering at least ``docs``'
+    ids) skips re-featurizing; rows are scoped to ``docs`` by a
+    semi-join."""
+    arrays = (
+        _arrays.join(
+            F.broadcast(docs.select(id_col).distinct()), id_col,
+            "left_semi",
+        )
+        if _arrays is not None
+        else _batch_arrays(docs, m, id_col, text_col)
+    )
     return arrays.select(
         id_col, F.explode("fingerprints").alias("fp")
     ).select("fp", id_col)
@@ -178,7 +197,9 @@ def write_containment_index(docs: DataFrame, path: str,
                             append: bool = False,
                             hash: str = "xxhash64",
                             fps_table: str | None = None,
-                            buckets: int = 64) -> None:
+                            buckets: int = 64,
+                            _arrays: DataFrame | None = None,
+                            _sets: DataFrame | None = None) -> None:
     """Write (or append a new batch to) the containment index.
 
     ``append=True`` is the ingestion loop: after a batch passes
@@ -221,10 +242,16 @@ def write_containment_index(docs: DataFrame, path: str,
         )
         _hash_fn(hash)
 
-    fps = _batch_fps(docs, m, id_col, text_col).localCheckpoint(
-        eager=True
+    fps = _batch_fps(docs, m, id_col, text_col,
+                     _arrays=_arrays).localCheckpoint(eager=True)
+    sets = (
+        _sets.join(
+            F.broadcast(docs.select(id_col).distinct()), id_col,
+            "left_semi",
+        )
+        if _sets is not None
+        else _persisted(shingle_sets(docs, id_col, text_col, m.n))
     )
-    sets = _persisted(shingle_sets(docs, id_col, text_col, m.n))
 
     def _write_fps(df: DataFrame, write_mode: str) -> None:
         if m.fps_table:
@@ -312,7 +339,10 @@ def cont_index_hot_fps(spark: SparkSession, path: str) -> DataFrame:
 def containment_against_index(new_docs: DataFrame, path: str,
                               threshold: float,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> DataFrame:
+                              text_col: str = "text",
+                              _arrays: DataFrame | None = None,
+                              _sets: DataFrame | None = None
+                              ) -> DataFrame:
     """(src, dst, containment) directed pairs between a new batch and
     the indexed corpus, same schema and semantics as
     containment_pairs_blocked: both passing directions emit, src is
@@ -330,7 +360,8 @@ def containment_against_index(new_docs: DataFrame, path: str,
     m = _read_cont_manifest(spark, path)
     t = float(threshold)
 
-    probe = _batch_fps(new_docs, m, id_col, text_col).select(
+    probe = _batch_fps(new_docs, m, id_col, text_col,
+                       _arrays=_arrays).select(
         F.col(id_col).alias("new_id"), "fp"
     )
     hot = cont_index_hot_fps(spark, path)
@@ -347,9 +378,15 @@ def containment_against_index(new_docs: DataFrame, path: str,
         .select("new_id", "idx_id")
     )
 
-    new_sets = _persisted(
-        shingle_sets(new_docs, id_col, text_col, m.n)
-    ).select(
+    base_sets = (
+        _sets.join(
+            F.broadcast(new_docs.select(id_col).distinct()), id_col,
+            "left_semi",
+        )
+        if _sets is not None
+        else _persisted(shingle_sets(new_docs, id_col, text_col, m.n))
+    )
+    new_sets = base_sets.select(
         F.col(id_col).alias("new_id"), F.col("shs").alias("__shs_n"),
         F.col("sz").alias("sz_n"),
     )
@@ -390,15 +427,25 @@ def ingest_containment_batch(docs: DataFrame, path: str,
     INDEXED doc is contained in an admitted new one (the new doc has
     novel content; the index holds the canon, so nothing is removed).
     """
+    from .dedup import _persisted, shingle_sets
     from .winnowing import containment_pairs_blocked
 
     spark = docs.sparkSession
     m = _read_cont_manifest(spark, path)
     batch = docs.select(id_col, text_col).localCheckpoint(eager=True)
 
+    # featurize the batch ONCE: the internal-pair stage, the index
+    # probe and the append all consume the same winnow arrays and
+    # shingle sets (injected via the _arrays/_sets convention) —
+    # without this every micro-batch paid the per-char k-gram hashing
+    # three times
+    arrays = _batch_arrays(batch, m, id_col, text_col)
+    sets = _persisted(shingle_sets(batch, id_col, text_col, m.n))
+
     internal = containment_pairs_blocked(
         batch, threshold, id_col, text_col, m.n, m.k, m.w,
         m.min_shared, m.max_df, _hash_fn(m.hash),
+        _arrays=arrays, _sets=sets,
     ).localCheckpoint(eager=True)
     # contained side loses; a mutual pair (both directions emitted)
     # resolves to the min id by dropping the max-id direction
@@ -427,7 +474,8 @@ def ingest_containment_batch(docs: DataFrame, path: str,
     survivors = batch.join(losers, id_col, "left_anti")
 
     idx_hits = containment_against_index(
-        survivors, path, threshold, id_col, text_col
+        survivors, path, threshold, id_col, text_col,
+        _arrays=arrays, _sets=sets,
     ).localCheckpoint(eager=True)
     # rejected: survivor contained in an indexed doc (src is a batch
     # id). The reverse rows (an indexed doc contained in the new one)
@@ -440,7 +488,8 @@ def ingest_containment_batch(docs: DataFrame, path: str,
         .localCheckpoint(eager=True)
 
     write_containment_index(
-        admitted, path, id_col=id_col, text_col=text_col, append=True
+        admitted, path, id_col=id_col, text_col=text_col, append=True,
+        _arrays=arrays, _sets=sets,
     )
     dup_pairs = internal.unionByName(idx_hits)
     return admitted.select(id_col), dup_pairs

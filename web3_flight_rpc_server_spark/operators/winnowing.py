@@ -82,6 +82,7 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               hash_fn: Callable[[Column], Column] | None = None,
+                              _arrays: DataFrame | None = None,
                               ) -> DataFrame:
     """Pairs sharing >= min_shared winnowed fingerprints (d1 < d2) —
     substring-overlap candidates.
@@ -91,12 +92,15 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
     contributes m^2/2 pairs, so ubiquitous substrings — boilerplate,
     license headers, common phrases — are exactly the join skew that
     must be capped at scale; they carry no pair-discrimination signal
-    anyway."""
+    anyway. ``_arrays`` injects an already-persisted
+    winnow_fingerprints frame so a host that featurized the corpus
+    once (the cont_index ingest loop) does not pay it again — the
+    incremental-module ``_sets`` convention."""
     # persist the fingerprint ARRAYS before exploding: explode
     # re-evaluates its generator expression per output element, so an
     # unmaterialized winnow expression would be recomputed ~|fps|
     # times per doc (measured 50x slowdown).
-    arrays = _persisted(
+    arrays = _arrays if _arrays is not None else _persisted(
         winnow_fingerprints(docs, k, w, id_col, text_col, hash_fn)
     )
     fp = arrays.select(id_col, F.explode("fingerprints").alias("fp"))
@@ -120,6 +124,8 @@ def containment_pairs_blocked(docs: DataFrame, threshold: float,
                               k: int = 12, w: int = 6,
                               min_shared: int = 2, max_df: int = 50,
                               hash_fn: Callable[[Column], Column] | None = None,
+                              _arrays: DataFrame | None = None,
+                              _sets: DataFrame | None = None,
                               ) -> DataFrame:
     """DIRECTED n-gram containment at scale: winnowing fingerprints
     PROPOSE candidate pairs, the exact shingle-set ratio CONFIRMS on
@@ -164,9 +170,12 @@ def containment_pairs_blocked(docs: DataFrame, threshold: float,
     output restricted to proposed candidates)."""
     t = float(threshold)
     cands = fingerprint_overlap_pairs(
-        docs, min_shared, k, w, max_df, id_col, text_col, hash_fn
+        docs, min_shared, k, w, max_df, id_col, text_col, hash_fn,
+        _arrays=_arrays,
     ).select("d1", "d2")
-    sets = _persisted(shingle_sets(docs, id_col, text_col, n))
+    sets = _sets if _sets is not None else _persisted(
+        shingle_sets(docs, id_col, text_col, n)
+    )
     s1 = sets.select(
         F.col(id_col).alias("d1"), F.col("shs").alias("__shs1"),
         F.col("sz").alias("sz1"),
