@@ -506,11 +506,19 @@ def streaming_ingest_spans(stream_docs: DataFrame, path: str,
                     prior = _read_recovering(
                         batch_df.sparkSession, _sub(path, "admitted")
                     )
-                    recovered = prior.join(
-                        F.broadcast(replayed), id_col, "left_semi"
-                    ).select(id_col, text_col, "n_kept", "n_dropped")
-                    admitted = admitted.unionByName(recovered) \
-                        .localCheckpoint(eager=True)
+                    # a pre-r14 index persisted only ids — recovery is
+                    # impossible there (the r13 documented gap); the
+                    # guard keeps the twin runnable on an old index
+                    # instead of failing the replay outright
+                    if {text_col, "n_kept", "n_dropped"} <= set(
+                        prior.columns
+                    ):
+                        recovered = prior.join(
+                            F.broadcast(replayed), id_col, "left_semi"
+                        ).select(id_col, text_col,
+                                 "n_kept", "n_dropped")
+                        admitted = admitted.unionByName(recovered) \
+                            .localCheckpoint(eager=True)
                 on_admitted(admitted, batch_id)
             if compact_every is not None and batch_id % compact_every \
                     == (compact_every - 1):
