@@ -91,8 +91,13 @@ HEADLINE = [
                                # undeclared oracle-parity)
     "q_substring_dedup",       # Lee et al. ExactSubstr span removal:
                                # k-token window keep-first + token
-                               # rebuild (r12, DECLARED;
-                               # 34-query headline)
+                               # rebuild (r12, DECLARED)
+    "q_containment_blocked",   # winnow-propose + exact-confirm
+                               # directed containment, the 100 TB
+                               # short-in-long path (DECLARED r14)
+    "q_langid",                # trained multiclass lang-id: softmax
+                               # fit + persisted-weight scoring
+                               # (DECLARED r14; 36-query headline)
 ]
 
 # Queries whose fn() runs EAGER Spark jobs at plan-build time (the
@@ -103,7 +108,9 @@ HEADLINE = [
 # partitioned index before the timer because the timed artifact is
 # query-against-built-index, the amortized deployment shape (see the
 # HEADLINE comment above).
-EAGER_BUILD = {"q_curation_funnel"}
+EAGER_BUILD = {"q_curation_funnel", "q_langid"}  # langid: the softmax
+# fit's per-iteration gradient collects run inside fn() — the timed
+# number must be train+score, not score-only
 
 
 def run_single_pass(sf_dir: str, dump_plans: bool) -> int:

@@ -127,6 +127,18 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
     labels = docs.select(
         id_col, F.col(label_col).cast("double").alias("y")
     )
+    # the intercept rides as a b = -1 pseudo-feature (x = 1.0 per
+    # doc): the per-iteration groupBy("b") gradient then yields the
+    # bias gradient as its b = -1 row IN THE SAME JOB — the previous
+    # separate resid.agg() re-ran the whole margins pipeline a second
+    # time per iteration (2x the fit cost, r14). The margins join
+    # leaves the pseudo-rows inert (w is NULL there -> coalesce 0).
+    feats = feats.unionByName(
+        labels.select(
+            id_col, F.lit(-1).cast("long").alias("b"),
+            F.lit(1.0).alias("x"),
+        )
+    )
     # one materialization feeds every iteration; partitioned by doc
     # so the margins agg and the residual join both reuse it
     feats = feats.repartition(id_col).persist()
@@ -165,12 +177,15 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
                 feats.join(resid, id_col)
                 .groupBy("b")
                 .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
-                .collect()  # <= buckets rows: driver-bounded partials
+                .collect()  # <= buckets + 1 rows: driver-bounded
             )
             g = np.zeros(buckets)
+            g_bias = 0.0
             for row in grad_rows:
-                g[row.b] = row.g
-            g_bias = resid.agg(F.sum("r")).collect()[0][0] or 0.0
+                if row.b == -1:  # the intercept pseudo-bucket
+                    g_bias = row.g or 0.0
+                else:
+                    g[row.b] = row.g
             w -= lr * (g / n + l2 * w)
             bias -= lr * (g_bias / n)
     finally:
@@ -412,6 +427,18 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
     labels = docs.select(
         id_col, F.col(label_col).cast("string").alias("y")
     ).where(F.col(label_col).isNotNull())
+    # intercepts ride as a b = -1 pseudo-feature per labeled doc so
+    # the per-iteration groupBy("b") gradient carries the bias
+    # gradients in the same job (the logreg_fit r14 move — the
+    # separate agg re-ran the margins pipeline each iteration); the
+    # margins join is INNER against the 0..B-1 weight table, so the
+    # pseudo-rows never reach the margin sums
+    feats = feats.unionByName(
+        labels.select(
+            id_col, F.lit(-1).cast("long").alias("b"),
+            F.lit(1.0).alias("x"),
+        )
+    )
     feats = feats.repartition(id_col).persist()
     labels = labels.repartition(id_col).persist()
     n = labels.count()
@@ -472,16 +499,18 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
                     F.sum(F.col(f"__r{i}") * F.col("x")).alias(f"__g{i}")
                     for i in range(C)
                 ])
-                .collect()  # <= buckets rows x C cols: driver-bounded
+                .collect()  # <= (buckets + 1) x C: driver-bounded
             )
             G = np.zeros((C, buckets))
+            gb = np.zeros(C)
             for row in grad_rows:
-                for i in range(C):
-                    G[i, row.b] = row[f"__g{i}"]
-            gb_row = resid.agg(*[
-                F.sum(f"__r{i}").alias(f"__g{i}") for i in range(C)
-            ]).collect()[0]
-            gb = np.array([gb_row[f"__g{i}"] or 0.0 for i in range(C)])
+                if row.b == -1:  # the intercept pseudo-bucket
+                    gb = np.array([
+                        row[f"__g{i}"] or 0.0 for i in range(C)
+                    ])
+                else:
+                    for i in range(C):
+                        G[i, row.b] = row[f"__g{i}"]
             W -= lr * (G / n + l2 * W)
             biases -= lr * (gb / n)
     finally:
