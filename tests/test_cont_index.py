@@ -242,17 +242,17 @@ def test_bucketed_fps_tier_no_exchange_and_compaction(spark, tmp_path):
             .fromString("formatted")
         plan = probe._jdf.queryExecution().explainString(fmt)
         assert "Bucketed: true" in plan, "index side not read bucketed"
-        # the fwd/rev union plans the propose join twice; each copy
-        # carries the (tiny) fp_stats hot-set aggregation exchange +
-        # the probe-side exchange = 4 fp exchanges total, and NONE
-        # over the index scan. The plain tier adds the index-side
-        # exchange per copy = 6.
+        # the fwd/rev union reads the PERSISTED confirm frame, so the
+        # propose join plans once; it carries the (tiny) fp_stats
+        # hot-set aggregation exchange + the probe-side exchange = 2
+        # fp exchanges total, and NONE over the index scan. The plain
+        # tier adds the index-side exchange = 3.
         plain_probe = containment_against_index(
             _df(spark, probe_rows), plain, T)
         plain_plan = plain_probe._jdf.queryExecution() \
             .explainString(fmt)
-        assert plan.count("hashpartitioning(fp") == 4, plan
-        assert plain_plan.count("hashpartitioning(fp") == 6, plain_plan
+        assert plan.count("hashpartitioning(fp") == 2, plan
+        assert plain_plan.count("hashpartitioning(fp") == 3, plain_plan
         got = {(r.src, r.dst, round(r.containment, 6))
                for r in probe.collect()}
         want = {(r.src, r.dst, round(r.containment, 6))

@@ -184,7 +184,11 @@ def containment_pairs_blocked(docs: DataFrame, threshold: float,
         F.col(id_col).alias("d2"), F.col("shs").alias("__shs2"),
         F.col("sz").alias("sz2"),
     )
-    inter = (
+    # persisted: the fwd/rev branches below UNION over this frame, and
+    # without the cache each branch re-runs the whole propose equi-join
+    # and confirm join (measured ~2x the probe cost at sf1/sf10, r14).
+    # Candidate-bounded rows — tiny relative to the corpus.
+    inter = _persisted(
         cands.join(s1, "d1").join(s2, "d2")
         .select(
             "d1", "d2", "sz1", "sz2",
