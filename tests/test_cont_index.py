@@ -88,6 +88,18 @@ def test_layout_pinned_and_refusals(spark, tmp_path):
     # None args on append mean "use the manifest": accepted
     write_containment_index(_df(spark, [(2, _doc(2))]), path,
                             append=True)
+    # probe-behavior knobs are manifest-pinned too: an explicitly
+    # mismatched cap/floor/hash request refuses instead of being
+    # silently dropped
+    with pytest.raises(ValueError, match="max_df"):
+        write_containment_index(_df(spark, [(4, _doc(4))]), path,
+                                max_df=9, append=True)
+    with pytest.raises(ValueError, match="min_shared"):
+        write_containment_index(_df(spark, [(4, _doc(4))]), path,
+                                min_shared=7, append=True)
+    with pytest.raises(ValueError, match="hash tier"):
+        write_containment_index(_df(spark, [(4, _doc(4))]), path,
+                                hash="md5_prefix60", append=True)
     with pytest.raises(FileNotFoundError, match="no containment index"):
         containment_against_index(
             _df(spark, [(9, _doc(9))]), str(tmp_path / "nope"), T)

@@ -220,7 +220,11 @@ def write_containment_index(docs: DataFrame, path: str,
     spark = docs.sparkSession
     if append:
         m = _read_cont_manifest(spark, path)
-        # None means "use the manifest"; explicit mismatches refused
+        # None means "use the manifest"; explicit mismatches refused —
+        # for the windowing (a re-windowed probe would never collide)
+        # AND the probe-behavior knobs (a silently dropped cap/floor
+        # request would make the caller believe a contract the index
+        # does not honor)
         asked = tuple(
             v if v is not None else have
             for v, have in zip((n, k, w), m.layout)
@@ -231,6 +235,23 @@ def write_containment_index(docs: DataFrame, path: str,
                 f"{m.layout}; append requested {asked} — "
                 "re-windowing an existing index silently breaks "
                 "collisions, rebuild instead"
+            )
+        for arg, have, what in (
+            (min_shared, m.min_shared, "min_shared"),
+            (max_df, m.max_df, "max_df"),
+        ):
+            if arg is not None and arg != have:
+                raise ValueError(
+                    f"index at {path!r} was built with {what}={have}; "
+                    f"append requested {arg} — the cap/floor is "
+                    "manifest-pinned (a probe contract), rebuild "
+                    "instead"
+                )
+        if hash != "xxhash64" and hash != m.hash:
+            raise ValueError(
+                f"index at {path!r} was built with hash tier "
+                f"{m.hash!r}; append requested {hash!r} — mixed hash "
+                "spaces would never collide, rebuild instead"
             )
     else:
         m = ContIndexManifest(
