@@ -352,3 +352,80 @@ def test_streaming_twin_with_forced_replay(spark, tmp_path):
     assert {r.doc_id for r in
             spark.read.parquet(f"{path}/shingles")
             .select("doc_id").collect()} == {1, 3}
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_probe_cross_parity_fuzz(spark, tmp_path, seed):
+    """Seeded generated corpora (hosts quoting extracts, exact copies,
+    fresh docs): the index probe over a random split must equal the
+    one-shot composition's cross-split pairs exactly — the
+    q_substring_dedup 3-seed fuzz convention applied to the new
+    tier."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    extracts = {}
+    for i in range(30):
+        kind = rng.random()
+        if kind < 0.3 and extracts:
+            src = rng.choice(sorted(extracts))
+            rows.append((i, _quote(i, extracts[src], pad=rng.randint(20, 50))))
+        elif kind < 0.4 and extracts:
+            src = rng.choice(sorted(extracts))
+            rows.append((i, extracts[src]))  # exact copy
+        else:
+            t = _doc(i, rng.randint(12, 40))
+            extracts[i] = t
+            rows.append((i, t))
+    idx_rows = [r for r in rows if r[0] % 2 == 0]
+    probe_rows = [r for r in rows if r[0] % 2 == 1]
+    path = str(tmp_path / f"cidx_fuzz_{seed}")
+    write_containment_index(_df(spark, idx_rows), path, max_df=1000)
+    got = {(r.src, r.dst, round(r.containment, 6))
+           for r in containment_against_index(
+               _df(spark, probe_rows), path, T).collect()}
+    both = containment_pairs_blocked(
+        _df(spark, rows), T, max_df=1000
+    )
+    idx_ids = {r[0] for r in idx_rows}
+    want = {(r.src, r.dst, round(r.containment, 6))
+            for r in both.collect()
+            if (r.src in idx_ids) != (r.dst in idx_ids)}
+    assert got == want
+
+
+def test_streaming_twin_bootstraps_bucketed_tier(spark, tmp_path):
+    """streaming_ingest_containment(fps_table=...) must bootstrap the
+    metastore tier and converge like the plain twin, with the fps
+    rows landing in the table."""
+    src = str(tmp_path / "src_bt")
+    path = str(tmp_path / "cidx_bt")
+    table = "test_cont_fps_stream"
+    sink: set = set()
+
+    os.makedirs(src)
+    _df(spark, [(1, _doc(1))]).coalesce(1).write.parquet(src + "/b0")
+    try:
+        q = streaming_ingest_containment(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+            path, str(tmp_path / "ck_bt"), threshold=T,
+            on_admitted=lambda df, bid: sink.update(
+                r.doc_id for r in df.collect()
+            ),
+            fps_table=table, buckets=4, compact_every=2,
+        )
+        try:
+            q.processAllAvailable()
+            _df(spark, [(2, _doc(1)), (3, _doc(3))]
+                ).coalesce(1).write.parquet(src + "/b1")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sink == {1, 3}
+        assert spark.table(table).count() > 0
+        assert spark.table(table).select("doc_id").distinct().count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__fswap_tmp")
