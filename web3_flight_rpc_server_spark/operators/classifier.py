@@ -37,6 +37,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,6 +104,80 @@ def _damp(cnt_col, damping: str):
     raise ValueError(f"unknown damping: {damping!r}")
 
 
+def _design_blocks(docs: DataFrame, label_expr, buckets: int,
+                   id_col: str, text_col: str, hasher: str,
+                   damping: str):
+    """The fits' cached design matrix: an RDD of ONE numpy CSR block
+    per partition — (ys, indptr, idx, vals) with ys the per-doc
+    labels, idx/vals the per-doc (bucket, damped count) runs delimited
+    by indptr. Feature values are computed entirely Spark-side
+    (hashed_features -> per-(doc, bucket) count -> _damp), byte-
+    identical to what scoring and the DuckDB oracles recompute; only
+    the gradient-descent ITERATION engine consumes the blocks.
+
+    Why this shape (r14 optimization round, guide §1.2/§4.2): the
+    per-iteration quantities of full-batch GD are a (B x C) gradient
+    and its per-doc softmax/sigmoid inputs — megabytes regardless of
+    corpus size — but evaluating them as per-iteration DataFrame jobs
+    pays a fixed ~1-2 s/iteration of pure plumbing: either a driver
+    createDataFrame + BroadcastExchange per iteration (r13 shape) or,
+    with weight-array literals, a fresh non-cacheable codegen compile
+    per iteration because the literals change. Caching the design
+    matrix ONCE as per-partition numpy arrays turns every iteration
+    into a single treeAggregate job whose tasks run one BLAS-style
+    pass (np.add.at segment sums) and return a (B+1) x C partial —
+    no shuffle, no broadcast build, no recompile. Cluster traffic per
+    iteration: the W closure down (B x C doubles), one partial per
+    partition up. The corpus crosses the network exactly once, at
+    block build.
+
+    One corpus shuffle total: the projected (id, label, text) rows
+    hash-partition by doc up front and the feature explode/count, the
+    per-doc array fold and the label join all ride that exchange
+    (hash partitioning on id satisfies every downstream (id, ...)
+    clustering)."""
+    base = docs.select(
+        F.col(id_col), label_expr.alias("y"), F.col(text_col)
+    ).repartition(id_col)
+    feats = (
+        hashed_features(base, buckets, id_col, text_col, hasher)
+        .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
+    )
+    docvecs = feats.groupBy(id_col).agg(
+        F.collect_list(F.struct("b", "x")).alias("fv")
+    )
+    prepared = base.select(id_col, "y").join(docvecs, id_col, "left")
+
+    def build(rows):
+        ys, lens, idx, vals = [], [], [], []
+        for row in rows:
+            ys.append(row[1])
+            fv = row[2]
+            if fv:
+                lens.append(len(fv))
+                for e in fv:
+                    idx.append(e[0])
+                    vals.append(e[1])
+            else:
+                lens.append(0)
+        if not ys:
+            return
+        indptr = np.zeros(len(ys) + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        yield (
+            np.array(ys, dtype=object),
+            indptr,
+            np.array(idx, dtype=np.int64),
+            np.array(vals, dtype=np.float64),
+        )
+
+    return prepared.rdd.mapPartitions(build).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
                iters: int = 30, lr: float = 0.5, l2: float = 1e-4,
                id_col: str = "doc_id", text_col: str = "text",
@@ -118,79 +193,62 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
     margin becomes a PURE per-occurrence sum over features, which is
     what the stateless in-row streaming gate
     (classifier_margin_expr) can evaluate without any aggregation —
-    train with "none" when the model must gate a stream."""
-    spark = docs.sparkSession
-    feats = hashed_doc_features(docs, buckets, id_col, text_col,
-                                hasher).select(
-        id_col, "b", _damp(F.col("cnt"), damping).alias("x")
-    )
-    labels = docs.select(
-        id_col, F.col(label_col).cast("double").alias("y")
-    )
-    # the intercept rides as a b = -1 pseudo-feature (x = 1.0 per
-    # doc): the per-iteration groupBy("b") gradient then yields the
-    # bias gradient as its b = -1 row IN THE SAME JOB — the previous
-    # separate resid.agg() re-ran the whole margins pipeline a second
-    # time per iteration (2x the fit cost, r14). The margins join
-    # leaves the pseudo-rows inert (w is NULL there -> coalesce 0).
-    feats = feats.unionByName(
-        labels.select(
-            id_col, F.lit(-1).cast("long").alias("b"),
-            F.lit(1.0).alias("x"),
-        )
-    )
-    # one materialization feeds every iteration; partitioned by doc
-    # so the margins agg and the residual join both reuse it
-    feats = feats.repartition(id_col).persist()
-    labels = labels.repartition(id_col).persist()
-    n = labels.count()  # also forces the persists
-    if n == 0:
-        raise ValueError("empty corpus")
+    train with "none" when the model must gate a stream.
 
-    w = np.zeros(buckets)
-    bias = 0.0
+    Distributed shape (r14 optimization round, identical to
+    softmax_fit — the rationale lives on _design_blocks): the design
+    matrix is built with ONE corpus shuffle and cached as per-
+    partition numpy CSR blocks; each iteration is a single
+    treeAggregate whose tasks compute sigmoid residuals and a
+    (B+1)-double partial gradient with vectorized numpy — no per-
+    iteration broadcast build, no per-iteration codegen compile, no
+    shuffle. Null-label docs count toward n (unchanged semantics)
+    but contribute nothing to the gradient, exactly as the NULL
+    residuals the old per-iteration SQL jobs dropped from their
+    sums."""
+    blocks = _design_blocks(
+        docs, F.col(label_col).cast("double"), buckets, id_col,
+        text_col, hasher, damping,
+    )
     try:
+        # one job materializes the cache AND answers n
+        n = blocks.map(lambda blk: len(blk[0])).sum()
+        if n == 0:
+            raise ValueError("empty corpus")
+
+        w = np.zeros(buckets)
+        bias = 0.0
         for _ in range(iters):
-            w_df = F.broadcast(spark.createDataFrame(
-                [(int(b), float(v)) for b, v in enumerate(w) if v != 0.0]
-                or [(0, 0.0)],
-                "b long, w double",
-            ))
-            margins = (
-                feats.join(w_df, "b", "left")
-                .groupBy(id_col)
-                .agg(F.sum(
-                    F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")
-                ).alias("m"))
+            def part_grad(acc, blk, w=w, bias=bias):
+                g, gs = acc
+                ys, indptr, idx, vals = blk
+                nd = len(ys)
+                y = np.array(
+                    [np.nan if v is None else v for v in ys],
+                    dtype=np.float64,
+                )
+                m = np.zeros(nd)
+                if idx.size:
+                    rows = np.repeat(
+                        np.arange(nd), np.diff(indptr)
+                    )
+                    np.add.at(m, rows, vals * w[idx])
+                r = 1.0 / (1.0 + np.exp(-(m + bias))) - y
+                valid = ~np.isnan(r)
+                if idx.size:
+                    rv = np.where(valid[rows], r[rows], 0.0)
+                    np.add.at(g, idx, rv * vals)
+                gs[0] += float(r[valid].sum())
+                return g, gs
+
+            g, gs = blocks.treeAggregate(
+                (np.zeros(buckets), [0.0]), part_grad,
+                lambda a, b: (a[0] + b[0], [a[1][0] + b[1][0]]),
             )
-            resid = labels.join(margins, id_col, "left").select(
-                id_col,
-                (
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(
-                        -(F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(bias))
-                    ))
-                    - F.col("y")
-                ).alias("r"),
-            )
-            grad_rows = (
-                feats.join(resid, id_col)
-                .groupBy("b")
-                .agg(F.sum(F.col("r") * F.col("x")).alias("g"))
-                .collect()  # <= buckets + 1 rows: driver-bounded
-            )
-            g = np.zeros(buckets)
-            g_bias = 0.0
-            for row in grad_rows:
-                if row.b == -1:  # the intercept pseudo-bucket
-                    g_bias = row.g or 0.0
-                else:
-                    g[row.b] = row.g
             w -= lr * (g / n + l2 * w)
-            bias -= lr * (g_bias / n)
+            bias -= lr * (gs[0] / n)
     finally:
-        feats.unpersist()
-        labels.unpersist()
+        blocks.unpersist()
     return LinearModel(w, float(bias), buckets, damping, hasher)
 
 
@@ -199,11 +257,15 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
                      hasher: str = "xxhash64",
                      damping: str = "log") -> DataFrame:
     """(id_col, score): sigmoid quality score per document from a
-    (b, w) weight table (intercept at b = -1). One explode + one
-    broadcast join + one doc agg; documents with zero features keep
-    their row at sigmoid(bias) via the left join's null margin. The
-    model_df round-trips through parquet unchanged, so persisted
-    models score identically to fresh ones.
+    (b, w) weight table (intercept at b = -1). One corpus shuffle (the
+    projected (id, text) rows partition by doc; the feature count agg,
+    margin agg and id-spine join all reuse it — r14 optimization
+    round), with the weight vector collected once and riding the plan
+    as a B-double array literal instead of a broadcast join;
+    documents with zero features keep their row at sigmoid(bias) via
+    the left join's null margin. The model_df round-trips through
+    parquet unchanged, so persisted models score identically to fresh
+    ones.
 
     The hash modulus comes from the table itself: the b = -2
     sentinel if present, else max(b) + 1 — NEVER the count of
@@ -219,23 +281,25 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
         raise ValueError(f"unknown damping: {damping!r}")
     if hasher not in _HASHER_CODE:
         raise ValueError(f"unknown hasher: {hasher!r}")
-    # one tiny collect over the broadcast-sized negative-b metadata:
-    # a persisted model is self-describing
-    meta = {int(r.b): float(r.w)
-            for r in model_df.where("b < 0").collect()}
-    nneg = model_df.where("b >= 0").count()
+    # ONE model-bounded collect answers metadata, denseness and the
+    # weight vector (the old shape ran three driver actions against
+    # the same broadcast-sized table): a persisted model is
+    # self-describing
+    rows = model_df.collect()
+    meta = {int(r.b): float(r.w) for r in rows if r.b < 0}
+    wd = {int(r.b): float(r.w) for r in rows if r.b >= 0}
+    nneg = sum(1 for r in rows if r.b >= 0)
     if -2 in meta:
         buckets = int(meta[-2])
     else:
-        max_b = model_df.where("b >= 0").agg(F.max("b")).collect()[0][0]
-        if max_b is None:
+        if not wd:
             raise ValueError(
                 "empty weight table: no b >= 0 rows and no b = -2 "
                 "bucket-count sentinel — score only tables written by "
                 "LinearModel.as_df"
             )
-        buckets = int(max_b) + 1
-    if nneg != buckets:
+        buckets = max(wd) + 1
+    if nneg != buckets or len(wd) != buckets:
         raise ValueError(
             f"weight table is not dense: {nneg} rows for modulus "
             f"{buckets} — score only tables written by "
@@ -254,26 +318,35 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
                 f"scoring was asked for {what}={arg!r} — scores "
                 "would be silently wrong"
             )
-    feats = hashed_doc_features(docs, buckets, id_col, text_col, hasher)
-    weighted = (
-        feats.select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
-        .join(F.broadcast(model_df.where("b >= 0")), "b")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("w") * F.col("x")).alias("m"))
+    if -1 not in meta:
+        raise ValueError(
+            "weight table lacks its b = -1 intercept row — score only "
+            "tables written by LinearModel.as_df"
+        )
+    base = docs.select(F.col(id_col), F.col(text_col)).repartition(
+        id_col
     )
-    bias_df = model_df.where("b = -1").select(
-        F.col("w").alias("__bias")
+    warr = F.lit([wd[b] for b in range(buckets)])
+    weighted = (
+        hashed_features(base, buckets, id_col, text_col, hasher)
+        .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.sum(
+            F.element_at(warr, (F.col("b") + 1).cast("int"))
+            * _damp(F.col("cnt"), damping)
+        ).alias("m"))
     )
     return (
-        docs.select(id_col)
+        base.select(id_col)
         .join(weighted, id_col, "left")
-        .crossJoin(F.broadcast(bias_df))
         .select(
             id_col,
             (
                 F.lit(1.0)
                 / (F.lit(1.0) + F.exp(
-                    -(F.coalesce(F.col("m"), F.lit(0.0)) + F.col("__bias"))
+                    -(F.coalesce(F.col("m"), F.lit(0.0))
+                      + F.lit(meta[-1]))
                 ))
             ).alias("score"),
         )
@@ -405,117 +478,89 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
     """Fit softmax(bias_c + sum_b w[c, b] * x[d, b]) to the string
     ``label_col`` by full-batch gradient descent on the multiclass
     cross-entropy (fixed ``iters``, replay-identical work). The
-    distributed shape mirrors logreg_fit exactly: the feature table
-    persists hash-partitioned by doc once; margins ride as C
-    conditional-sum columns off ONE broadcast join (the per-doc agg
-    reuses the feature partitioning, shuffle-free); softmax,
-    residuals and the label one-hot are pure row expressions over
-    those C columns; the residual join back to features is
-    co-partitioned; the only per-iteration shuffle is the B-bounded
-    gradient agg and the only driver traffic the B x C gradient
-    collect. Reference-pinned against numpy in
-    tests/test_classifier.py."""
-    spark = docs.sparkSession
-    feats = hashed_doc_features(docs, buckets, id_col, text_col,
-                                hasher).select(
-        id_col, "b", _damp(F.col("cnt"), damping).alias("x")
+    distributed shape (r14 optimization round — the rationale lives
+    on _design_blocks): the design matrix is built with ONE corpus
+    shuffle and cached as per-partition numpy CSR blocks; each
+    iteration is a single treeAggregate whose tasks compute the
+    max-shifted softmax residuals and a (B+1) x C partial gradient
+    with vectorized numpy — no per-iteration broadcast build, no
+    per-iteration codegen compile, no shuffle. Cluster traffic per
+    iteration is the W closure down and one (B+1) x C partial per
+    partition up. Null-label docs are EXCLUDED before n is counted
+    (r13 ADVICE — they would silently dilute the effective learning
+    rate). Reference-pinned against numpy in tests/test_classifier.py
+    / tests/test_langid.py."""
+    blocks = _design_blocks(
+        docs, F.col(label_col).cast("string"), buckets, id_col,
+        text_col, hasher, damping,
     )
-    # null-label docs are EXCLUDED before n is counted: their residual
-    # columns evaluate to NULL (y == class is NULL) so they contribute
-    # nothing to the gradient — counting them in n would silently
-    # dilute the effective learning rate (r13 ADVICE)
-    labels = docs.select(
-        id_col, F.col(label_col).cast("string").alias("y")
-    ).where(F.col(label_col).isNotNull())
-    # intercepts ride as a b = -1 pseudo-feature per labeled doc so
-    # the per-iteration groupBy("b") gradient carries the bias
-    # gradients in the same job (the logreg_fit r14 move — the
-    # separate agg re-ran the margins pipeline each iteration); the
-    # margins join is INNER against the 0..B-1 weight table, so the
-    # pseudo-rows never reach the margin sums
-    feats = feats.unionByName(
-        labels.select(
-            id_col, F.lit(-1).cast("long").alias("b"),
-            F.lit(1.0).alias("x"),
-        )
-    )
-    feats = feats.repartition(id_col).persist()
-    labels = labels.repartition(id_col).persist()
-    n = labels.count()
-    if n == 0:
-        raise ValueError("no non-null labels")
-    classes = sorted(
-        r.y for r in labels.select("y").distinct().collect()
-    )
-    if "" in classes:
-        raise ValueError(
-            "empty-string class label collides with the metadata "
-            "sentinel rows — relabel"
-        )
-    C = len(classes)
-    W = np.zeros((C, buckets))
-    biases = np.zeros(C)
     try:
+        # one job materializes the cache AND answers n + the class set
+        def class_counts(blk):
+            out: dict[str, int] = {}
+            for y in blk[0]:
+                if y is not None:
+                    out[y] = out.get(y, 0) + 1
+            return out
+
+        def merge_counts(a, b):
+            for k, v in b.items():
+                a[k] = a.get(k, 0) + v
+            return a
+
+        by_class = blocks.map(class_counts).fold({}, merge_counts)
+        n = sum(by_class.values())
+        if n == 0:
+            raise ValueError("no non-null labels")
+        classes = sorted(by_class)
+        if "" in classes:
+            raise ValueError(
+                "empty-string class label collides with the metadata "
+                "sentinel rows — relabel"
+            )
+        C = len(classes)
+        cls_index = {c: i for i, c in enumerate(classes)}
+        W = np.zeros((C, buckets))
+        biases = np.zeros(C)
         for _ in range(iters):
-            w_df = F.broadcast(spark.createDataFrame(
-                [(int(b), *[float(W[i, b]) for i in range(C)])
-                 for b in range(buckets)],
-                "b long, " + ", ".join(
-                    f"__w{i} double" for i in range(C)
-                ),
-            ))
-            margins = (
-                feats.join(w_df, "b")
-                .groupBy(id_col)
-                .agg(*[
-                    F.sum(F.col(f"__w{i}") * F.col("x")).alias(f"__m{i}")
-                    for i in range(C)
-                ])
+            def part_grad(acc, blk, W=W, biases=biases):
+                GT, gb = acc  # GT is (buckets, C), gb length C
+                ys, indptr, idx, vals = blk
+                nd = len(ys)
+                M = np.zeros((nd, C))
+                if idx.size:
+                    rows = np.repeat(
+                        np.arange(nd), np.diff(indptr)
+                    )
+                    np.add.at(M, rows, vals[:, None] * W[:, idx].T)
+                M += biases
+                P = np.exp(M - M.max(axis=1)[:, None])
+                P /= P.sum(axis=1)[:, None]
+                # residual = softmax - onehot; null-label docs are
+                # not in the blocks' gradient path (yi skips them)
+                keep = np.array(
+                    [y is not None for y in ys], dtype=bool
+                )
+                yi = np.fromiter(
+                    (cls_index[y] for y in ys if y is not None),
+                    dtype=np.int64, count=int(keep.sum()),
+                )
+                P[np.flatnonzero(keep), yi] -= 1.0
+                if not keep.all():
+                    P[~keep] = 0.0
+                if idx.size:
+                    np.add.at(GT, idx, P[rows] * vals[:, None])
+                gb += P.sum(axis=0)
+                return GT, gb
+
+            GT, gb = blocks.treeAggregate(
+                (np.zeros((buckets, C)), np.zeros(C)), part_grad,
+                lambda a, b: (a[0] + b[0], a[1] + b[1]),
             )
-            j = labels.join(margins, id_col, "left")
-            mi = [
-                F.coalesce(F.col(f"__m{i}"), F.lit(0.0))
-                + F.lit(float(biases[i]))
-                for i in range(C)
-            ]
-            mx = F.greatest(*mi) if C > 1 else mi[0]
-            exps = [F.exp(m - mx) for m in mi]
-            denom = exps[0]
-            for e in exps[1:]:
-                denom = denom + e
-            resid = j.select(
-                id_col,
-                *[
-                    (exps[i] / denom
-                     - (F.col("y") == F.lit(classes[i])).cast("double")
-                     ).alias(f"__r{i}")
-                    for i in range(C)
-                ],
-            )
-            grad_rows = (
-                feats.join(resid, id_col)
-                .groupBy("b")
-                .agg(*[
-                    F.sum(F.col(f"__r{i}") * F.col("x")).alias(f"__g{i}")
-                    for i in range(C)
-                ])
-                .collect()  # <= (buckets + 1) x C: driver-bounded
-            )
-            G = np.zeros((C, buckets))
-            gb = np.zeros(C)
-            for row in grad_rows:
-                if row.b == -1:  # the intercept pseudo-bucket
-                    gb = np.array([
-                        row[f"__g{i}"] or 0.0 for i in range(C)
-                    ])
-                else:
-                    for i in range(C):
-                        G[i, row.b] = row[f"__g{i}"]
-            W -= lr * (G / n + l2 * W)
+            W -= lr * (GT.T / n + l2 * W)
             biases -= lr * (gb / n)
     finally:
-        feats.unpersist()
-        labels.unpersist()
+        blocks.unpersist()
     return SoftmaxModel(W, biases, tuple(classes), buckets, damping,
                         hasher)
 
@@ -534,7 +579,6 @@ def langid_score(docs: DataFrame, model_df: DataFrame,
     biases alone (the left join's null margins). Same self-describing
     validation as classifier_score: sentinel config rows must match
     the caller's arguments, each class block must be DENSE."""
-    spark = docs.sparkSession
     if damping not in _DAMPING_CODE:
         raise ValueError(f"unknown damping: {damping!r}")
     if hasher not in _HASHER_CODE:
@@ -583,23 +627,33 @@ def langid_score(docs: DataFrame, model_df: DataFrame,
                 "written by SoftmaxModel.as_df"
             )
     C = len(classes)
-    w_df = F.broadcast(spark.createDataFrame(
-        [(b, *[Wd[c][b] for c in classes]) for b in range(buckets)],
-        "b long, " + ", ".join(f"__w{i} double" for i in range(C)),
-    ))
-    feats = hashed_doc_features(docs, buckets, id_col, text_col,
-                                hasher).select(
-        id_col, "b", _damp(F.col("cnt"), damping).alias("x")
+    # r14 optimization round: weights as C array literals indexed by
+    # element_at (no per-call createDataFrame/BroadcastExchange), and
+    # ONE corpus shuffle — the projected (id, text) rows partition by
+    # doc up front, so the feature count agg, the margin agg and the
+    # id-spine left join (zero-feature docs score on biases) all
+    # reuse that exchange; the spine branch reuses it literally
+    # (ReusedExchange in the plan). Old shape: separate (id, b) and
+    # id exchanges of the exploded feature rows plus an un-partitioned
+    # spine side for the final join.
+    base = docs.select(F.col(id_col), F.col(text_col)).repartition(
+        id_col
     )
-    margins = (
-        feats.join(w_df, "b")
-        .groupBy(id_col)
-        .agg(*[
-            F.sum(F.col(f"__w{i}") * F.col("x")).alias(f"__m{i}")
-            for i in range(C)
-        ])
+    warr = [F.lit([Wd[c][b] for b in range(buckets)]) for c in classes]
+    feats = (
+        hashed_features(base, buckets, id_col, text_col, hasher)
+        .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
     )
-    j = docs.select(id_col).join(margins, id_col, "left")
+    margins = feats.groupBy(id_col).agg(*[
+        F.sum(
+            F.element_at(warr[i], (F.col("b") + 1).cast("int"))
+            * F.col("x")
+        ).alias(f"__m{i}")
+        for i in range(C)
+    ])
+    j = base.select(id_col).join(margins, id_col, "left")
     mi = [
         F.coalesce(F.col(f"__m{i}"), F.lit(0.0))
         + F.lit(float(biases[classes[i]]))
