@@ -41,6 +41,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from .lm import hashed_features
 
 
@@ -93,7 +94,7 @@ class LinearModel:
         rows.append((-2, float(self.buckets)))
         rows.append((-3, _DAMPING_CODE[self.damping]))
         rows.append((-4, _HASHER_CODE[self.hasher]))
-        return spark.createDataFrame(rows, "b long, w double")
+        return local_df(spark, rows, "b long, w double")
 
 
 def _damp(cnt_col, damping: str):
@@ -467,7 +468,7 @@ class SoftmaxModel:
         rows.append(("", -2, float(self.buckets)))
         rows.append(("", -3, _DAMPING_CODE[self.damping]))
         rows.append(("", -4, _HASHER_CODE[self.hasher]))
-        return spark.createDataFrame(rows, "cls string, b long, w double")
+        return local_df(spark, rows, "cls string, b long, w double")
 
 
 def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,

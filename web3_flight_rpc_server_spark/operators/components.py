@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.localdf import local_df
+
 
 def _driver_union_find(edges_rows, node_type) -> tuple[list, T.StructType]:
     parent: dict = {}
@@ -92,7 +94,7 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
         rows, schema = _driver_union_find(
             edges.collect(), edges.schema["s"].dataType
         )
-        return pairs.sparkSession.createDataFrame(rows, schema)
+        return local_df(pairs.sparkSession, rows, schema)
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()

@@ -84,6 +84,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from ..functions.localdf import local_df
+
 from .incremental import _read_recovering, _sub
 
 _HASH_TIERS = ("xxhash64", "md5_prefix60")
@@ -335,7 +337,8 @@ def write_containment_index(docs: DataFrame, path: str,
         _write_fps(fps, "overwrite")
         _write_stats(fps, "overwrite")
         sets.write.mode("overwrite").parquet(_sub(path, "shingles"))
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(m.n, m.k, m.w, m.min_shared, m.max_df, m.hash,
               m.fps_table, m.buckets)],
             "n int, k int, w int, min_shared int, max_df int, "
@@ -658,8 +661,8 @@ def streaming_ingest_containment(stream_docs: DataFrame, path: str,
     try:
         _read_cont_manifest(spark, path)
     except FileNotFoundError:
-        empty = spark.createDataFrame(
-            [], stream_docs.select(id_col, text_col).schema
+        empty = local_df(
+            spark, [], stream_docs.select(id_col, text_col).schema
         )
         write_containment_index(
             empty, path, n, k, w, min_shared, max_df, id_col,

@@ -51,6 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from ..functions.localdf import local_df
+
 from .dedup import fingerprint_chunks, fingerprint_pairs
 from .incremental import _read_recovering, _sub
 
@@ -200,7 +202,8 @@ def write_fingerprint_index(fps: DataFrame, path: str,
     else:
         _write_chunks(chunks, mode)
         _write_stats(chunks, "overwrite")
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(max_hamming, fp_col, chunks_table,
               buckets if chunks_table else 0, max_bucket)],
             "max_hamming int, fp_col string, chunks_table string, "
@@ -495,8 +498,8 @@ def streaming_ingest_fingerprints(stream_fps: DataFrame, path: str,
     try:
         _read_fp_manifest(spark, path)
     except FileNotFoundError:
-        empty = spark.createDataFrame(
-            [], stream_fps.select(id_col, fp_col).schema
+        empty = local_df(
+            spark, [], stream_fps.select(id_col, fp_col).schema
         )
         write_fingerprint_index(
             empty, path, max_hamming, id_col, fp_col,

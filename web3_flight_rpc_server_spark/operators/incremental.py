@@ -78,6 +78,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from ..functions.localdf import local_df
+
 from .dedup import (
     _persisted,
     _verify_pairs,
@@ -341,7 +343,8 @@ def write_minhash_index(docs: DataFrame, path: str,
         _write_stats(banded, "overwrite")
         sets.write.mode(mode).parquet(_sub(path, "shingles"))
     if not append:
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(num_hashes, bands, n, bands_table,
               buckets if bands_table else 0, max_bucket)],
             "num_hashes int, bands int, n int, "
@@ -639,8 +642,8 @@ def streaming_ingest(stream_docs: DataFrame, path: str,
         # bootstrap with the STREAM's own id/text types — a hardcoded
         # (long, string) schema would poison the index with
         # type-conflicting files for, e.g., content-hash string ids
-        empty = spark.createDataFrame(
-            [], stream_docs.select(id_col, text_col).schema
+        empty = local_df(
+            spark, [], stream_docs.select(id_col, text_col).schema
         )
         write_minhash_index(
             empty, path, num_hashes, bands, id_col, text_col, n,

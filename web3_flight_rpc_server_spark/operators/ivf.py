@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
+
 from .similarity import cosine_fixed
 
 _SEED = 0x5EED
@@ -160,8 +162,9 @@ def write_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 16,
         # _SUCCESS must never exist while a dataset is missing — a
         # crash between the two would otherwise leave a promotable
         # manifestless tmp. mode('append') keeps the manifest dir.
-        spark.createDataFrame(
-            [(n_cells, dim, vec_col)], "n_cells int, dim int, vec_col string"
+        local_df(
+            spark, [(n_cells, dim, vec_col)],
+            "n_cells int, dim int, vec_col string"
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_ivf_manifest"
         )

@@ -49,6 +49,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
+
 
 @dataclass(frozen=True)
 class KMeansModel:
@@ -418,8 +420,9 @@ def write_trained_ivf_index(embeddings: DataFrame, model: KMeansModel,
             (int(i), [float(x) for x in c], vec_col)
             for i, c in enumerate(model.centroids)
         ]
-        spark.createDataFrame(
-            rows, "cell int, centroid array<double>, vec_col string"
+        local_df(
+            spark, rows,
+            "cell int, centroid array<double>, vec_col string"
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_kmeans_manifest"
         )
@@ -493,8 +496,9 @@ def compact_trained_ivf_index(spark, path: str,
             (int(i), [float(x) for x in c], vec_col)
             for i, c in enumerate(model.centroids)
         ]
-        spark.createDataFrame(
-            rows, "cell int, centroid array<double>, vec_col string"
+        local_df(
+            spark, rows,
+            "cell int, centroid array<double>, vec_col string"
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_kmeans_manifest"
         )

@@ -35,6 +35,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import MD5_PREFIX60_SQL, md5_prefix60
+from ..functions.localdf import local_df
 
 # [0, 1) uniform from a 60-bit hash
 _DENOM = float(1 << 60)
@@ -144,8 +145,8 @@ def mixture_recipe(sources: list[tuple[str, DataFrame]],
                 (share * token_budget) / toks if toks else None
             )
         out.append((name, docs, toks, r, int(contrib), share, epochs))
-    return spark.createDataFrame(
-        out,
+    return local_df(
+        spark, out,
         "source string, n_docs long, n_tokens long, rate double, "
         "contributed_tokens long, mix_share double, "
         "effective_epochs double",

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
 from ..functions.text import tokens
 
 
@@ -109,8 +110,8 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     for pid in sorted(totals):
         offsets.append((pid, acc))
         acc += totals[pid]
-    offset_df = spark.createDataFrame(
-        offsets or [(0, 0)], "__pid int, __off long"
+    offset_df = local_df(
+        spark, offsets or [(0, 0)], "__pid int, __off long"
     )
     start = F.col("__off") + F.col("__cum") - F.col("n_tokens")
     out = (

@@ -49,6 +49,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
+
 PQ_DEFAULT_M = 16
 PQ_DEFAULT_K = 64
 
@@ -233,13 +235,13 @@ def write_ivf_pq_index(embeddings: DataFrame, path: str,
             (j, c, [float(v) for v in codebooks[j][c]])
             for j in range(m) for c in range(k)
         ]
-        spark.createDataFrame(
-            book_rows, "j int, c int, vals array<double>"
+        local_df(
+            spark, book_rows, "j int, c int, vals array<double>"
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_pq_codebooks"
         )
-        spark.createDataFrame(
-            [(n_cells, dim, m, k, id_col)],
+        local_df(
+            spark, [(n_cells, dim, m, k, id_col)],
             "n_cells int, dim int, m int, k int, id_col string",
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_pq_manifest"
@@ -332,8 +334,9 @@ def write_trained_ivf_pq_index(embeddings: DataFrame, model,
             (int(i), [float(x) for x in c], vec_col)
             for i, c in enumerate(model.centroids)
         ]
-        spark.createDataFrame(
-            cent_rows, "cell int, centroid array<double>, vec_col string"
+        local_df(
+            spark, cent_rows,
+            "cell int, centroid array<double>, vec_col string"
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_kmeans_manifest"
         )
@@ -341,13 +344,13 @@ def write_trained_ivf_pq_index(embeddings: DataFrame, model,
             (j, c, [float(v) for v in codebooks[j][c]])
             for j in range(m) for c in range(k)
         ]
-        spark.createDataFrame(
-            book_rows, "j int, c int, vals array<double>"
+        local_df(
+            spark, book_rows, "j int, c int, vals array<double>"
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_pq_codebooks"
         )
-        spark.createDataFrame(
-            [(int(model.k), int(model.dim), m, k, id_col)],
+        local_df(
+            spark, [(int(model.k), int(model.dim), m, k, id_col)],
             "n_cells int, dim int, m int, k int, id_col string",
         ).write.mode("overwrite").parquet(
             tmp.rstrip("/") + "/_pq_manifest"

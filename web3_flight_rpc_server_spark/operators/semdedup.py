@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
+
 
 def top_cells(vec_col: Column, n_cells: int = 8, dim: int = 64,
               top_m: int = 2, centroids=None) -> Column:
@@ -635,8 +637,8 @@ def streaming_ingest_embeddings(stream_emb: DataFrame, index_path: str,
                 "given to bootstrap one — fit centroids on a "
                 "representative sample first (operators/kmeans.py)"
             )
-        empty = spark.createDataFrame(
-            [], stream_emb.select(id_col, vec_col).schema
+        empty = local_df(
+            spark, [], stream_emb.select(id_col, vec_col).schema
         )
         write_trained_ivf_index(empty, model, index_path, vec_col)
 

@@ -80,6 +80,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from ..functions.localdf import local_df
+
 
 def _sub(path: str, name: str) -> str:
     return path.rstrip("/") + "/" + name
@@ -186,7 +188,8 @@ def init_span_index(docs: DataFrame, path: str, k: int = 50,
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     spark = docs.sparkSession
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(k), "xxhash64", windows_table,
           int(buckets) if windows_table else 0)],
         "k int, hash string, windows_table string, buckets int",
@@ -473,8 +476,9 @@ def streaming_ingest_spans(stream_docs: DataFrame, path: str,
         # schema would poison content-hash string ids — the
         # incremental-module convention)
         init_span_index(
-            spark.createDataFrame(
-                [], stream_docs.select(id_col, text_col).schema
+            local_df(
+                spark, [],
+                stream_docs.select(id_col, text_col).schema
             ),
             path, k, id_col, text_col,
             windows_table=windows_table, buckets=buckets,

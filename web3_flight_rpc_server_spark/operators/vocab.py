@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localdf import local_df
+
 from ..functions.text import tokens
 
 
@@ -415,8 +417,9 @@ def bpe_vocab(merges: list[dict], word_freqs: DataFrame) -> DataFrame:
         .distinct()
         .withColumn("rank", F.lit(0))
     )
-    merged = spark.createDataFrame(
-        [(m["merged"], m["rank"]) for m in merges], "token string, rank int"
+    merged = local_df(
+        spark, [(m["merged"], m["rank"]) for m in merges],
+        "token string, rank int"
     ) if merges else spark.createDataFrame([], "token string, rank int")
     return (
         base.unionByName(merged)

@@ -46,6 +46,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.localdf import local_df
 from ..multimodal.containers import probe_media
 from ..multimodal.neardup import (
     audio_fingerprint,
@@ -302,7 +304,7 @@ def ingest_media_batch(media: DataFrame, index_path: str,
             m = _read_fp_manifest(spark, path)
         except FileNotFoundError:
             write_fingerprint_index(
-                spark.createDataFrame([], fps.schema), path,
+                local_df(spark, [], fps.schema), path,
                 max_hamming=radius, id_col="media_id", fp_col=fp_col,
                 max_bucket=cap,
             )

@@ -25,6 +25,7 @@ from ..operators.dedup import (
 )
 from ..registry import query
 from ..sources import tables
+from ..functions.localdf import local_df
 
 _JACCARD_ORACLE = """
     WITH tok AS (
@@ -431,7 +432,7 @@ def q_media_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch1_rows, fresh_rows = _media_replay_images()
     cfg = MediaCurationConfig(modalities=("image",), max_bucket=2)
 
-    batch1 = spark.createDataFrame(batch1_rows, MEDIA_SCHEMA)
+    batch1 = local_df(spark, batch1_rows, MEDIA_SCHEMA)
     ingest_media_batch(batch1, idx, cfg)
 
     # snapshot the persisted index state batch 2 is judged against
@@ -440,7 +441,7 @@ def q_media_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{root}/pre_replay_ids"
     )
 
-    batch2 = spark.createDataFrame(batch1_rows + fresh_rows, MEDIA_SCHEMA)
+    batch2 = local_df(spark, batch1_rows + fresh_rows, MEDIA_SCHEMA)
     batch2.select("media_id").coalesce(1).write.mode("overwrite").parquet(
         f"{root}/batch2_ids"
     )

@@ -22,6 +22,7 @@ from ..functions import round4
 from ..operators import asof_join
 from ..registry import query
 from ..sources import tables
+from ..functions.localdf import local_df
 
 
 @query(
@@ -98,7 +99,8 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this query remains oracle-checked by
     tests/test_oracle_parity.py."""
     cust = tables.load_table(spark, sf_dir, "customer")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [
             ("negative", -100000.0, 0.0),
             ("low", 0.0, 3000.0),

@@ -17,6 +17,7 @@ from ..functions import round4
 from ..functions.text import STOPWORDS, stopword_hits, stopword_hits_sql, tokens
 from ..registry import query
 from ..sources import tables
+from ..functions.localdf import local_df
 
 _BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
@@ -631,6 +632,7 @@ def q_bpe_merges3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_table(spark, sf_dir, "documents")
     merges = bpe_fit(docs, 3, min_freq=1)
     rows = [(m["rank"], m["left"], m["right"], m["n"]) for m in merges]
-    return spark.createDataFrame(
-        rows, "rank long, left_sym string, right_sym string, n long"
+    return local_df(
+        spark, rows,
+        "rank long, left_sym string, right_sym string, n long"
     )

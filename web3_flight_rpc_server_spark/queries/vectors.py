@@ -17,6 +17,7 @@ from ..operators.similarity import (
 )
 from ..registry import query
 from ..sources import tables
+from ..functions.localdf import local_df
 
 # the at-rest artifact q_trained_cells trains/writes and its DuckDB
 # oracle reads back — a PER-PROCESS path (the driver runs the Spark
@@ -437,7 +438,8 @@ def q_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                        init_method="pp")
     write_trained_ivf_index(emb, model, _TRAINED_CELLS_PATH)
     at_rest = spark.read.parquet(_TRAINED_CELLS_PATH)
-    cents = spark.createDataFrame(
+    cents = local_df(
+        spark,
         [(int(i), [float(x) for x in c])
          for i, c in enumerate(model.centroids)],
         "cell int, centroid array<double>",
