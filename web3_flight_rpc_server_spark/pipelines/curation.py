@@ -356,7 +356,13 @@ def curation_rejects(docs: DataFrame,
     corpus_sh = sets.where(F.col("bucket") != cfg.bench_bucket).select(
         "doc_id", "sz", F.explode("shs").alias("shingle")
     )
-    contam = (
+    # persisted: the contamination verdict feeds BOTH the s5 anti-join
+    # (so block_bad's survivor scoping) and the final ledger union —
+    # unpersisted, the shingle explode + broadcast probe + agg subtree
+    # runs twice inside the one consuming action (measured 1.4 s per
+    # extra run at sf0.1, r14 optimization round). Tiny table (doc_id +
+    # literal), same ledger/release lifecycle as the dedup tiers.
+    contam = _persisted(
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.first("sz").alias("__n"), F.count("*").alias("__c"))
