@@ -52,9 +52,11 @@ with bounded per-key state (count + min(struct) fold map-side — the
 boilerplate span repeated millions of times is the hottest key and
 folds to one struct per partition); ONLY duplicated occurrences
 explode into per-token coverage (k rows each — cost proportional to
-duplicated volume, not corpus volume); the rebuild is one doc_id agg
-whose buffer is bounded by the document's own size. No UDFs — split,
-transform, hash, join and rebuild are all codegen.
+duplicated volume, not corpus volume); the rebuild joins the folded
+per-doc removed-position arrays (duplicated-volume-bounded) back to
+the token arrays and reassembles IN-ROW (array_except + element_at
+gather), so no corpus-wide token shuffle exists anywhere. No UDFs —
+split, transform, hash, join and rebuild are all codegen.
 
 DuckDB twin: queries/dedup.py:q_substring_dedup (row_number-over-hash
 keep-first + generate_series coverage — identical removed set).
@@ -71,33 +73,71 @@ from pyspark.sql import functions as F
 
 def dedup_substrings(docs: DataFrame, k: int = 50,
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     window_hash: str = "xxhash64") -> DataFrame:
     """(id_col, text, n_kept, n_dropped): the corpus with every later
     occurrence of a duplicated >=k-token span removed and documents
     reassembled from their surviving tokens. ``n_kept``/``n_dropped``
     count TOKENS (the removal unit here), unlike paradedup's
-    paragraph counts."""
+    paragraph counts.
+
+    ``window_hash`` picks the window-identity hash (r14 optimization
+    round):
+
+    * ``"xxhash64"`` (default) — per-token xxhash64 materialized once
+      per document, window id = xxhash64 over the k-long slice of
+      token hashes. Hashing longs instead of re-joining the text
+      slice per position roughly HALVES the occ pass (measured 8.7 ->
+      4.4 s at sf1, and the pass runs twice), and the 8-byte group
+      key shuffles a quarter of md5's 32-char hex. 64-bit window ids
+      are the same collision convention as every other dedup tier
+      here (minhash/winnowing/simhash fingerprints); expected false-
+      dup pairs ~ W^2/2^65 stay < 1 up to ~10^9 windows (~100 GB of
+      text) — past that, or for strictly exact semantics, use the md5
+      tier.
+    * ``"md5"`` — 128-bit md5 of the joined token slice (the exact
+      character span), collision-free at any realistic scale and what
+      the DuckDB oracle replays verbatim. ~2x the occ cost.
+
+    Both tiers mark the SAME windows duplicated absent collisions, so
+    the rebuilt output is identical (verified corpus-wide at sf1)."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (a 1-token window would "
                          f"remove every repeated word), got {k}")
+    if window_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown window_hash: {window_hash!r}")
     toks_arr = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__t")
     )
     # All window (pos, hash) pairs built inside one array projection:
-    # hashing the joined slice keys the window on its exact character
-    # span (the literal-space convention makes them the same thing).
+    # the hash keys the window on its exact token span (the
+    # literal-space convention makes that the character span). The
+    # xxhash64 tier hashes each token ONCE into a materialized long
+    # array and windows hash slices of it — O(n) token hashes + O(n*k)
+    # long-hashing instead of O(n*k) string building + md5.
+    big = toks_arr.where(F.size("__t") >= k)
+    if window_hash == "md5":
+        occ_src = big.select(id_col, F.size("__t").alias("__n"), "__t")
+        win_h = lambda i: F.md5(  # noqa: E731
+            F.array_join(F.slice("__t", i + 1, k), " ")
+        ).alias("h")
+    else:
+        occ_src = big.select(
+            id_col, F.size("__t").alias("__n"),
+            F.transform("__t", lambda tk: F.xxhash64(tk)).alias("__th"),
+        )
+        win_h = lambda i: F.xxhash64(  # noqa: E731
+            F.slice("__th", i + 1, k)
+        ).alias("h")
     occ = (
-        toks_arr.where(F.size("__t") >= k)
+        occ_src
         .select(
             id_col,
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size("__t") - k),
+                    F.sequence(F.lit(0), F.col("__n") - k),
                     lambda i: F.struct(
-                        i.cast("int").alias("pos"),
-                        F.md5(
-                            F.array_join(F.slice("__t", i + 1, k), " ")
-                        ).alias("h"),
+                        i.cast("int").alias("pos"), win_h(i)
                     ),
                 )
             ).alias("__w"),
@@ -142,28 +182,40 @@ def dedup_substrings(docs: DataFrame, k: int = 50,
         .where(~F.col("__prot"))
         .select(id_col, "tp")
     )
-    toks = toks_arr.select(
-        id_col, F.posexplode("__t").alias("tp", "tok")
+    # Rebuild IN ARRAY LAND (r14 optimization round): fold the (small,
+    # duplicated-volume-bounded) removed positions into one array per
+    # affected doc and join THAT to the token arrays — the surviving
+    # text is then pure in-row math (array_except of the position
+    # range, element_at gather, array_join). The previous shape
+    # posexploded EVERY corpus token, anti-joined the removal set and
+    # re-aggregated tokens through a corpus-wide collect_list shuffle
+    # — at 100 TB that shuffles the whole corpus once more for what a
+    # per-row projection can do (measured -2-6 s of 25 s at sf1; one
+    # fewer corpus pass, 4 -> 3). Untouched docs (__rm null — the
+    # overwhelming majority) pass through as the identity re-join of
+    # their own tokens. The per-doc removed-position buffer is bounded
+    # by the document's own token count, the same bound the old
+    # rebuild buffer had.
+    rm = removed.groupBy(id_col).agg(F.collect_list("tp").alias("__rm"))
+    joined = toks_arr.join(rm, id_col, "left")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__t") - 1), F.col("__rm")
     )
-    kept = toks.join(removed, [id_col, "tp"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("tp"), F.col("tok")))
-                ),
-                lambda s: s["tok"],
-            ),
-            " ",
+    out_arr = joined.select(
+        id_col,
+        F.when(F.col("__rm").isNull(), F.array_join("__t", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(kept_pos, lambda p: F.element_at("__t", p + 1)),
+                " ",
+            )
         ).alias(text_col),
-        F.count("*").cast("long").alias("n_kept"),
+        F.when(F.col("__rm").isNull(), F.size("__t"))
+        .otherwise(F.size("__t") - F.size("__rm"))
+        .cast("long").alias("n_kept"),
+        F.coalesce(F.size("__rm"), F.lit(0)).cast("long").alias("n_dropped"),
     )
-    dropped = removed.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_dropped")
-    )
-    base = docs.select(id_col).join(rebuilt, id_col, "left").join(
-        dropped, id_col, "left"
-    )
+    base = docs.select(id_col).join(out_arr, id_col, "left")
     return base.select(
         id_col,
         F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
