@@ -141,7 +141,8 @@ def _design_blocks(docs: DataFrame, label_expr, buckets: int,
         F.col(id_col), label_expr.alias("y"), F.col(text_col)
     ).repartition(id_col)
     feats = (
-        hashed_features(base, buckets, id_col, text_col, hasher)
+        hashed_features(base, buckets, id_col, text_col, hasher,
+                        spread=False)
         .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
         .agg(F.count("*").cast("double").alias("cnt"))
         .select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
@@ -329,7 +330,8 @@ def classifier_score(docs: DataFrame, model_df: DataFrame,
     )
     warr = F.lit([wd[b] for b in range(buckets)])
     weighted = (
-        hashed_features(base, buckets, id_col, text_col, hasher)
+        hashed_features(base, buckets, id_col, text_col, hasher,
+                        spread=False)
         .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
         .agg(F.count("*").cast("double").alias("cnt"))
         .groupBy(id_col)
@@ -642,7 +644,8 @@ def langid_score(docs: DataFrame, model_df: DataFrame,
     )
     warr = [F.lit([Wd[c][b] for b in range(buckets)]) for c in classes]
     feats = (
-        hashed_features(base, buckets, id_col, text_col, hasher)
+        hashed_features(base, buckets, id_col, text_col, hasher,
+                        spread=False)
         .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
         .agg(F.count("*").cast("double").alias("cnt"))
         .select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))

@@ -67,6 +67,20 @@ def _clean_tokens(text_col: str) -> F.Column:
     return F.filter(tokens(text_col), lambda t: t != "")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin the document rows across the cluster before an
+    explode-heavy pass (r14 optimization round — the shingle_sets
+    move, applied to the LM tiers): a compact parquet corpus arrives
+    as 1-2 scan partitions (128 MB splits), so the 20-100x feature
+    explode and its per-occurrence hashing otherwise run on 1-2 cores
+    while the rest idle — measured 9.2 -> 1.2 s for the DSIR feature
+    pass at sf1. The shuffle moves only the pre-explode document rows
+    (corpus bytes, once), far cheaper than serializing the exploded
+    work; map-side aggregation still folds before any downstream
+    exchange."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
 def bigram_pairs(text_col: str = "text") -> F.Column:
     """array<struct<w1,w2>> of adjacent-token pairs; empty array below
     two tokens. Built from two shifted slices (see
@@ -114,7 +128,8 @@ def bigram_lm_fit(docs: DataFrame, text_col: str = "text",
     three tables once."""
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
-    pairs = docs.select(
+    spread = _spread(docs.select(text_col))
+    pairs = spread.select(
         F.explode(bigram_pairs(text_col)).alias("pr")
     ).select("pr.w1", "pr.w2")
     bigrams = pairs.groupBy("w1", "w2").agg(
@@ -122,7 +137,7 @@ def bigram_lm_fit(docs: DataFrame, text_col: str = "text",
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vsize = (
-        docs.select(F.explode(_clean_tokens(text_col)).alias("token"))
+        spread.select(F.explode(_clean_tokens(text_col)).alias("token"))
         .agg(F.count_distinct("token").cast("double").alias("v"))
     )
     return BigramLM(bigrams, contexts, vsize, add_k)
@@ -142,7 +157,7 @@ def perplexity_score(docs: DataFrame, lm: BigramLM,
     seen history cost (0 + k) / (n1 + kV); an entirely unseen history
     degenerates to the uniform 1/V. All column arithmetic — the scan,
     both joins and the final agg stay in codegen."""
-    pairs = docs.select(
+    pairs = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode_outer(bigram_pairs(text_col)).alias("pr"),
     ).select(id_col, "pr.w1", "pr.w2")
@@ -171,7 +186,8 @@ def perplexity_score(docs: DataFrame, lm: BigramLM,
 def hashed_features(docs: DataFrame, buckets: int,
                     id_col: str = "doc_id",
                     text_col: str = "text",
-                    hasher: str = "xxhash64") -> DataFrame:
+                    hasher: str = "xxhash64",
+                    spread: bool = True) -> DataFrame:
     """(id_col, b): one row per token occurrence and per adjacent-pair
     occurrence, hashed into ``buckets`` — DSIR's unigram+bigram
     bag-of-words feature map.
@@ -185,7 +201,16 @@ def hashed_features(docs: DataFrame, buckets: int,
     the identical buckets. Bucket QUALITY is equivalent (both uniform);
     only cross-engine replicability differs. Training and scoring must
     use the same hasher — the classifier stores its choice nowhere,
-    by the same caller's-contract as the fingerprint ops."""
+    by the same caller's-contract as the fingerprint ops.
+
+    ``spread`` round-robins the input first (see _spread) so the
+    feature explode parallelizes past the 1-2 scan partitions of a
+    compact corpus; callers that already repartitioned BY KEY (the
+    classifier fits/scorers, whose downstream (id, b) and id
+    aggregations ride that exchange) pass False to keep their
+    partitioning."""
+    if spread:
+        docs = _spread(docs.select(id_col, text_col))
     toks = _clean_tokens(text_col)
     feats = F.concat(
         toks,
