@@ -243,9 +243,15 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
                 gs[0] += float(r[valid].sum())
                 return g, gs
 
+            # depth=1: the default depth-2 tree adds a combine STAGE
+            # (an extra job round-trip) per iteration — measured 5.0
+            # -> 2.9 s over 8 iterations at sf1 (r14). Partials are
+            # (B+1)-double vectors, so even 10^4 partitions merge on
+            # the driver in milliseconds; depth>1 only pays past that.
             g, gs = blocks.treeAggregate(
                 (np.zeros(buckets), [0.0]), part_grad,
                 lambda a, b: (a[0] + b[0], [a[1][0] + b[1][0]]),
+                depth=1,
             )
             w -= lr * (g / n + l2 * w)
             bias -= lr * (gs[0] / n)
@@ -556,9 +562,12 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
                 gb += P.sum(axis=0)
                 return GT, gb
 
+            # depth=1 — see logreg_fit: the depth-2 combine stage cost
+            # ~2 s per 8 iterations at sf1 for (B+1)xC-bounded partials
             GT, gb = blocks.treeAggregate(
                 (np.zeros((buckets, C)), np.zeros(C)), part_grad,
                 lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                depth=1,
             )
             W -= lr * (GT.T / n + l2 * W)
             biases -= lr * (gb / n)
