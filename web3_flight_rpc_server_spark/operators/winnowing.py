@@ -104,10 +104,19 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
         winnow_fingerprints(docs, k, w, id_col, text_col, hash_fn)
     )
     fp = arrays.select(id_col, F.explode("fingerprints").alias("fp"))
-    rare = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
-        F.col("df") <= max_df
+    # Stop-fingerprint cap as a broadcast ANTI join of the (tiny,
+    # boilerplate-only) HOT set instead of an inner join against the
+    # corpus-sized rare set (r14 optimization round — the
+    # _drop_hot_buckets pattern from the LSH tier): the inner-join
+    # shape shuffled the exploded fingerprint rows a second time just
+    # to re-key them on fp; the anti join filters them in place, so
+    # the self-join's exchange is the only corpus-fingerprint shuffle
+    # left. Same df <= max_df semantics, measured ~10% off the pair
+    # stage at sf1.
+    hot = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
+        F.col("df") > max_df
     )
-    fp_rare = fp.join(rare.select("fp"), "fp")
+    fp_rare = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     a, b = fp_rare.alias("a"), fp_rare.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
