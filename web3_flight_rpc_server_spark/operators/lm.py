@@ -68,17 +68,15 @@ def _clean_tokens(text_col: str) -> F.Column:
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Round-robin the document rows across the cluster before an
-    explode-heavy pass (r14 optimization round — the shingle_sets
-    move, applied to the LM tiers): a compact parquet corpus arrives
-    as 1-2 scan partitions (128 MB splits), so the 20-100x feature
-    explode and its per-occurrence hashing otherwise run on 1-2 cores
-    while the rest idle — measured 9.2 -> 1.2 s for the DSIR feature
-    pass at sf1. The shuffle moves only the pre-explode document rows
-    (corpus bytes, once), far cheaper than serializing the exploded
-    work; map-side aggregation still folds before any downstream
-    exchange."""
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    """Scale-adaptive round-robin before an explode-heavy pass (r14
+    optimization round — the shingle_sets move, applied to the LM
+    tiers, gated on the plan-time size estimate so a tiny corpus
+    skips the exchange). See functions/spread.py for the measured
+    rationale (9.2 -> 1.2 s for the DSIR feature pass at sf1; +0.4 s
+    regression at sf0.1 when unconditional)."""
+    from ..functions.spread import spread
+
+    return spread(docs)
 
 
 def bigram_pairs(text_col: str = "text") -> F.Column:

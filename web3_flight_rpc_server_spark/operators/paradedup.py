@@ -49,7 +49,15 @@ def dedup_paragraphs(docs: DataFrame, sep: str = "\n\n",
     # F.split takes a Java regex: quote the separator so "." or "|"
     # separators split literally
     pat = re.escape(sep)
-    paras = docs.where(F.col(text_col).isNotNull()).select(
+    # scale-adaptive repartition before the paragraph explode +
+    # per-paragraph md5 (functions/spread.py; r14 optimization round)
+    from ..functions.spread import spread
+
+    paras = spread(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col)
+        )
+    ).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), pat, -1)).alias(
             "idx", "para"

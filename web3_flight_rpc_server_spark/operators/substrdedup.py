@@ -106,16 +106,18 @@ def dedup_substrings(docs: DataFrame, k: int = 50,
                          f"remove every repeated word), got {k}")
     if window_hash not in ("xxhash64", "md5"):
         raise ValueError(f"unknown window_hash: {window_hash!r}")
-    # repartition: a compact parquet corpus arrives as 1-2 scan
-    # partitions, which would run the O(n*k) window-hash explode on
-    # 1-2 cores (the shingle_sets trap; r14 optimization round —
-    # measured 9.2 -> 1.2 s for the comparable DSIR feature pass at
-    # sf1). The round-robin shuffle moves the document rows once,
-    # before the 20-50x window blowup.
-    toks_arr = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.col(text_col)
-    ).repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
+    # scale-adaptive repartition: a compact parquet corpus arrives as
+    # 1-2 scan partitions, which would run the O(n*k) window-hash
+    # explode on 1-2 cores (functions/spread.py; r14 optimization
+    # round — measured 9.2 -> 1.2 s for the comparable DSIR feature
+    # pass at sf1). The round-robin shuffle moves the document rows
+    # once, before the 20-50x window blowup.
+    from ..functions.spread import spread
+
+    toks_arr = spread(
+        docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), F.col(text_col)
+        )
     ).select(
         F.col(id_col), F.split(F.col(text_col), " ", -1).alias("__t")
     )

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.localdf import local_df
-
+from ..functions.spread import spread
 from ..functions.text import tokens
 
 
@@ -36,8 +36,13 @@ def build_vocabulary(docs: DataFrame, max_size: int,
     tokens with cumulative occurrence coverage in [0, 1]."""
     if max_size < 1:
         raise ValueError(f"max_size must be >= 1, got {max_size}")
+    # scale-adaptive repartition before the token explode: a compact
+    # parquet corpus arrives as 1-2 scan partitions and would run the
+    # corpus-sized explode on 1-2 cores (functions/spread.py; r14
+    # optimization round)
     counts = (
-        docs.select(F.explode(tokens(text_col)).alias("token"))
+        spread(docs.select(text_col))
+        .select(F.explode(tokens(text_col)).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("n"))
@@ -69,7 +74,7 @@ def oov_rate(docs: DataFrame, vocab: DataFrame,
     check for a candidate vocabulary against a held-out corpus. One
     explode + one broadcast semi-probe (the vocab is small by
     construction); null/empty documents report 0 tokens, OOV 0.0."""
-    toks = docs.select(
+    toks = spread(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode_outer(tokens(text_col)).alias("token")
     )
     hit = toks.join(
@@ -131,7 +136,7 @@ def unigram_logprob_score(docs: DataFrame, vocab: DataFrame,
             F.log(F.col("n").cast("double") / F.col("__t")).alias("__lp"),
         )
     )
-    toks = docs.select(
+    toks = spread(docs.select("doc_id", text_col)).select(
         "doc_id", F.explode_outer(tokens(text_col)).alias("token")
     )
     scored = toks.join(model, "token", "left")
@@ -169,8 +174,11 @@ def bpe_word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) distinct-word frequency table — the corpus-sized
     pass of BPE training. Everything after it is bounded by the number
     of DISTINCT words, not corpus bytes."""
+    # scale-adaptive repartition — the 1-2-scan-partition explode
+    # trap (functions/spread.py; r14 optimization round)
     return (
-        docs.select(
+        spread(docs.select(text_col))
+        .select(
             F.explode(
                 F.regexp_extract_all(
                     F.lower(F.col(text_col)), F.lit(BPE_WORD_PATTERN), 0
