@@ -135,6 +135,23 @@ def _lang_pred(toks) -> Column:
     )
 
 
+def _lang_pred_hits() -> Column:
+    """_lang_pred's argmax when-chain over PRE-MATERIALIZED
+    ``__h_<lang>`` hit-count attributes (see the staged gate
+    projection in curation_rejects) — attribute references are free
+    to repeat, unlike the interpreted filter() lambdas _lang_pred
+    inlines."""
+    h = {lang: F.col(f"__h_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*h.values())
+    return (
+        F.when(best == 0, "unknown")
+        .when(h["en"] >= F.greatest(h["de"], h["fr"], h["es"]), "en")
+        .when(h["de"] >= F.greatest(h["fr"], h["es"]), "de")
+        .when(h["fr"] >= h["es"], "fr")
+        .otherwise("es")
+    )
+
+
 def _quality(text_col, toks) -> Column:
     n_chars = F.length(text_col).cast("double")
     n_tokens = F.size(toks).cast("double")
@@ -201,30 +218,53 @@ def curation_rejects(docs: DataFrame,
     # fastText-style scorer's argmax replaces the stopword-argmax
     # heuristic. One broadcast-sized model join per corpus scan; the
     # first-failing-gate ledger semantics are identical either way.
+    # The gate projection is built in STAGED Projects over a
+    # scale-adaptively spread scan (r14 optimization round — the
+    # q_text_stats shape): the token array materializes once as an
+    # attribute, then the 4 per-language stopword hit counts in their
+    # own Project, then the argmax when-chain over those attributes.
+    # Inlined, every reference to a hit count re-ran the interpreted
+    # filter() lambda (and through it the split) per row — measured
+    # 3.3 -> 1.0 s cold at sf0.1 and, with the spread past the 1-2
+    # scan partitions, 5.8 -> 3.2 s steady at sf1. Byte-identical
+    # output (verified corpus-wide at both SFs).
+    from ..functions.spread import spread
+
+    toked = spread(docs.select("doc_id", "text")).select(
+        "doc_id", "text", toks.alias("__toks")
+    )
+    mtoks = F.col("__toks")
     if langid_model_df is not None:
         from ..operators.classifier import langid_score
 
         pred = langid_score(docs, langid_model_df).select(
             "doc_id", F.col("lang").alias("__lang")
         )
-        lang_src = docs.select(
+        lang_src = toked.select(
             "doc_id",
             "text",
-            round4(_quality(F.col("text"), toks)).alias("__q"),
+            round4(_quality(F.col("text"), mtoks)).alias("__q"),
             F.arrays_overlap(
-                toks, F.array(*[F.lit(w) for w in cfg.blocklist])
+                mtoks, F.array(*[F.lit(w) for w in cfg.blocklist])
             ).alias("__blocked"),
         ).join(pred, "doc_id")
         feats = _persisted(lang_src)
     else:
+        hits = toked.select(
+            "*",
+            *[
+                stopword_hits(mtoks, lang).alias(f"__h_{lang}")
+                for lang in STOPWORDS
+            ],
+        )
         feats = _persisted(
-            docs.select(
+            hits.select(
                 "doc_id",
                 "text",
-                _lang_pred(toks).alias("__lang"),
-                round4(_quality(F.col("text"), toks)).alias("__q"),
+                _lang_pred_hits().alias("__lang"),
+                round4(_quality(F.col("text"), mtoks)).alias("__q"),
                 F.arrays_overlap(
-                    toks, F.array(*[F.lit(w) for w in cfg.blocklist])
+                    mtoks, F.array(*[F.lit(w) for w in cfg.blocklist])
                 ).alias("__blocked"),
             )
         )
