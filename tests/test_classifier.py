@@ -183,3 +183,19 @@ def test_margin_expr_rejects_hasher_mismatch(spark, docs):
                    "label", buckets=32, iters=1, damping="none")
     with pytest.raises(ValueError, match="trained with hasher"):
         classifier_margin_expr(m, "text", hasher="md5")
+
+
+def test_local_fit_tier_matches_distributed_bitwise(spark, docs,
+                                                    monkeypatch):
+    """logreg twin of the langid tier-equality pin: the driver-local
+    iteration tier (plan-size gate) must yield EXACTLY the
+    distributed tier's weights (r14 optimization round)."""
+    from web3_flight_rpc_server_spark.operators import classifier as C
+
+    m_local = logreg_fit(docs, "label", buckets=BUCKETS, iters=4,
+                         lr=LR, l2=L2)
+    monkeypatch.setattr(C, "_LOCAL_FIT_MAX_BYTES", -1)
+    m_dist = logreg_fit(docs, "label", buckets=BUCKETS, iters=4,
+                        lr=LR, l2=L2)
+    assert np.array_equal(m_local.weights, m_dist.weights)
+    assert m_local.bias == m_dist.bias

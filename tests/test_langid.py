@@ -309,3 +309,52 @@ def test_gated_ingest_exactly_once_trained_langid(spark, tmp_path):
     got = [r.doc_id for r in read_committed(
         spark, str(tmp_path / "gated")).collect()]
     assert got == [1]
+
+
+def test_local_fit_tier_matches_distributed_bitwise(spark, docs,
+                                                    monkeypatch):
+    """The plan-size-gated driver-local iteration tier must be
+    invisible in the weights: same blocks, same zero accumulators,
+    same partition-order fold as treeAggregate(depth=1) — EXACT
+    equality, not tolerance (r14 optimization round)."""
+    from web3_flight_rpc_server_spark.operators import classifier as C
+
+    m_local = softmax_fit(docs, "lang", buckets=BUCKETS, iters=4,
+                          lr=LR, l2=L2)
+    monkeypatch.setattr(C, "_LOCAL_FIT_MAX_BYTES", -1)
+    m_dist = softmax_fit(docs, "lang", buckets=BUCKETS, iters=4,
+                         lr=LR, l2=L2)
+    assert list(m_local.classes) == list(m_dist.classes)
+    assert np.array_equal(m_local.weights, m_dist.weights)
+    assert np.array_equal(m_local.biases, m_dist.biases)
+
+
+def test_shared_feats_fit_and_score_match_unshared(spark, docs):
+    """softmax_fit/langid_score given a shared damped_features table
+    (q_langid's one-md5-pass shape) must produce byte-identical
+    weights and scores to the build-it-themselves path."""
+    from web3_flight_rpc_server_spark.operators.classifier import (
+        damped_features,
+    )
+
+    base = docs.select("doc_id", "text").repartition(8, "doc_id")
+    feats = damped_features(base, BUCKETS).persist()
+    try:
+        m_shared = softmax_fit(docs, "lang", buckets=BUCKETS, iters=4,
+                               lr=LR, l2=L2, _feats=feats)
+        m_plain = softmax_fit(docs, "lang", buckets=BUCKETS, iters=4,
+                              lr=LR, l2=L2)
+        assert np.array_equal(m_shared.weights, m_plain.weights)
+        assert np.array_equal(m_shared.biases, m_plain.biases)
+        mdf = m_plain.as_df(spark)
+        got_shared = {
+            (r.doc_id, r.lang, round(r.prob, 12))
+            for r in langid_score(docs, mdf, _feats=feats).collect()
+        }
+        got_plain = {
+            (r.doc_id, r.lang, round(r.prob, 12))
+            for r in langid_score(docs, mdf).collect()
+        }
+        assert got_shared == got_plain
+    finally:
+        feats.unpersist()

@@ -105,9 +105,64 @@ def _damp(cnt_col, damping: str):
     raise ValueError(f"unknown damping: {damping!r}")
 
 
+def damped_features(docs: DataFrame, buckets: int,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    hasher: str = "xxhash64",
+                    damping: str = "log") -> DataFrame:
+    """(id_col, b, x): the damped per-(doc, bucket) design values that
+    BOTH the fits and the batch scorers consume — factored out so a
+    caller that fits and then scores the same corpus (q_langid's
+    train-then-score shape) can persist ONE table and pay the feature
+    hash a single time instead of once per pass. The md5 oracle-bridge
+    hash is the expensive half of either pass (~10x xxhash64 on the
+    feature firehose), so sharing it halves the corpus-side cost of
+    fit+score at any scale. Rows ride the caller's partitioning
+    (spread=False): partition by ``id_col`` first so the (id, b) agg,
+    the fits' per-doc fold and the scorers' margin agg all reuse one
+    exchange. Caller must pass the SAME buckets/hasher/damping to the
+    fit/score consuming it — the table is not self-describing (the
+    persisted weight table is; this is an in-process intermediate)."""
+    return (
+        hashed_features(docs, buckets, id_col, text_col, hasher,
+                        spread=False)
+        .groupBy(id_col, "b")
+        .agg(F.count("*").cast("double").alias("cnt"))
+        .select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
+    )
+
+
+# Driver-local iteration tier for the fits (r14 optimization round):
+# when the optimizer's plan-time estimate of the (id, text) projection
+# is at most this many bytes, the CSR design blocks are collected to
+# the driver ONCE (same partition structure, same order) and the
+# gradient-descent iterations run in-process. The arithmetic is
+# BITWISE-identical to the distributed tier — each block's partial
+# starts from the same zero accumulator and the partials fold in
+# partition order, exactly the treeAggregate(depth=1) sequence — so
+# the tier choice is invisible in the weights (asserted exactly in
+# tests/test_langid.py). Why: each distributed iteration pays a fixed
+# ~0.3-0.4 s of job/task plumbing to compute a (B+1) x C gradient
+# over megabytes — 8 iterations of pure overhead at bench scale —
+# while the collected blocks are ~20x the compressed text estimate
+# (1 MB gate ≈ tens of MB of numpy on the driver, the broadcast-size
+# regime). At real corpus sizes the estimate clears the gate and the
+# fit stays distributed; the gate is plan-time only (no job runs).
+_LOCAL_FIT_MAX_BYTES = 1 << 20
+
+
+def _plan_size(df: DataFrame) -> int | None:
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def _design_blocks(docs: DataFrame, label_expr, buckets: int,
                    id_col: str, text_col: str, hasher: str,
-                   damping: str):
+                   damping: str, feats: DataFrame | None = None,
+                   persist: bool = True):
     """The fits' cached design matrix: an RDD of ONE numpy CSR block
     per partition — (ys, indptr, idx, vals) with ys the per-doc
     labels, idx/vals the per-doc (bucket, damped count) runs delimited
@@ -137,16 +192,19 @@ def _design_blocks(docs: DataFrame, label_expr, buckets: int,
     per-doc array fold and the label join all ride that exchange
     (hash partitioning on id satisfies every downstream (id, ...)
     clustering)."""
-    base = docs.select(
-        F.col(id_col), label_expr.alias("y"), F.col(text_col)
-    ).repartition(id_col)
-    feats = (
-        hashed_features(base, buckets, id_col, text_col, hasher,
-                        spread=False)
-        .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
-        .agg(F.count("*").cast("double").alias("cnt"))
-        .select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
-    )
+    if feats is None:
+        base = docs.select(
+            F.col(id_col), label_expr.alias("y"), F.col(text_col)
+        ).repartition(id_col)
+        feats = damped_features(base, buckets, id_col, text_col,
+                                hasher, damping)
+    else:
+        # caller-shared design values (damped_features, typically
+        # persisted): the label spine no longer needs text at all, so
+        # the label shuffle carries (id, y) only
+        base = docs.select(
+            F.col(id_col), label_expr.alias("y")
+        ).repartition(id_col)
     docvecs = feats.groupBy(id_col).agg(
         F.collect_list(F.struct("b", "x")).alias("fv")
     )
@@ -175,9 +233,8 @@ def _design_blocks(docs: DataFrame, label_expr, buckets: int,
             np.array(vals, dtype=np.float64),
         )
 
-    return prepared.rdd.mapPartitions(build).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    rdd = prepared.rdd.mapPartitions(build)
+    return rdd.persist(StorageLevel.MEMORY_AND_DISK) if persist else rdd
 
 
 def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
@@ -208,13 +265,19 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
     but contribute nothing to the gradient, exactly as the NULL
     residuals the old per-iteration SQL jobs dropped from their
     sums."""
+    est = _plan_size(docs.select(F.col(id_col), F.col(text_col)))
+    local = est is not None and est <= _LOCAL_FIT_MAX_BYTES
     blocks = _design_blocks(
         docs, F.col(label_col).cast("double"), buckets, id_col,
-        text_col, hasher, damping,
+        text_col, hasher, damping, persist=not local,
     )
+    blist = blocks.collect() if local else None
     try:
         # one job materializes the cache AND answers n
-        n = blocks.map(lambda blk: len(blk[0])).sum()
+        if local:
+            n = sum(len(blk[0]) for blk in blist)
+        else:
+            n = blocks.map(lambda blk: len(blk[0])).sum()
         if n == 0:
             raise ValueError("empty corpus")
 
@@ -243,20 +306,31 @@ def logreg_fit(docs: DataFrame, label_col: str, buckets: int = 1024,
                 gs[0] += float(r[valid].sum())
                 return g, gs
 
-            # depth=1: the default depth-2 tree adds a combine STAGE
-            # (an extra job round-trip) per iteration — measured 5.0
-            # -> 2.9 s over 8 iterations at sf1 (r14). Partials are
-            # (B+1)-double vectors, so even 10^4 partitions merge on
-            # the driver in milliseconds; depth>1 only pays past that.
-            g, gs = blocks.treeAggregate(
-                (np.zeros(buckets), [0.0]), part_grad,
-                lambda a, b: (a[0] + b[0], [a[1][0] + b[1][0]]),
-                depth=1,
-            )
+            if local:
+                # same fold as treeAggregate(depth=1): fresh zero acc
+                # per block, partials added in partition order
+                g, gs = np.zeros(buckets), [0.0]
+                for blk in blist:
+                    pg, pgs = part_grad((np.zeros(buckets), [0.0]), blk)
+                    g += pg
+                    gs[0] += pgs[0]
+            else:
+                # depth=1: the default depth-2 tree adds a combine
+                # STAGE (an extra job round-trip) per iteration —
+                # measured 5.0 -> 2.9 s over 8 iterations at sf1
+                # (r14). Partials are (B+1)-double vectors, so even
+                # 10^4 partitions merge on the driver in
+                # milliseconds; depth>1 only pays past that.
+                g, gs = blocks.treeAggregate(
+                    (np.zeros(buckets), [0.0]), part_grad,
+                    lambda a, b: (a[0] + b[0], [a[1][0] + b[1][0]]),
+                    depth=1,
+                )
             w -= lr * (g / n + l2 * w)
             bias -= lr * (gs[0] / n)
     finally:
-        blocks.unpersist()
+        if not local:
+            blocks.unpersist()
     return LinearModel(w, float(bias), buckets, damping, hasher)
 
 
@@ -483,7 +557,8 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
                 iters: int = 30, lr: float = 0.5, l2: float = 1e-4,
                 id_col: str = "doc_id", text_col: str = "text",
                 hasher: str = "xxhash64",
-                damping: str = "log") -> SoftmaxModel:
+                damping: str = "log",
+                _feats: DataFrame | None = None) -> SoftmaxModel:
     """Fit softmax(bias_c + sum_b w[c, b] * x[d, b]) to the string
     ``label_col`` by full-batch gradient descent on the multiclass
     cross-entropy (fixed ``iters``, replay-identical work). The
@@ -499,10 +574,13 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
     (r13 ADVICE — they would silently dilute the effective learning
     rate). Reference-pinned against numpy in tests/test_classifier.py
     / tests/test_langid.py."""
+    est = _plan_size(docs.select(F.col(id_col), F.col(text_col)))
+    local = est is not None and est <= _LOCAL_FIT_MAX_BYTES
     blocks = _design_blocks(
         docs, F.col(label_col).cast("string"), buckets, id_col,
-        text_col, hasher, damping,
+        text_col, hasher, damping, feats=_feats, persist=not local,
     )
+    blist = blocks.collect() if local else None
     try:
         # one job materializes the cache AND answers n + the class set
         def class_counts(blk):
@@ -517,7 +595,12 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
                 a[k] = a.get(k, 0) + v
             return a
 
-        by_class = blocks.map(class_counts).fold({}, merge_counts)
+        if local:
+            by_class: dict[str, int] = {}
+            for blk in blist:
+                merge_counts(by_class, class_counts(blk))
+        else:
+            by_class = blocks.map(class_counts).fold({}, merge_counts)
         n = sum(by_class.values())
         if n == 0:
             raise ValueError("no non-null labels")
@@ -562,17 +645,30 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
                 gb += P.sum(axis=0)
                 return GT, gb
 
-            # depth=1 — see logreg_fit: the depth-2 combine stage cost
-            # ~2 s per 8 iterations at sf1 for (B+1)xC-bounded partials
-            GT, gb = blocks.treeAggregate(
-                (np.zeros((buckets, C)), np.zeros(C)), part_grad,
-                lambda a, b: (a[0] + b[0], a[1] + b[1]),
-                depth=1,
-            )
+            if local:
+                # same fold as treeAggregate(depth=1): fresh zero acc
+                # per block, partials added in partition order
+                GT, gb = np.zeros((buckets, C)), np.zeros(C)
+                for blk in blist:
+                    pGT, pgb = part_grad(
+                        (np.zeros((buckets, C)), np.zeros(C)), blk
+                    )
+                    GT += pGT
+                    gb += pgb
+            else:
+                # depth=1 — see logreg_fit: the depth-2 combine stage
+                # cost ~2 s per 8 iterations at sf1 for (B+1)xC
+                # partials
+                GT, gb = blocks.treeAggregate(
+                    (np.zeros((buckets, C)), np.zeros(C)), part_grad,
+                    lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                    depth=1,
+                )
             W -= lr * (GT.T / n + l2 * W)
             biases -= lr * (gb / n)
     finally:
-        blocks.unpersist()
+        if not local:
+            blocks.unpersist()
     return SoftmaxModel(W, biases, tuple(classes), buckets, damping,
                         hasher)
 
@@ -580,7 +676,8 @@ def softmax_fit(docs: DataFrame, label_col: str, buckets: int = 512,
 def langid_score(docs: DataFrame, model_df: DataFrame,
                  id_col: str = "doc_id", text_col: str = "text",
                  hasher: str = "xxhash64",
-                 damping: str = "log") -> DataFrame:
+                 damping: str = "log",
+                 _feats: DataFrame | None = None) -> DataFrame:
     """(id_col, lang, prob): argmax class and its softmax probability
     per document from a persisted (cls, b, w) SoftmaxModel table —
     tie-break margin DESC then class ASC (deterministic). One
@@ -648,17 +745,20 @@ def langid_score(docs: DataFrame, model_df: DataFrame,
     # (ReusedExchange in the plan). Old shape: separate (id, b) and
     # id exchanges of the exploded feature rows plus an un-partitioned
     # spine side for the final join.
-    base = docs.select(F.col(id_col), F.col(text_col)).repartition(
-        id_col
-    )
     warr = [F.lit([Wd[c][b] for b in range(buckets)]) for c in classes]
-    feats = (
-        hashed_features(base, buckets, id_col, text_col, hasher,
-                        spread=False)
-        .groupBy(id_col, "b")  # partitioning by id satisfies (id, b)
-        .agg(F.count("*").cast("double").alias("cnt"))
-        .select(id_col, "b", _damp(F.col("cnt"), damping).alias("x"))
-    )
+    if _feats is None:
+        base = docs.select(F.col(id_col), F.col(text_col)).repartition(
+            id_col
+        )
+        feats = damped_features(base, buckets, id_col, text_col,
+                                hasher, damping)
+    else:
+        # caller-shared design values (damped_features, typically the
+        # same persisted table the fit consumed — q_langid): the
+        # feature hash is not recomputed, and the id spine below
+        # shuffles bare ids only
+        base = docs.select(F.col(id_col)).repartition(id_col)
+        feats = _feats
     margins = feats.groupBy(id_col).agg(*[
         F.sum(
             F.element_at(warr[i], (F.col("b") + 1).cast("int"))

@@ -312,15 +312,42 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy-reference-pinned in tests/test_langid.py. Declared in r14
     (took q_retention's slot — r13 VERDICT #2: the strongest
     undeclared row, parity green at both SFs in r13)."""
-    from ..operators.classifier import langid_score, softmax_fit
+    from ..operators.classifier import (
+        _plan_size,
+        damped_features,
+        langid_score,
+        softmax_fit,
+    )
+    from ..operators.dedup import _persisted
 
     docs = tables.load_table(spark, sf_dir, "documents")
+    # ONE md5 feature pass for fit AND score (r14 optimization round):
+    # the damped (id, b, x) design table is a deterministic function
+    # of the corpus alone, and the oracle-bridge md5 hash is the
+    # expensive half of either pass — persist it once and share it.
+    # Cache lifecycle: the fit materializes it inside the timed
+    # region; bench releases it after the scoring action
+    # (release_caches), so every timed run recomputes from parquet.
+    # The partition count is EXPLICIT and scale-adaptive (plan-time
+    # estimate, ~32 KB of compressed text per partition, clamped to
+    # [8, defaultParallelism]): a cached plan pins its partitioning
+    # (AQE cannot coalesce it), so an unpinned repartition under a
+    # plain 200-shuffle-partition session would freeze 200 micro-
+    # partitions into the cache and every downstream stage.
+    sc = spark.sparkContext
+    est = _plan_size(docs.select("doc_id", "text")) or 0
+    parts = max(8, min(sc.defaultParallelism, est // (32 << 10) + 1))
+    base = docs.select("doc_id", "text").repartition(parts, "doc_id")
+    feats = _persisted(
+        damped_features(base, 256, hasher="md5", damping="log")
+    )
     model = softmax_fit(docs, "lang", buckets=256, iters=8, lr=1.0,
-                        hasher="md5")
+                        hasher="md5", _feats=feats)
     model.as_df(spark).coalesce(1).write.mode("overwrite").parquet(
         _LANGID_PATH
     )
     weights = spark.read.parquet(_LANGID_PATH)
-    return langid_score(docs, weights, hasher="md5").select(
+    return langid_score(docs, weights, hasher="md5",
+                        _feats=feats).select(
         "doc_id", "lang", round4(F.col("prob")).alias("prob4")
     ).orderBy("doc_id")
