@@ -121,17 +121,32 @@ def bigram_lm_fit(docs: DataFrame, text_col: str = "text",
 
     Interior bigrams only (no BOS/EOS padding — the perplexity filter
     compares documents against each other, where the boundary terms
-    are a per-doc constant that washes out of the mean). Callers that
-    score many corpora against one model should ``.persist()`` the
-    three tables once."""
+    are a per-doc constant that washes out of the mean).
+
+    The aggregated ``bigrams`` table is PERSISTED (the shared cache
+    ledger — callers release via ``release_caches()``): it is the
+    model, and unpersisted the fit's corpus bigram explode ran TWICE
+    inside one scoring action — once under the bigram-prob join and
+    once again under ``contexts``' re-aggregation (no exchange reuse
+    across the two branches; plan-verified, r14 optimization round).
+    With the cache, ``contexts`` folds the model table instead of
+    re-exploding the corpus: 4 -> 3 corpus Generates per
+    fit-and-score execution. At 100 TB the table is the distinct-
+    bigram type count (Zipf heavy-tailed but far below token
+    occurrences); MEMORY_AND_DISK spills it rather than re-paying a
+    full corpus explode + aggregation per consumer."""
     if add_k <= 0:
         raise ValueError(f"add_k must be > 0, got {add_k}")
+    from .dedup import _persisted
+
     spread = _spread(docs.select(text_col))
     pairs = spread.select(
         F.explode(bigram_pairs(text_col)).alias("pr")
     ).select("pr.w1", "pr.w2")
-    bigrams = pairs.groupBy("w1", "w2").agg(
-        F.count("*").cast("double").alias("n2")
+    bigrams = _persisted(
+        pairs.groupBy("w1", "w2").agg(
+            F.count("*").cast("double").alias("n2")
+        )
     )
     contexts = bigrams.groupBy("w1").agg(F.sum("n2").alias("n1"))
     vsize = (
