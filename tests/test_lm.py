@@ -221,6 +221,20 @@ def test_resample_is_deterministic_gumbel_topk(weights):
     assert got1 == got2 == sorted(want)
 
 
+def test_target_within_matches_default_path_exactly(dsir_docs, weights):
+    """target_within=True (the target multinomial folded from the
+    persisted candidate feature table through an id semi-join) must
+    reproduce the re-hashing default bit-for-bit — same (id, b) rows
+    aggregated either way (r14 optimization round, session 3)."""
+    target = dsir_docs.where(f"doc_id IN {tuple(TARGET_IDS)}")
+    got = {r.doc_id: r.log_w for r in dsir_log_weights(
+        dsir_docs, target, buckets=BUCKETS, smoothing=SMOOTH,
+        hasher="md5", target_within=True,
+    ).collect()}
+    ref = {r.doc_id: r.log_w for r in weights.collect()}
+    assert got == ref  # exact equality, not approx
+
+
 def test_dsir_rejects_nonpositive_smoothing(dsir_docs):
     with pytest.raises(ValueError, match="smoothing"):
         dsir_log_weights(dsir_docs, dsir_docs, smoothing=0.0)

@@ -151,8 +151,12 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tables.load_table(spark, sf_dir, "documents")
     target = docs.where(F.col("lang") == "en")
+    # target_within: the en-slice IS a subset of the pool, so its
+    # multinomial folds the persisted candidate feature table (the
+    # oracle's own tgt CTE shape) instead of re-hashing 41% of the
+    # corpus through a second md5 feature pass (r14 session 3)
     w = dsir_log_weights(docs, target, buckets=512, smoothing=1.0,
-                         hasher="md5")
+                         hasher="md5", target_within=True)
     sel = dsir_resample(w, k=50, seed=7)
     return sel.select(
         "doc_id", round4(F.col("log_w")).alias("log_w4")
