@@ -192,6 +192,25 @@ def test_md5_bridge_cross_engine_identical(spark, ss):
 
 
 @settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=50))
+def test_punct_count_equals_negated_class_regex(spark, ss):
+    """punct_count (the translate-based counter, r14 optimization
+    round session 3) must equal regexp_count(s, '[^a-zA-Z0-9 ]') —
+    the form the DuckDB oracles keep — for ARBITRARY unicode strings:
+    CJK, combining marks, supplementary-plane characters, NBSP,
+    control characters. Both count code points (a surrogate pair is
+    one character on both paths)."""
+    from web3_flight_rpc_server_spark.functions.text import punct_count
+
+    sdf = spark.createDataFrame([(s,) for s in ss], "s string")
+    rows = sdf.select(
+        punct_count(F.col("s")).alias("got"),
+        F.regexp_count(F.col("s"), F.lit("[^a-zA-Z0-9 ]")).alias("want"),
+    ).collect()
+    assert [r.got for r in rows] == [r.want for r in rows]
+
+
+@settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=10**30),
                 min_size=1, max_size=30))
 def test_redaction_never_touches_bare_numbers(spark, ns):

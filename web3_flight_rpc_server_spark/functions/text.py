@@ -53,6 +53,32 @@ def shingles_sql(text_col: str, n: int = 3) -> str:
     )
 
 
+# every character the punctuation counter treats as NON-punctuation
+_ALNUM_SPACE = (
+    " abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
+def punct_count(text: Column | str) -> Column:
+    """Number of characters outside [a-zA-Z0-9 ] — value-identical to
+    ``regexp_count(text, '[^a-zA-Z0-9 ]')`` (the DuckDB oracles keep
+    that regex form), computed as ``length(translate(text,
+    alnum+space, ''))``: translate deletes the listed characters with
+    a plain per-character lookup, so what remains IS the punctuation
+    count. Both formulations count Unicode code points (surrogate
+    pairs = 1), verified equal on CJK/combining/supplementary/NBSP
+    cases and corpus-wide.
+
+    Why not the regex (r14 optimization round, session 3): on a
+    multilingual corpus every CJK character matches the negated
+    class, and regexp_count's per-match Matcher iteration measured
+    **38.5 s vs 1.0 s for translate at sf10** — it was 85% of
+    q_text_stats' runtime and a hidden cost in the funnel's quality
+    gate."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.translate(c, _ALNUM_SPACE, ""))
+
+
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
     "de": ("der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "auf"),

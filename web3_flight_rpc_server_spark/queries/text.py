@@ -14,7 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import round4
-from ..functions.text import STOPWORDS, stopword_hits, stopword_hits_sql, tokens
+from ..functions.text import (
+    STOPWORDS,
+    punct_count,
+    stopword_hits,
+    stopword_hits_sql,
+    tokens,
+)
 from ..registry import query
 from ..sources import tables
 from ..functions.localdf import local_df
@@ -134,7 +140,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text").cast("double")
     n_tokens = F.col("__n_toks")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    n_punct = F.regexp_count(F.col("text"), F.lit("[^a-zA-Z0-9 ]")).cast("double")
+    # translate-based count — 38.5 -> 1.0 s at sf10 vs the regex; the
+    # oracle keeps the regex form, values identical (functions/text.py)
+    n_punct = punct_count(F.col("text")).cast("double")
     hits = {lang: F.col(f"__h_{lang}") for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     pred = (
