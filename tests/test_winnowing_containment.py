@@ -129,3 +129,44 @@ def test_scattered_containment_documented_invisible(spark):
     blocked = {(r.src, r.dst) for r in
                containment_pairs_blocked(docs, 0.3).collect()}
     assert (2, 1) not in blocked  # and documented invisible
+
+
+def test_hot_cap_join_falls_back_without_forced_broadcast(spark):
+    """r15 (r14 VERDICT #6, guide §3): the stop-fingerprint cap's anti
+    join must NOT force a broadcast — the hot set is occurrences /
+    max_df-bounded, which a boilerplate-heavy 100 TB corpus can push
+    past the broadcast cap. With the hint gone the strategy is the
+    planner's size-based choice: under a disabled broadcast threshold
+    the plan must fall back to a non-broadcast anti join (the r14
+    shape, F.broadcast(hot), ignored the threshold entirely — that is
+    exactly what this pins against)."""
+    from web3_flight_rpc_server_spark.operators.dedup import (
+        release_caches,
+    )
+    from web3_flight_rpc_server_spark.operators.winnowing import (
+        fingerprint_overlap_pairs,
+    )
+
+    rows, _, _ = _make_planted(7)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    conf = spark.conf
+    prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                        None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = fingerprint_overlap_pairs(
+            docs, min_shared=2, max_df=5
+        )._jdf.queryExecution().executedPlan().toString()
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti, plan
+        assert not any("Broadcast" in ln for ln in anti), anti
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                     prev_aqe)
+        release_caches()

@@ -104,7 +104,7 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
         winnow_fingerprints(docs, k, w, id_col, text_col, hash_fn)
     )
     fp = arrays.select(id_col, F.explode("fingerprints").alias("fp"))
-    # Stop-fingerprint cap as a broadcast ANTI join of the (tiny,
+    # Stop-fingerprint cap as an ANTI join of the (tiny,
     # boilerplate-only) HOT set instead of an inner join against the
     # corpus-sized rare set (r14 optimization round — the
     # _drop_hot_buckets pattern from the LSH tier): the inner-join
@@ -113,10 +113,30 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 3,
     # the self-join's exchange is the only corpus-fingerprint shuffle
     # left. Same df <= max_df semantics, measured ~10% off the pair
     # stage at sf1.
-    hot = fp.groupBy("fp").agg(F.count("*").alias("df")).where(
-        F.col("df") > max_df
+    #
+    # r15: the hot set is PERSISTED — the anti join's build side is
+    # referenced once per self-join side, and unpersisted the whole
+    # hot aggregate (fingerprint explode + full-corpus exchange +
+    # agg) executed twice per action (plan-verified: two disjoint
+    # Exchange/HashAggregate subtrees in plans/r14/
+    # q_winnow_overlap_after.txt nodes 15-22 and 30-40). One full
+    # fingerprint shuffle saved per action at any scale. The explicit
+    # F.broadcast hint is GONE (r14 VERDICT #6, guide §3): the hot
+    # set is occurrences/max_df-bounded, which a boilerplate-heavy
+    # 100 TB corpus can push past the broadcast cap — the planner/AQE
+    # now picks broadcast from the (tiny) runtime size instead of
+    # being forced, and falls back to a shuffle join when it does not
+    # fit (pinned by tests/test_winnowing_containment.py's
+    # threshold=-1 fallback test). Interleaved fresh-JVM A/B at
+    # sf0.1 (r15): steady 1.97/1.94 -> 1.83/1.79/1.61 s (winnow),
+    # 2.73/2.69 -> 2.50/2.56 s (containment) — the persist pays for
+    # the lost hint and more (AQE still broadcasts from the runtime
+    # size).
+    hot = _persisted(
+        fp.groupBy("fp").agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df).select("fp")
     )
-    fp_rare = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    fp_rare = fp.join(hot, "fp", "left_anti")
     a, b = fp_rare.alias("a"), fp_rare.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
