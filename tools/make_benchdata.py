@@ -11,9 +11,15 @@ same per-domain stride as its primary key) and keeps dimension tables
 suffix so the near-dup pair structure replicates linearly instead of
 exploding quadratically across replicas (identical copies would make
 every cross-replica pair a near-dup, which no real corpus does at 10x
-growth); embeddings replicate as-is, which DOES create exact
-cross-replica duplicates — fine for top-k timing, fenced from the
-pairwise queries.
+growth); embeddings get a deterministic per-(replica, vec, dim)
+perturbation of up to ±2% of the component scale (r15 — r14 VERDICT
+#8: verbatim replication made every cross-replica pair an exact
+duplicate, so q_semantic_dedup's sf>=1 rows measured a degenerate
+corpus shape no real deployment has instead of the operator; the
+perturbation keeps the vector/label cluster structure for top-k
+timing while giving the pairwise tiers a real near-dup distribution).
+The noise is pure integer arithmetic on (vec_id, dim, replica) — no
+RNG, bit-reproducible across regenerations.
 
     python tools/make_benchdata.py [reps] [out_dir]
 
@@ -109,8 +115,19 @@ def main() -> int:
                        string_split(text, ' '), x -> x || 'r{k}'), ' '))
                        AS BIGINT) AS n_chars
             FROM documents""")),
+        # replica 0 stays byte-identical; replicas k > 0 perturb each
+        # component by a deterministic integer-hash noise in
+        # [-0.02, 0.02] * 0.1 (the fixture components are ~N(0, 0.1)),
+        # so cross-replica pairs are near- but not exact duplicates
         "embeddings": rep_union(lambda k: f"""
             SELECT vec_id + {k * strides['vec_id']} AS vec_id, embedding, label
+            FROM embeddings""" if k == 0 else f"""
+            SELECT vec_id + {k * strides['vec_id']} AS vec_id,
+                   list_transform(embedding, (x, i) -> CAST(x +
+                       ((((vec_id * 2654435761 + i * 40503
+                           + {k} * 69069) % 2001) - 1000) / 1000.0)
+                       * 0.002 AS FLOAT)) AS embedding,
+                   label
             FROM embeddings"""),
     }
     for t in TABLES:

@@ -20,7 +20,92 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_prefix60
 from .dedup import _persisted, shingle_sets
+
+
+def _winnow_fingerprints_arrow(spread: DataFrame, k: int, w: int,
+                               id_col: str) -> DataFrame:
+    """Arrow tier of the fingerprint pass (r15, r14 VERDICT #3 /
+    guide §4.2): one ``mapInArrow`` whose batches run the per-doc
+    k-gram md5 + windowed-minima fold in numpy/hashlib instead of the
+    interpreted JVM array lambda. Why: HOF lambdas are interpreted
+    per gram position with no codegen — the r14 sf10 decomposition
+    attributed 11.5 of 21.4 s of the pass to the lambda machinery
+    alone (no hashing), and the row-explode escape was measured and
+    rejected (the 150M-row sort+window+distinct costs more). Handing
+    the whole batch to native code removes the interpreter from the
+    loop: measured 27.8-33.0 -> 12.6-13.9 s at sf10 (2.3x), 2.4 ->
+    1.6 s at sf1, with output equal element-for-element. Only the
+    two input columns cross the boundary (guide §4.1), and the
+    fold is deterministic per row (safe under task retry).
+
+    The whole worker function is a NESTED closure pickled by value
+    (the session.py convention: workers must not import this package
+    — the round driver runs from a foreign cwd where the import would
+    fail; verified by driver_sim, which caught exactly that on the
+    first cut of this tier)."""
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        from hashlib import md5
+
+        def fps_one(s):
+            # per-position md5-prefix60 k-gram hashes (CODE-POINT
+            # grams over the utf-8 bytes, matching Spark substring
+            # semantics: byte-sliced ASCII fast path, continuation-
+            # byte offsets for multibyte), sliding window-of-w
+            # minima, first-occurrence-order distinct — equal
+            # element-for-element to the JVM expression tier (pinned
+            # by tests/test_winnowing_containment.py and corpus-wide
+            # at sf0.1/sf1)
+            if not s:
+                return []
+            b = s.encode("utf-8")
+            if len(b) == len(s):
+                n = len(b) - k + 1
+                if n < 1:
+                    return []
+                h = np.fromiter(
+                    (int.from_bytes(md5(b[i:i + k]).digest()[:8],
+                                    "big") >> 4
+                     for i in range(n)),
+                    dtype=np.int64, count=n,
+                )
+            else:
+                n = len(s) - k + 1
+                if n < 1:
+                    return []
+                arr = np.frombuffer(b, dtype=np.uint8)
+                starts = np.flatnonzero((arr & 0xC0) != 0x80)
+                offs = np.append(starts, len(b))
+                h = np.fromiter(
+                    (int.from_bytes(
+                        md5(b[offs[i]:offs[i + k]]).digest()[:8],
+                        "big") >> 4
+                     for i in range(n)),
+                    dtype=np.int64, count=n,
+                )
+            if n < w:
+                return []
+            m = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            _, idx = np.unique(m, return_index=True)
+            return m[np.sort(idx)].tolist()
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            fps = pa.array(
+                [fps_one(t) for t in texts],
+                type=pa.list_(pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, fps], [id_col, "fingerprints"]
+            )
+
+    return spread.mapInArrow(
+        fn, f"{id_col} long, fingerprints array<bigint>"
+    )
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
@@ -36,7 +121,12 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
 
     ``hash_fn`` defaults to xxhash64 (production tier); pass
     ``functions.hashing.md5_prefix60`` for the oracle-bridge tier
-    DuckDB reproduces bit-for-bit."""
+    DuckDB reproduces bit-for-bit. The md5 tier dispatches to the
+    Arrow fold (``_winnow_fingerprints_arrow``) — value-identical,
+    ~2.3x at sf10; arbitrary ``hash_fn`` columns keep the JVM
+    expression tier (a Column-valued hash can't cross the Python
+    boundary)."""
+    use_arrow = hash_fn is md5_prefix60
     hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     # Materialize lower(text) as an ATTRIBUTE before the k-gram
     # lambda: HOF lambdas are interpreted with no common-subexpression
@@ -47,6 +137,10 @@ def winnow_fingerprints(docs: DataFrame, k: int = 12, w: int = 6,
     spread = docs.select(
         id_col, F.lower(F.col(text_col)).alias("__lt")
     ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    if use_arrow:
+        # lower() stays JVM-side (locale-exact parity with the
+        # expression tier); only (id, __lt) cross the boundary.
+        return _winnow_fingerprints_arrow(spread, k, w, id_col)
     text = F.col("__lt")
     # k-gram rolling hashes; empty when the doc is shorter than k
     n_grams = F.length(text) - (k - 1)
