@@ -146,3 +146,59 @@ def test_token_conservation(spark):
     for doc_id, text in rows:
         n = len(text.split(" "))
         assert got[doc_id].n_kept + got[doc_id].n_dropped == n
+
+
+def test_window_hash_tiers_agree_and_auto_escalates(spark):
+    """r15 (r14 VERDICT #5): the xxhash128 composite tier marks the
+    same windows as the 64-bit tier absent collisions (output
+    identical on a corpus with real cross-doc duplication), and the
+    "auto" default escalates to it above the plan-size gate — a
+    collision in the 64-bit tier would falsely REMOVE real text at
+    10^13+ windows, so the gate must flip well before that."""
+    import web3_flight_rpc_server_spark.operators.substrdedup as sd
+
+    base = [f"w{i}" for i in range(60)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(["x%d" % i for i in range(25)] + base[:30])),
+        (3, " ".join(base[10:40] + ["y%d" % i for i in range(20)])),
+        (4, None),
+        (5, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out64 = sorted(map(tuple, sd.dedup_substrings(
+        docs, k=20, window_hash="xxhash64").collect()))
+    out128 = sorted(map(tuple, sd.dedup_substrings(
+        docs, k=20, window_hash="xxhash128").collect()))
+    outmd5 = sorted(map(tuple, sd.dedup_substrings(
+        docs, k=20, window_hash="md5").collect()))
+    assert out64 == out128 == outmd5
+    # the composite tier really carries two key channels
+    occ_plan = sd.dedup_substrings(
+        docs, k=20, window_hash="xxhash128"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "h2" in occ_plan
+    # auto gate: needs a source with REAL size stats (a LocalRelation
+    # reports Long.Max = unknown, which auto conservatively escalates;
+    # production corpora are file-backed). Below the gate -> 64-bit
+    # (no h2); with the gate floored -> composite; output invariant.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.mode("overwrite").parquet(td)
+        pq = spark.read.parquet(td)
+        auto_small = sd.dedup_substrings(
+            pq, k=20)._jdf.queryExecution().optimizedPlan().toString()
+        assert "h2" not in auto_small
+        prev = sd._X128_MIN_BYTES
+        sd._X128_MIN_BYTES = 0
+        try:
+            auto_big = sd.dedup_substrings(
+                pq, k=20
+            )._jdf.queryExecution().optimizedPlan().toString()
+            assert "h2" in auto_big
+            out_auto = sorted(map(tuple, sd.dedup_substrings(
+                pq, k=20).collect()))
+            assert out_auto == out64
+        finally:
+            sd._X128_MIN_BYTES = prev

@@ -71,10 +71,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Auto-escalation threshold for the window-id hash (r15, r14 VERDICT
+# #5): the 64-bit tier's expected false-dup count ~ W^2 / 2^65 stays
+# < 1 up to ~10^9 windows (~100 GB of text, ~25 GB of compressed
+# parquet). Escalate to the 128-bit composite well before that — at
+# 4 GB of plan-estimate bytes (~10^8 windows, expected collisions
+# ~1e-3). Beyond the gate a collision would REMOVE real text (a
+# false-duplicate span), which is the one failure mode a dedup tier
+# must not have at 100 TB; below it the cheaper hash is provably
+# safe. Plan-time only (no job runs).
+_X128_MIN_BYTES = 4 << 30
+
+
 def dedup_substrings(docs: DataFrame, k: int = 50,
                      id_col: str = "doc_id",
                      text_col: str = "text",
-                     window_hash: str = "xxhash64") -> DataFrame:
+                     window_hash: str = "auto") -> DataFrame:
     """(id_col, text, n_kept, n_dropped): the corpus with every later
     occurrence of a duplicated >=k-token span removed and documents
     reassembled from their surviving tokens. ``n_kept``/``n_dropped``
@@ -82,30 +94,54 @@ def dedup_substrings(docs: DataFrame, k: int = 50,
     paragraph counts.
 
     ``window_hash`` picks the window-identity hash (r14 optimization
-    round):
+    round; "auto"/"xxhash128" added r15 per VERDICT #5):
 
-    * ``"xxhash64"`` (default) — per-token xxhash64 materialized once
-      per document, window id = xxhash64 over the k-long slice of
-      token hashes. Hashing longs instead of re-joining the text
-      slice per position roughly HALVES the occ pass (measured 8.7 ->
-      4.4 s at sf1, and the pass runs twice), and the 8-byte group
-      key shuffles a quarter of md5's 32-char hex. 64-bit window ids
-      are the same collision convention as every other dedup tier
-      here (minhash/winnowing/simhash fingerprints); expected false-
-      dup pairs ~ W^2/2^65 stay < 1 up to ~10^9 windows (~100 GB of
-      text) — past that, or for strictly exact semantics, use the md5
-      tier.
+    * ``"auto"`` (default) — ``"xxhash64"`` while the corpus's
+      plan-time size estimate is under ``_X128_MIN_BYTES``,
+      ``"xxhash128"`` above it. Plan-time only; both tiers mark the
+      same windows absent collisions, and the gate sits ~10x below
+      where 64-bit birthday collisions become material, so the
+      output is tier-invariant by construction.
+    * ``"xxhash64"`` — per-token xxhash64 materialized once per
+      document, window id = xxhash64 over the k-long slice of token
+      hashes. Hashing longs instead of re-joining the text slice per
+      position roughly HALVES the occ pass (measured 8.7 -> 4.4 s at
+      sf1, and the pass runs twice), and the 8-byte group key
+      shuffles a quarter of md5's 32-char hex. Collision envelope:
+      expected false-dup pairs ~ W^2/2^65 stay < 1 up to ~10^9
+      windows (~100 GB of text) — a collision REMOVES real text, so
+      past the envelope use a wider tier (what "auto" does).
+    * ``"xxhash128"`` — TWO independent channels: a second token-hash
+      array salted with lit(1) and a second window hash over it;
+      group/join key (h1, h2), 8+8 bytes. Same plan shape (one more
+      projection column, no extra exchange); ~15-20% on the occ pass
+      (measured 4.2-4.6 -> 5.1-5.4 s at sf1). Expected false dups
+      ~ W^2/2^129: < 1 up to ~10^19 windows — covers 100 TB
+      (~10^13-10^14 windows) with 10 orders of magnitude of margin.
+      Independent channels also cover single-token xxhash64
+      collisions (a derived second hash would inherit them).
     * ``"md5"`` — 128-bit md5 of the joined token slice (the exact
       character span), collision-free at any realistic scale and what
       the DuckDB oracle replays verbatim. ~2x the occ cost.
 
-    Both tiers mark the SAME windows duplicated absent collisions, so
-    the rebuilt output is identical (verified corpus-wide at sf1)."""
+    All tiers mark the SAME windows duplicated absent collisions, so
+    the rebuilt output is identical (verified corpus-wide at sf0.1
+    and sf1 for xxhash64 vs xxhash128 vs md5)."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (a 1-token window would "
                          f"remove every repeated word), got {k}")
-    if window_hash not in ("xxhash64", "md5"):
+    if window_hash not in ("auto", "xxhash64", "xxhash128", "md5"):
         raise ValueError(f"unknown window_hash: {window_hash!r}")
+    if window_hash == "auto":
+        try:
+            est = int(docs._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            est = None
+        window_hash = (
+            "xxhash128" if est is None or est >= _X128_MIN_BYTES
+            else "xxhash64"
+        )
     # scale-adaptive repartition: a compact parquet corpus arrives as
     # 1-2 scan partitions, which would run the O(n*k) window-hash
     # explode on 1-2 cores (functions/spread.py; r14 optimization
@@ -130,17 +166,30 @@ def dedup_substrings(docs: DataFrame, k: int = 50,
     big = toks_arr.where(F.size("__t") >= k)
     if window_hash == "md5":
         occ_src = big.select(id_col, F.size("__t").alias("__n"), "__t")
-        win_h = lambda i: F.md5(  # noqa: E731
+        win_hs = [lambda i: F.md5(
             F.array_join(F.slice("__t", i + 1, k), " ")
-        ).alias("h")
+        ).alias("h")]
+    elif window_hash == "xxhash128":
+        occ_src = big.select(
+            id_col, F.size("__t").alias("__n"),
+            F.transform("__t", lambda tk: F.xxhash64(tk)).alias("__th"),
+            F.transform("__t", lambda tk: F.xxhash64(tk, F.lit(1))).alias(
+                "__th2"
+            ),
+        )
+        win_hs = [
+            lambda i: F.xxhash64(F.slice("__th", i + 1, k)).alias("h"),
+            lambda i: F.xxhash64(F.slice("__th2", i + 1, k)).alias("h2"),
+        ]
     else:
         occ_src = big.select(
             id_col, F.size("__t").alias("__n"),
             F.transform("__t", lambda tk: F.xxhash64(tk)).alias("__th"),
         )
-        win_h = lambda i: F.xxhash64(  # noqa: E731
+        win_hs = [lambda i: F.xxhash64(
             F.slice("__th", i + 1, k)
-        ).alias("h")
+        ).alias("h")]
+    hkeys = ["h"] if len(win_hs) == 1 else ["h", "h2"]
     occ = (
         occ_src
         .select(
@@ -149,13 +198,14 @@ def dedup_substrings(docs: DataFrame, k: int = 50,
                 F.transform(
                     F.sequence(F.lit(0), F.col("__n") - k),
                     lambda i: F.struct(
-                        i.cast("int").alias("pos"), win_h(i)
+                        i.cast("int").alias("pos"),
+                        *[wh(i) for wh in win_hs],
                     ),
                 )
             ).alias("__w"),
         )
         .select(id_col, F.col("__w.pos").alias("pos"),
-                F.col("__w.h").alias("h"))
+                *[F.col(f"__w.{hk}").alias(hk) for hk in hkeys])
     )
     # occ feeds BOTH the keep-first aggregate and the join probe, so
     # the plan runs the window-hash projection twice — MEASURED as the
@@ -165,15 +215,15 @@ def dedup_substrings(docs: DataFrame, k: int = 50,
     # recomputing a shuffle-free map pass; recompute wins at the scale
     # that matters (BASELINE.md r12).
     dup_first = (
-        occ.groupBy("h")
+        occ.groupBy(*hkeys)
         .agg(
             F.count("*").alias("__c"),
             F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
         )
         .where(F.col("__c") >= 2)
-        .select("h", "__first")
+        .select(*hkeys, "__first")
     )
-    dup_occ = occ.join(dup_first, "h").select(
+    dup_occ = occ.join(dup_first, hkeys).select(
         id_col,
         "pos",
         (F.struct(F.col(id_col), F.col("pos")) == F.col("__first")).alias(
