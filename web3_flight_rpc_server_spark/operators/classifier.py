@@ -272,7 +272,33 @@ def _design_blocks_local(docs: DataFrame, label_expr, buckets: int,
     ).toArrow()
     pids = tbl.column("__pid").to_numpy(zero_copy_only=False)
     ys_all = tbl.column("y").to_pylist()
-    fv_all = tbl.column("fv").to_pylist()
+    # vectorized CSR extraction straight from the Arrow buffers (r15):
+    # the per-row to_pylist + dict loop cost ~0.9 s at sf0.1 — ~40% of
+    # the whole block build — for what offsets arithmetic gives for
+    # free. flatten() concatenates the non-null lists' structs in row
+    # order (exactly the order the old loop appended), so idx/vals are
+    # element-identical and the gradient fold stays bitwise-unchanged
+    # (the tier-equality pins in tests/test_classifier.py /
+    # tests/test_langid.py assert exactly that).
+    import pyarrow as pa
+
+    fv_col = tbl.column("fv")
+    fv_arr = (fv_col.combine_chunks()
+              if isinstance(fv_col, pa.ChunkedArray) else fv_col)
+    nrows = len(fv_arr)
+    lens = np.zeros(nrows, dtype=np.int64)
+    if nrows:
+        vl = fv_arr.value_lengths().to_numpy(zero_copy_only=False)
+        valid = ~np.asarray(fv_arr.is_null())
+        lens[valid] = vl[valid].astype(np.int64)
+    flat = fv_arr.flatten()
+    idx_all = flat.field("b").to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    vals_all = flat.field("x").to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    ends = np.cumsum(lens)
     blocks = []
     # rows arrive in partition order, so same-pid rows are contiguous;
     # split on boundaries to reproduce the per-partition blocks
@@ -280,24 +306,15 @@ def _design_blocks_local(docs: DataFrame, label_expr, buckets: int,
     for lo, hi in zip(bounds, bounds[1:]):
         if lo == hi:
             continue
-        ys, lens, idx, vals = [], [], [], []
-        for i in range(lo, hi):
-            ys.append(ys_all[i])
-            fv = fv_all[i]
-            if fv:
-                lens.append(len(fv))
-                for e in fv:
-                    idx.append(e["b"])
-                    vals.append(e["x"])
-            else:
-                lens.append(0)
-        indptr = np.zeros(len(ys) + 1, dtype=np.int64)
-        np.cumsum(lens, out=indptr[1:])
+        elo = ends[lo - 1] if lo else 0
+        ehi = ends[hi - 1]
+        indptr = np.zeros(hi - lo + 1, dtype=np.int64)
+        indptr[1:] = ends[lo:hi] - elo
         blocks.append((
-            np.array(ys, dtype=object),
+            np.array(ys_all[lo:hi], dtype=object),
             indptr,
-            np.array(idx, dtype=np.int64),
-            np.array(vals, dtype=np.float64),
+            idx_all[elo:ehi],
+            vals_all[elo:ehi],
         ))
     return blocks
 
